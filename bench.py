@@ -1,0 +1,59 @@
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Timing = full execution to collect() (the driver-side work the user
+would wait for). A JVM/session warm-up query runs first so we measure
+the engine, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from cdc_example_spark.queries import all_queries
+    from cdc_example_spark.session import get_spark
+
+    spark = get_spark("cdc_example_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    # Warm up: run the flagship once to JIT the scan/agg/join paths.
+    qs["q03_shipping_priority"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name].spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query-set wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,3 @@
+from cdc_example_spark.functions import text, vector
+
+__all__ = ["text", "vector"]

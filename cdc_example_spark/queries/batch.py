@@ -1,0 +1,802 @@
+"""Q1–Q20: the batch-relational correctness contract (SURVEY.md §2.3).
+
+Every query is written with the DataFrame API so Catalyst plans it
+(pushdown, pruning, join selection, partial aggregation, AQE); the
+paired oracle string is ANSI-ish SQL DuckDB runs on the same parquet.
+
+Scale notes are attached per query where the plan shape matters at
+100 TB (broadcast vs shuffle, partial aggs, TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_example_spark.queries.registry import query
+from cdc_example_spark.queries.util import day_str, dec2, hour_str
+from cdc_example_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Q1 — TPC-H-Q1-style pricing summary: filter → hash agg → sort.
+# Scale: partial+final agg over 2 grouping keys (6 groups) — shuffle is
+# 6 rows per map task regardless of input size; scan-bound at 100 TB.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                        AS sum_qty,
+  CAST(ROUND(CAST(SUM(l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                   AS sum_base_price,
+  CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+  CAST(ROUND(CAST(AVG(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                        AS avg_qty,
+  CAST(ROUND(CAST(AVG(l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                   AS avg_price,
+  CAST(ROUND(CAST(AVG(l_discount) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                        AS avg_disc,
+  COUNT(*)                                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", oracle=_Q1_ORACLE)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + multi-aggregate hash agg + sort over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec2(F.sum("l_quantity")).alias("sum_qty"),
+            dec2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            dec2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            dec2(F.avg("l_quantity")).alias("avg_qty"),
+            dec2(F.avg("l_extendedprice")).alias("avg_price"),
+            dec2(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — TPC-H-Q6-style revenue: range filters → scalar agg.
+# Scale: all three predicates push to the parquet scan; single-row result.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT
+  CAST(ROUND(CAST(SUM(l_extendedprice * l_discount) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+"""
+
+
+@query("q02_forecast_revenue", oracle=_Q2_ORACLE)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + BETWEEN + comparison filters feeding a scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            dec2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — TPC-H-Q3-style: 3-way join + agg + top-k.
+# Scale: customer filter first (pushed down), then shuffle joins on the
+# order key; final TakeOrderedAndProject keeps only 10 rows per partition.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, order_date
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@query("q03_shipping_priority", oracle=_Q3_ORACLE)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top-10."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", day_str(F.col("o_orderdate")).alias("order_date"))
+        .agg(dec2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — broadcast dim joins: region ⋈ nation ⋈ customer rollups.
+# Scale: region (5 rows) and nation (25 rows) are broadcast — zero
+# shuffle on the fact side; only the final 5-group agg shuffles.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT
+  r.r_name,
+  COUNT(*) AS num_customers,
+  CAST(ROUND(CAST(AVG(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_acctbal,
+  CAST(ROUND(CAST(SUM(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_acctbal
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@query("q04_customers_per_region", oracle=_Q4_ORACLE)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two explicit broadcast joins feeding a small-key aggregation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            dec2(F.avg("c_acctbal")).alias("avg_acctbal"),
+            dec2(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — customers with zero orders. Spark runs LEFT ANTI (no payload
+# columns shuffled for the non-matching side); the oracle states the
+# classic LEFT JOIN ... IS NULL formulation — equivalence is the check.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IS NULL
+ORDER BY c.c_custkey
+"""
+
+
+@query("q05_customers_without_orders", oracle=_Q5_ORACLE)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (oracle: LEFT OUTER + IS NULL) — same rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — LEFT SEMI + HAVING: nations by number of big-spender customers.
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT c.c_nationkey, COUNT(*) AS num_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+GROUP BY c.c_nationkey
+HAVING COUNT(*) > 1
+ORDER BY c.c_nationkey
+"""
+
+
+@query("q06_semi_join_having", oracle=_Q6_ORACLE)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) then grouped HAVING filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .filter(F.col("num_customers") > 1)
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — ROLLUP with GROUPING markers over customer ⋈ nation.
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT
+  n.n_name,
+  c.c_mktsegment,
+  CAST(GROUPING(n.n_name) AS INTEGER)       AS g_nation,
+  CAST(GROUPING(c.c_mktsegment) AS INTEGER) AS g_segment,
+  COUNT(*) AS num_customers,
+  CAST(ROUND(CAST(SUM(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+ORDER BY g_nation, g_segment, n.n_name NULLS FIRST, c.c_mktsegment NULLS FIRST
+"""
+
+
+@query("q07_rollup_nation_segment", oracle=_Q7_ORACLE)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(n_name, c_mktsegment) with GROUPING() markers."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.count(F.lit(1)).alias("num_customers"),
+            dec2(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy(
+            "g_nation",
+            "g_segment",
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — CUBE over order status × priority.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+  COUNT(*) AS num_orders,
+  CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("q08_cube_status_priority", oracle=_Q8_ORACLE)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(o_orderstatus, o_orderpriority) with GROUPING() markers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("num_orders"),
+            dec2(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — ranking window: top-3 customers by acctbal per nation.
+# Scale: single shuffle on the partition key; rank pushdown via
+# WindowGroupLimit (Spark 3.5+) stops each partition at 3 rows.
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT c_nationkey, c_custkey,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS acctbal,
+       rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+ORDER BY c_nationkey, rn
+"""
+
+
+@query("q09_top3_per_nation", oracle=_Q9_ORACLE)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() ranking window, filtered to top-3 per partition."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", dec2(F.col("c_acctbal")).alias("acctbal"), "rn")
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — lag/lead analytics: per-customer order-to-order deltas.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       date_diff('day',
+                 CAST(lag(o_orderdate) OVER w AS DATE),
+                 CAST(o_orderdate AS DATE))                      AS gap_days,
+       CAST(ROUND(CAST(o_totalprice - lag(o_totalprice) OVER w AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                                    AS price_delta,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d')            AS next_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("q10_order_gaps", oracle=_Q10_ORACLE)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()/lead() over per-customer order history."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            day_str(F.col("o_orderdate")).alias("order_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag("o_orderdate").over(w).cast("date"),
+            ).alias("gap_days"),
+            dec2(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+            day_str(F.lead("o_orderdate").over(w)).alias("next_order_date"),
+            F.col("o_orderdate"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — running frame: cumulative spend per customer.
+# Frame order is total (date, orderkey), so the sequential double sum is
+# bitwise-identical on both engines.
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(ROUND(CAST(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cum_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("q11_cumulative_spend", oracle=_Q11_ORACLE)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM() OVER (... ROWS UNBOUNDED PRECEDING) running total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            day_str(F.col("o_orderdate")).alias("order_date"),
+            dec2(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+            F.col("o_orderdate"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — global top-k (TakeOrderedAndProject: no full sort at scale).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+@query("q12_top20_lineitems", oracle=_Q12_ORACLE)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY ... LIMIT k — Catalyst lowers to per-partition top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dec2(F.col("l_extendedprice")).alias("extendedprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — set operations on custkey sets.
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH allc AS (SELECT c_custkey AS k FROM customer),
+     ordering AS (SELECT DISTINCT o_custkey AS k FROM orders)
+SELECT 'except' AS tag, COUNT(*) AS cnt
+  FROM (SELECT k FROM allc EXCEPT SELECT k FROM ordering)
+UNION ALL
+SELECT 'intersect', COUNT(*)
+  FROM (SELECT k FROM allc INTERSECT SELECT k FROM ordering)
+UNION ALL
+SELECT 'union_all', COUNT(*)
+  FROM (SELECT k FROM allc UNION ALL SELECT k FROM ordering)
+UNION ALL
+SELECT 'union_distinct', COUNT(*)
+  FROM (SELECT k FROM allc UNION SELECT k FROM ordering)
+ORDER BY tag
+"""
+
+
+@query("q13_set_ops", oracle=_Q13_ORACLE)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL / UNION DISTINCT cardinalities."""
+    allc = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ordering = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+
+    def tagged(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit(tag).alias("tag"), "cnt")
+
+    return (
+        tagged("except", allc.subtract(ordering))
+        .unionAll(tagged("intersect", allc.intersect(ordering)))
+        .unionAll(tagged("union_all", allc.unionAll(ordering)))
+        .unionAll(tagged("union_distinct", allc.union(ordering).distinct()))
+        .orderBy("tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — exact COUNT(DISTINCT), global row via ROLLUP.
+# Scale: two distinct aggregates → Catalyst expands; for 100 TB an
+# approx_count_distinct variant is registered in llm.py benches.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT l_returnflag,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       COUNT(DISTINCT l_partkey) AS nd_part,
+       COUNT(DISTINCT l_suppkey) AS nd_supp,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag)
+ORDER BY g_flag, l_returnflag NULLS FIRST
+"""
+
+
+@query("q14_count_distinct", oracle=_Q14_ORACLE)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per flag + grand total (ROLLUP)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("g_flag", F.col("l_returnflag").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — scalar string functions over part.
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_name)                                   AS name_upper,
+       SUBSTR(p_name, 1, 8)                            AS name_pfx,
+       CONCAT(p_brand, '#', p_type)                    AS brand_type,
+       LENGTH(p_name)                                  AS name_len,
+       TRIM(p_name)                                    AS name_trim,
+       regexp_extract(p_brand, '#?([0-9]+)$', 1)       AS brand_num,
+       LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_words
+FROM part
+WHERE p_name LIKE '%widget%'
+ORDER BY p_partkey
+"""
+
+
+@query("q15_string_functions", oracle=_Q15_ORACLE)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substr/concat/length/trim/regexp_extract/LIKE/word-count."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%widget%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 8).alias("name_pfx"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+            F.trim(F.col("p_name")).alias("name_trim"),
+            F.regexp_extract(F.col("p_brand"), r"#?([0-9]+)$", 1).alias("brand_num"),
+            (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1).alias("n_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — date bucketing + join: orders per year × month for one segment.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT CAST(YEAR(o.o_orderdate) AS INTEGER)  AS order_year,
+       CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
+       strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS month_start,
+       COUNT(*) AS num_orders,
+       CAST(ROUND(CAST(SUM(o.o_totalprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'MACHINERY'
+GROUP BY order_year, order_month, month_start
+ORDER BY order_year, order_month
+"""
+
+
+@query("q16_orders_by_month", oracle=_Q16_ORACLE)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year()/month()/date_trunc bucketing after a segment-filtered join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            day_str(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            dec2(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — CASE / COALESCE / math banding.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT
+  CASE WHEN o_totalprice < 50000  THEN 'low'
+       WHEN o_totalprice < 150000 THEN 'mid'
+       WHEN o_totalprice < 300000 THEN 'high'
+       ELSE 'jumbo' END                                   AS band,
+  CAST(FLOOR(o_totalprice / 100000) AS BIGINT)            AS bucket_100k,
+  COUNT(*)                                                AS num_orders,
+  CAST(ROUND(CAST(AVG(ABS(o_totalprice - 150000)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_abs_dev,
+  CAST(ROUND(CAST(MAX(LEAST(o_totalprice, 400000)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS max_capped,
+  CAST(ROUND(CAST(MIN(GREATEST(o_totalprice, 2000)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS min_floored,
+  CAST(ROUND(CAST(SUM(COALESCE(NULLIF(o_totalprice, 0), 0)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS total,
+  CAST(ROUND(CAST(AVG(MOD(CAST(o_orderkey AS BIGINT), 7)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))   AS avg_mod7,
+  CAST(ROUND(CAST(SUM(POWER(o_totalprice / 100000, 2)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))      AS sum_sq_lakh
+FROM orders
+GROUP BY band, bucket_100k
+ORDER BY band, bucket_100k
+"""
+
+
+@query("q17_case_math_bands", oracle=_Q17_ORACLE)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + floor/abs/least/greatest/coalesce/mod/power."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.groupBy(
+            band.alias("band"),
+            F.floor(F.col("o_totalprice") / 100000).cast("bigint").alias("bucket_100k"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            dec2(F.avg(F.abs(F.col("o_totalprice") - 150000))).alias("avg_abs_dev"),
+            dec2(F.max(F.least(F.col("o_totalprice"), F.lit(400000)))).alias("max_capped"),
+            dec2(F.min(F.greatest(F.col("o_totalprice"), F.lit(2000)))).alias("min_floored"),
+            dec2(F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0)), F.lit(0)))).alias("total"),
+            dec2(F.avg(F.col("o_orderkey").cast("bigint") % 7)).alias("avg_mod7"),
+            dec2(F.sum(F.pow(F.col("o_totalprice") / 100000, F.lit(2)))).alias("sum_sq_lakh"),
+        )
+        .orderBy("band", "bucket_100k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — batch tumbling window: events per hour × type.
+# The Spark side uses F.window() (the streaming-native construct); the
+# oracle expresses the same bucket as date_trunc('hour'). Equality of
+# the two formulations is exactly the batch/stream parity we need for S5.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS num_events,
+       CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_value,
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_value
+FROM events
+GROUP BY hour_start, event_type
+ORDER BY hour_start, event_type
+"""
+
+
+@query("q18_hourly_event_windows", oracle=_Q18_ORACLE)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling F.window('1 hour') aggregation (oracle: date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            dec2(F.avg("value")).alias("avg_value"),
+            dec2(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "num_events",
+            "avg_value",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — batch sessionization: 30-minute-gap sessions via lag + running sum.
+# The streaming twin (S6, session_window) must agree on session counts.
+# Gap comparisons use epoch microseconds on both engines (events.ts is
+# ns on disk; µs is the shared precision).
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM t
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+  FROM f
+), g AS (
+  SELECT user_id, sess_seq,
+         COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS dur_s
+  FROM s GROUP BY user_id, sess_seq
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n_events) AS n_events,
+       CAST(ROUND(CAST(AVG(n_events) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_events,
+       CAST(ROUND(CAST(AVG(dur_s) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))    AS avg_dur_s,
+       CAST(ROUND(CAST(MAX(dur_s) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))    AS max_dur_s
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q19_sessionization", oracle=_Q19_ORACLE)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag → new-session flag → running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+    sess = (
+        ev.withColumn("gap_us", gap_us)
+        .withColumn(
+            "is_new",
+            F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn("sess_seq", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "sess_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0).alias("dur_s"),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            dec2(F.avg("n_events")).alias("avg_events"),
+            dec2(F.avg("dur_s")).alias("avg_dur_s"),
+            dec2(F.max("dur_s")).alias("max_dur_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — JSON extraction over events.props.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       event_type,
+       COUNT(*) AS num_events,
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_value
+FROM events
+GROUP BY k_bucket, event_type
+ORDER BY k_bucket, event_type
+"""
+
+
+@query("q20_json_buckets", oracle=_Q20_ORACLE)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object(props, '$.k') → int bucket → grouped counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.get_json_object(F.col("props"), "$.k").cast("int") % 10).alias("k_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            dec2(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("k_bucket", "event_type")
+    )
