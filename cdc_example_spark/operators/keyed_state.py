@@ -1,0 +1,209 @@
+"""Keyed upsert-materialized view: the CDC apply operator (A8/A12/A13).
+
+The reference materializes the change stream as a last-write-wins map
+keyed by id, with delete-on-tombstone and resurrection allowed
+(browser ``index.html:87-89,202-216``; test listener
+``MessageEventTestListener.kt:15-29``). This operator reproduces those
+semantics as a Spark MERGE into a bucket-partitioned parquet table.
+
+Scale design (100 TB state, 1000 executors):
+
+- State lives in ``NUM_BUCKETS`` hash buckets (directory partitions).
+  A micro-batch only rewrites the buckets its keys touch — with
+  dynamic partition overwrite, an idle bucket costs zero I/O.
+- Intra-batch collapse first: per key keep the change with max
+  (lsn, ts_ms) — reference §4.2: never trust arrival order after a
+  shuffle; Postgres LSN is the authoritative order
+  (prototype/message.md:33-39).
+- The per-batch MERGE is changes-side-small by construction, so the
+  join against touched-bucket state broadcasts the changes.
+- Re-applying a batch is idempotent (same keys, same LSN winners →
+  same state), which upgrades Structured Streaming's at-least-once
+  foreachBatch into exactly-once *effect* — stronger than the
+  reference's at-least-once listener dispatch (SURVEY.md §3.2.4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_example_spark.schemas import MESSAGES
+
+
+class KeyNotFoundError(Exception):
+    """Update addressed a key that does not exist.
+
+    Mirrors the reference's MessageNotFoundException
+    (MessageService.kt:21-25 / MessageNotFoundException.kt:5).
+    """
+
+
+@dataclass
+class KeyedStateSink:
+    """Bucket-partitioned parquet materialization of a keyed stream."""
+
+    path: str
+    key: str = "id"
+    num_buckets: int = 32
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets))
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
+            n.startswith("bucket=") for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+        )
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Current materialized table (without the bucket column)."""
+        if not self.exists():
+            return spark.createDataFrame([], MESSAGES)
+        try:
+            return spark.read.parquet(self.path).drop("bucket")
+        except Exception:
+            # state dir exists but holds no part files (everything deleted)
+            return spark.createDataFrame([], MESSAGES)
+
+    # ------------------------------------------------------------------
+    # the CDC apply (foreachBatch body)
+    # ------------------------------------------------------------------
+
+    def apply_changes(self, changes: DataFrame, batch_id: int | None = None) -> None:
+        """MERGE one micro-batch of routed changes (see envelope.route_changes).
+
+        Expected columns: key_id, is_delete, after (struct), lsn, ts_ms.
+        """
+        spark = changes.sparkSession
+        # 1. intra-batch collapse: last write per key by (lsn, ts_ms) —
+        #    an insert+update+delete of one key in one batch must land
+        #    as exactly its final outcome.
+        w = Window.partitionBy("key_id").orderBy(
+            F.col("lsn").desc_nulls_last(), F.col("ts_ms").desc_nulls_last()
+        )
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upserts = latest.filter(~F.col("is_delete")).select(
+            F.col("after.id").alias("id"),
+            F.col("after.create_time").alias("create_time"),
+            F.col("after.update_time").alias("update_time"),
+            F.col("after.message").alias("message"),
+            F.col("after.username").alias("username"),
+        )
+        # 2. MERGE = anti-join out every touched key, then append the
+        #    upsert images. Delete is "anti-join and don't re-add"
+        #    (after IS NULL ⇒ key only in the anti side) — and an
+        #    upsert after a delete simply re-adds the key, which is the
+        #    reference's resurrection semantics
+        #    (MessageEventTestListener.kt:19-23).
+        touched = latest.select(F.col("key_id").alias(self.key)).distinct()
+        self._merge(spark, touched, upserts)
+
+    def _merge(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
+        """Rewrite only the buckets containing ``touched_keys``."""
+        key = self.key
+        touched_keys = touched_keys.withColumn("bucket", self._bucket(F.col(key)))
+        new_rows = new_rows.withColumn("bucket", self._bucket(F.col(key)))
+        # A micro-batch touches few keys → the bucket list fits on the
+        # driver by construction (≤ num_buckets entries).
+        buckets = [r[0] for r in touched_keys.select("bucket").distinct().collect()]
+        if not buckets:
+            return
+
+        if self.exists():
+            state = spark.read.parquet(self.path).filter(F.col("bucket").isin(buckets))
+            kept = state.join(
+                F.broadcast(touched_keys.select(key)), on=key, how="left_anti"
+            )
+            out = kept.unionByName(new_rows)
+        else:
+            out = new_rows
+
+        # Overwrite exactly the touched bucket directories. NOT dynamic
+        # partition overwrite: a bucket whose keys were all deleted has
+        # zero output rows, and dynamic mode would then skip it and
+        # leave the stale partition on disk. (With a lakehouse table
+        # format this whole method is a single MERGE INTO.)
+        out = out.persist()
+        try:
+            out.count()  # materialize before the old files are replaced
+            for b in buckets:
+                (
+                    out.filter(F.col("bucket") == b)
+                    .drop("bucket")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.path, f"bucket={b}"))
+                )
+            if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+                open(os.path.join(self.path, "_SUCCESS"), "w").close()
+        finally:
+            out.unpersist()
+
+    # ------------------------------------------------------------------
+    # write-path operators (A12/A13): service-level upsert/delete
+    # ------------------------------------------------------------------
+
+    def upsert_requests(self, requests: DataFrame, now) -> None:
+        """Batch twin of MessageService.upsertMessage (MessageService.kt:18-34).
+
+        ``requests``: columns (id nullable, username, message). Semantics:
+        - id NULL → insert with generated uuid, create_time = update_time = now
+          (CdcApplicationTests.kt:25 invariant);
+        - id present & exists → update preserving create_time
+          (MessageService.kt:21-25: COALESCE(old.create_time, —)), new
+          update_time;
+        - id present & missing → KeyNotFoundError
+          (MessageService.kt:23-24).
+        """
+        spark = requests.sparkSession
+        now_col = F.lit(now).cast("timestamp")
+        state = self.snapshot(spark)
+
+        with_id = requests.filter(F.col("id").isNotNull())
+        missing = with_id.join(state.select("id"), on="id", how="left_anti")
+        n_missing = missing.limit(1).count()
+        if n_missing:
+            some = missing.select("id").first()[0]
+            raise KeyNotFoundError(f"update of non-existent key: {some}")
+
+        inserts = requests.filter(F.col("id").isNull()).select(
+            F.expr("uuid()").alias("id"),
+            now_col.alias("create_time"),
+            now_col.alias("update_time"),
+            "message",
+            "username",
+        )
+        updates = (
+            with_id.alias("r")
+            .join(state.alias("s"), on="id", how="inner")
+            .select(
+                F.col("id"),
+                # create_time preserved from existing row
+                F.col("s.create_time").alias("create_time"),
+                now_col.alias("update_time"),
+                F.col("r.message").alias("message"),
+                F.col("r.username").alias("username"),
+            )
+        )
+        new_rows = inserts.unionByName(updates)
+        touched = new_rows.select(F.col("id").alias(self.key)).distinct()
+        self._merge(spark, touched, new_rows)
+
+    def delete_keys(self, keys: DataFrame) -> None:
+        """Batch twin of MessageService.deleteMessage (MessageService.kt:36-39)."""
+        spark = keys.sparkSession
+        touched = keys.select(F.col(keys.columns[0]).alias(self.key)).distinct()
+        empty = spark.createDataFrame([], MESSAGES)
+        self._merge(spark, touched, empty)

@@ -1,0 +1,84 @@
+"""Debezium envelope decode + routing — the reference's A3–A6 steps.
+
+Reference semantics reproduced here (SURVEY.md §2.1):
+
+- A3 deserialize: JSON key/value → typed columns via ``from_json`` with
+  the *declared* schema (never inferred) — reference
+  ``MessageConsumer.kt:29-33``, DTOs ``:54-70``.
+- A4 projection: the consumer deliberately uses only the ``after``
+  image (``DebeziumWrapper`` models just that field,
+  ``MessageConsumer.kt:54-56``); we keep ``source.lsn``/``ts_ms`` too
+  because Spark must restore per-key order after shuffles (the Kotlin
+  consumer gets it free from Kafka partition order).
+- A5 routing: delete iff ``after IS NULL`` (``MessageConsumer.kt:31-38``)
+  — NOT by the ``op`` code; the row key comes from the Kafka KEY, not
+  the value (``MessageConsumer.kt:33``), so deletes are self-contained.
+
+Everything is a pure Column expression — the CDC hot path never leaves
+the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_example_spark.schemas import CDC_ENVELOPE, CDC_KEY
+
+#: Timestamps inside before/after arrive as ISO-8601 instants
+#: (reference prototype/message.md:17,22 — Debezium ZonedTimestamp).
+_TS_FIELDS = ("create_time", "update_time")
+
+
+def _typed_image(img: Column) -> Column:
+    """Cast the string timestamps of a row image to TimestampType."""
+    return F.when(
+        img.isNotNull(),
+        F.struct(
+            img["id"].alias("id"),
+            F.to_timestamp(img["create_time"]).alias("create_time"),
+            F.to_timestamp(img["update_time"]).alias("update_time"),
+            img["message"].alias("message"),
+            img["username"].alias("username"),
+        ),
+    )
+
+
+def decode_envelope(raw: DataFrame, key_col: str = "key", value_col: str = "value") -> DataFrame:
+    """Kafka-shaped (key, value) records → typed change rows.
+
+    Output columns:
+      key_id        row key from the Kafka KEY (delete-safe)
+      before, after typed row images (nullable structs)
+      op            'i'|'u'|'d' (kept for lineage; routing ignores it)
+      lsn, ts_ms    change ordering (source.lsn primary, envelope ts_ms
+                    tiebreak) — per-key order restoration after shuffle
+    """
+    key = F.from_json(F.col(key_col).cast("string"), CDC_KEY)
+    val = F.from_json(F.col(value_col).cast("string"), CDC_ENVELOPE)
+    return raw.select(
+        key["id"].alias("key_id"),
+        _typed_image(val["before"]).alias("before"),
+        _typed_image(val["after"]).alias("after"),
+        val["op"].alias("op"),
+        val["source"]["lsn"].alias("lsn"),
+        val["ts_ms"].alias("ts_ms"),
+    )
+
+
+def route_changes(decoded: DataFrame) -> DataFrame:
+    """A5/A6: annotate each change as upsert or delete.
+
+    ``is_delete = after IS NULL`` (MessageConsumer.kt:31-38). The
+    output keeps one row per change with the full after image for
+    upserts — the two event variants (MessageUpsertEvent /
+    MessageDeleteEvent) as one sum-type column set, which downstream
+    operators consume without a branch boundary.
+    """
+    return decoded.select(
+        "key_id",
+        F.col("after").isNull().alias("is_delete"),
+        "after",
+        "lsn",
+        "ts_ms",
+    )

@@ -1,0 +1,89 @@
+"""Structured-Streaming wiring: CDC source → decode → route → apply.
+
+The reference's hot path (SURVEY.md §3.2) as one incrementalized query:
+Kafka (or file/test) source → from_json decode → after-IS-NULL routing
+→ foreachBatch MERGE into a KeyedStateSink. The foreachBatch boundary
+is where Spark's micro-batch offsets + the sink's idempotent MERGE
+combine into an exactly-once effect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_example_spark.operators.keyed_state import KeyedStateSink
+from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+
+
+def kafka_cdc_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "messages.public.messages",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka change-stream source (reference A1/A2).
+
+    The reference subscribes with a per-instance consumer group and
+    ``auto-offset-reset: latest`` (application.yaml:9-12) — each Spark
+    query owning its own checkpoint directory is the same broadcast
+    topology. Requires the spark-sql-kafka package on the cluster; in
+    this container tests use :func:`file_cdc_source` instead.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def file_cdc_source(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based CDC source (test double; SURVEY.md §2.2 'file/memory stream').
+
+    Reads JSON lines shaped ``{"key": "<kafka key json>", "value":
+    "<envelope json>"}`` — one file per emitted micro-batch, matching
+    how the S-tests replay the reference's integration scenario.
+    """
+    return (
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def materialize(
+    raw_stream: DataFrame,
+    sink: KeyedStateSink,
+    checkpoint_dir: str,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+    trigger_once: bool = False,
+    processing_time: str = "500 milliseconds",
+) -> StreamingQuery:
+    """Start the decode→route→apply query against ``sink``.
+
+    ``on_batch`` is the in-process pub/sub analog (reference A7): extra
+    listeners (websocket fan-out, metrics) observe each routed
+    micro-batch after the state merge, like the reference's
+    ``@EventListener`` twins.
+    """
+    routed = route_changes(decode_envelope(raw_stream))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            sink.apply_changes(batch_df, batch_id)
+            if on_batch is not None:
+                on_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = routed.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

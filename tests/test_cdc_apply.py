@@ -1,0 +1,162 @@
+"""S1–S3 + write-path invariants: the reference's e2e contract as data.
+
+Replays the integration-test scenario of the reference
+(CdcApplicationTests.kt:21-44) against the KeyedStateSink:
+  S1 insert → update → delete round trip with the exact timestamp
+     invariants; S2 last-write-wins under intra-batch collision +
+     resurrection after delete (MessageEventTestListener.kt:19-29);
+  S3 delete keyed from the Kafka KEY with after=null
+     (MessageConsumer.kt:32-38).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from cdc_example_spark.operators.keyed_state import KeyedStateSink, KeyNotFoundError
+from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+from tests.cdc_fixtures import envelope, row_image
+
+UTC = dt.timezone.utc
+
+
+def apply_batch(spark, sink, records):
+    raw = spark.createDataFrame(records, "key STRING, value STRING")
+    sink.apply_changes(route_changes(decode_envelope(raw)))
+
+
+def rows_by_id(spark, sink):
+    return {r["id"]: r.asDict() for r in sink.snapshot(spark).collect()}
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return KeyedStateSink(path=str(tmp_path / "state"), num_buckets=8)
+
+
+def test_s1_insert_update_delete_roundtrip(spark, sink):
+    mid = str(uuid.uuid4())
+    t0 = "2025-10-26T23:21:07.598794Z"
+    t1 = "2025-10-26T23:22:11.000231Z"
+
+    # insert: create_time == update_time (CdcApplicationTests.kt:25)
+    apply_batch(spark, sink, [
+        envelope("i", mid, after=row_image(mid, t0, t0, "hello", "alice")),
+    ])
+    state = rows_by_id(spark, sink)
+    assert set(state) == {mid}
+    assert state[mid]["create_time"] == state[mid]["update_time"]
+    assert state[mid]["message"] == "hello"
+
+    # update: same id, create_time preserved, update_time changed
+    # (CdcApplicationTests.kt:35-37); full before image present
+    # (REPLICA IDENTITY FULL, V1__init.sql:9)
+    apply_batch(spark, sink, [
+        envelope("u", mid,
+                 before=row_image(mid, t0, t0, "hello", "alice"),
+                 after=row_image(mid, t0, t1, "hello again", "alice")),
+    ])
+    state = rows_by_id(spark, sink)
+    assert set(state) == {mid}
+    assert state[mid]["create_time"] == dt.datetime(2025, 10, 26, 23, 21, 7, 598794)
+    assert state[mid]["update_time"] == dt.datetime(2025, 10, 26, 23, 22, 11, 231)
+    assert state[mid]["message"] == "hello again"
+
+    # delete: after=null, key from Kafka key → row gone
+    # (CdcApplicationTests.kt:42-43)
+    apply_batch(spark, sink, [
+        envelope("d", mid, before=row_image(mid, t0, t1, "hello again", "alice"), after=None),
+    ])
+    assert rows_by_id(spark, sink) == {}
+
+
+def test_s2_last_write_wins_and_resurrection(spark, sink):
+    mid = str(uuid.uuid4())
+    other = str(uuid.uuid4())
+    t0 = "2025-10-26T10:00:00.000000Z"
+
+    # one micro-batch: insert + two updates + unrelated key — the later
+    # LSN must win within the batch (intra-batch collapse)
+    apply_batch(spark, sink, [
+        envelope("i", mid, after=row_image(mid, t0, t0, "v1", "bob"), lsn=100),
+        envelope("u", mid, after=row_image(mid, t0, t0, "v2", "bob"), lsn=200),
+        envelope("u", mid, after=row_image(mid, t0, t0, "v3", "bob"), lsn=300),
+        envelope("i", other, after=row_image(other, t0, t0, "x", "carol"), lsn=150),
+    ])
+    state = rows_by_id(spark, sink)
+    assert state[mid]["message"] == "v3"
+    assert state[other]["message"] == "x"
+
+    # out-of-order arrival: stale LSN in a later batch must still win
+    # *within its own batch only* — apply uses LSN order, not arrival
+    apply_batch(spark, sink, [
+        envelope("u", mid, after=row_image(mid, t0, t0, "v5", "bob"), lsn=500),
+        envelope("u", mid, after=row_image(mid, t0, t0, "v4", "bob"), lsn=400),
+    ])
+    assert rows_by_id(spark, sink)[mid]["message"] == "v5"
+
+    # delete then re-insert same key (resurrection,
+    # MessageEventTestListener.kt:19-23)
+    apply_batch(spark, sink, [envelope("d", mid, after=None, lsn=600)])
+    assert mid not in rows_by_id(spark, sink)
+    apply_batch(spark, sink, [
+        envelope("i", mid, after=row_image(mid, t0, t0, "reborn", "bob"), lsn=700),
+    ])
+    state = rows_by_id(spark, sink)
+    assert state[mid]["message"] == "reborn"
+    assert state[other]["message"] == "x"
+
+
+def test_s3_delete_and_insert_same_batch_collapses(spark, sink):
+    mid = str(uuid.uuid4())
+    t0 = "2025-10-26T10:00:00.000000Z"
+    # insert then delete inside ONE batch → final outcome = absent
+    apply_batch(spark, sink, [
+        envelope("i", mid, after=row_image(mid, t0, t0, "temp", "dave"), lsn=100),
+        envelope("d", mid, after=None, lsn=200),
+    ])
+    assert rows_by_id(spark, sink) == {}
+    # delete of a never-seen key is a no-op, not an error
+    apply_batch(spark, sink, [envelope("d", str(uuid.uuid4()), after=None)])
+    assert rows_by_id(spark, sink) == {}
+
+
+def test_write_path_upsert_delete_semantics(spark, sink):
+    """A12/A13: service-level upsert preserving create_time + delete."""
+    now0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    reqs = spark.createDataFrame(
+        [(None, "alice", "m1"), (None, "bob", "m2")],
+        "id STRING, username STRING, message STRING",
+    )
+    sink.upsert_requests(reqs, now0)
+    state = rows_by_id(spark, sink)
+    assert len(state) == 2
+    for row in state.values():
+        assert row["create_time"] == row["update_time"] == now0
+
+    # update one row: create_time preserved, update_time refreshed
+    alice_id = next(i for i, r in state.items() if r["username"] == "alice")
+    now1 = dt.datetime(2025, 1, 2, 9, 30, 0)
+    upd = spark.createDataFrame(
+        [(alice_id, "alice", "m1-edited")], "id STRING, username STRING, message STRING"
+    )
+    sink.upsert_requests(upd, now1)
+    state = rows_by_id(spark, sink)
+    assert state[alice_id]["create_time"] == now0
+    assert state[alice_id]["update_time"] == now1
+    assert state[alice_id]["message"] == "m1-edited"
+
+    # update of missing id raises (MessageNotFoundException analog)
+    bad = spark.createDataFrame(
+        [(str(uuid.uuid4()), "eve", "nope")], "id STRING, username STRING, message STRING"
+    )
+    with pytest.raises(KeyNotFoundError):
+        sink.upsert_requests(bad, now1)
+
+    # delete by key
+    sink.delete_keys(spark.createDataFrame([(alice_id,)], "id STRING"))
+    state = rows_by_id(spark, sink)
+    assert alice_id not in state and len(state) == 1

@@ -1,0 +1,99 @@
+"""Streaming e2e: file CDC source → decode → route → foreachBatch MERGE.
+
+Proves the actual Structured Streaming wiring (offsets, checkpoint
+resume, exactly-once effect), not just the batch-apply operator: batch
+1 streams in, the query stops, batch 2 lands, a NEW query on the same
+checkpoint resumes and must not re-apply batch 1.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from cdc_example_spark.operators.keyed_state import KeyedStateSink
+from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+from cdc_example_spark.streaming.materialize import file_cdc_source, materialize
+from cdc_example_spark.streaming.sinks import broadcast_frames, ws_frames
+from tests.cdc_fixtures import envelope, row_image
+
+
+def _write_batch(path, n, records):
+    with open(path / f"batch-{n:04d}.json", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_until_idle(spark, src_dir, sink, ckpt, on_batch=None):
+    stream = file_cdc_source(spark, str(src_dir), max_files_per_trigger=1)
+    q = materialize(stream, sink, str(ckpt), on_batch=on_batch, trigger_once=True)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+
+def test_streaming_cdc_materialization_with_resume(spark, tmp_path):
+    src = tmp_path / "cdc-in"
+    src.mkdir()
+    sink = KeyedStateSink(path=str(tmp_path / "state"), num_buckets=8)
+    ckpt = tmp_path / "ckpt"
+
+    a, b = str(uuid.uuid4()), str(uuid.uuid4())
+    t0 = "2025-10-26T10:00:00.000000Z"
+    t1 = "2025-10-26T10:05:00.000000Z"
+
+    frames: list[str] = []
+
+    def tap(batch_df, batch_id):
+        got = [r["frame"] for r in ws_frames(batch_df).collect()]
+        broadcast_frames(got, [frames.append])
+
+    _write_batch(src, 1, [
+        envelope("i", a, after=row_image(a, t0, t0, "a-v1", "alice"), lsn=100),
+        envelope("i", b, after=row_image(b, t0, t0, "b-v1", "bob"), lsn=110),
+    ])
+    _run_until_idle(spark, src, sink, ckpt, on_batch=tap)
+    state = {r["id"]: r.asDict() for r in sink.snapshot(spark).collect()}
+    assert state[a]["message"] == "a-v1" and state[b]["message"] == "b-v1"
+
+    # WS frames: serialize-once fan-out produced an UPSERT per event
+    # with the reference's wire shape (type/id/content)
+    parsed = [json.loads(f) for f in frames]
+    assert {p["type"] for p in parsed} == {"UPSERT"}
+    assert {p["id"] for p in parsed} == {a, b}
+    assert all(p["content"]["message"].endswith("-v1") for p in parsed)
+
+    # new files land; a NEW query resumes from the checkpoint — batch 1
+    # offsets are committed, so only the delta applies
+    _write_batch(src, 2, [
+        envelope("u", a, after=row_image(a, t0, t1, "a-v2", "alice"), lsn=200),
+        envelope("d", b, after=None, lsn=210),
+    ])
+    _run_until_idle(spark, src, sink, ckpt, on_batch=tap)
+    state = {r["id"]: r.asDict() for r in sink.snapshot(spark).collect()}
+    assert set(state) == {a}
+    assert state[a]["message"] == "a-v2"
+
+    delete_frames = [json.loads(f) for f in frames if json.loads(f)["type"] == "DELETE"]
+    assert len(delete_frames) == 1
+    assert delete_frames[0]["id"] == b and delete_frames[0]["content"] is None
+
+
+def test_broadcast_isolates_subscriber_failures():
+    seen: list[str] = []
+
+    def bad(_):
+        raise RuntimeError("dead socket")
+
+    errors = broadcast_frames(["f1", "f2"], [bad, seen.append])
+    # one failure per frame swallowed; healthy subscriber got everything
+    assert len(errors) == 2 and seen == ["f1", "f2"]
+
+
+def test_decode_envelope_null_key_and_garbage_value(spark):
+    """Malformed input must not kill the stream (from_json → nulls)."""
+    raw = spark.createDataFrame(
+        [("not-json", "also not json"), (None, None)], "key STRING, value STRING"
+    )
+    routed = route_changes(decode_envelope(raw)).collect()
+    assert len(routed) == 2
+    assert all(r["key_id"] is None and r["is_delete"] for r in routed)
