@@ -9,6 +9,8 @@ workloads where Arrow-batched NumPy beats codegen (very wide vectors).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,8 +45,6 @@ def cosine_pandas_udf():
     vector dimension is large enough that NumPy's SIMD beats per-element
     codegen expressions.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword / word-shape ratios), token counting (whitespace + a BPE-ish
+regex pre-tokenizer), and document fingerprinting (rolling hash).
+
+Everything is a JVM-side column expression: at 100 TB these run inside
+whole-stage codegen over the parquet scan with zero Python crossings
+and zero shuffles (they're all per-row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_example_spark.functions import text as T
+
+#: Minimal per-language stopword anchors for the n-gram/stopword
+#: language-ID heuristic. Deterministic and tiny by design — a real
+#:  deployment swaps in a larger table (broadcast join) without
+#: changing the operator shape.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "de", "y", "que"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de", "shi", "bu", "le", "zai"),  # romanized anchors
+}
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single
+#: non-alnum-non-space marks — the GPT-2-style split shape, kept to
+#: ASCII classes so Java and RE2 regex engines agree.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_col(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return T.words(F.lower(text))
+
+
+def stopword_hits(ws: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(ws, lambda w: w.isin(*sw)))
+
+
+def lang_scores(ws: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(ws, lang) for lang in STOPWORDS}
+
+
+def predict_lang(ws: Column) -> Column:
+    """argmax over stopword scores; ties break by language code order
+    (deterministic). 'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(ws)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def token_count_whitespace(text: Column) -> Column:
+    return F.size(T.words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (regexp, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals; each ∈ [0, 1]-ish, rounding left
+    to the caller."""
+    trimmed = F.trim(text)
+    n_chars = F.length(trimmed)
+    ws = words_col(trimmed)
+    n_words = F.size(ws)
+    n_punct = n_chars - F.length(F.regexp_replace(trimmed, r"[.,!?;:]", ""))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS["en"])))
+    mean_word_len = F.when(n_words > 0, (F.length(F.regexp_replace(trimmed, r"\s+", "")) / n_words))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)),
+        "mean_word_len": F.coalesce(mean_word_len, F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic: long-enough docs with some stopwords and
+    sane word lengths score high; punctuation walls score low."""
+    f = quality_features(text)
+    length_term = F.least(f["n_words"] / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    shape_term = F.when((f["mean_word_len"] >= 2) & (f["mean_word_len"] <= 12), 1.0).otherwise(0.3)
+    punct_term = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.4)
+    return (length_term + stop_term + shape_term + punct_term) / 4
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling-hash fingerprint (functions.text)."""
+    return T.rolling_fingerprint(text)

@@ -216,3 +216,405 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q25 — document fingerprinting: rolling polynomial hash per doc.
+# ---------------------------------------------------------------------------
+
+_Q25_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(LOWER(TRIM(text)), ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q25_rolling_fingerprints", oracle=_Q25_ORACLE)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q26 — token counting: whitespace + BPE-ish regex pre-tokenizer.
+# ---------------------------------------------------------------------------
+
+_Q26_ORACLE = r"""
+SELECT lang,
+       SUM(len(regexp_split_to_array(TRIM(text), '\s+'))) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+       CAST(ROUND(CAST(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_bpe_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q26_token_counts", oracle=_Q26_ORACLE)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per language."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            TA.token_count_whitespace(F.col("text")).alias("ws"),
+            TA.token_count_bpe(F.col("text")).alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            dec2(F.avg("bpe")).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — language-ID heuristic: stopword-hit argmax, confusion counts.
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = r"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ws FROM documents
+), s AS (
+  SELECT lang,
+         len(list_filter(ws, w -> w IN ('the','and','of','to','is')))   AS s_en,
+         len(list_filter(ws, w -> w IN ('le','la','et','les','des')))   AS s_fr,
+         len(list_filter(ws, w -> w IN ('el','los','de','y','que')))    AS s_es,
+         len(list_filter(ws, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(ws, w -> w IN ('de','shi','bu','le','zai')))   AS s_zh
+  FROM t
+), p AS (
+  SELECT lang AS actual_lang,
+         CASE WHEN GREATEST(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+              WHEN s_en = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+              WHEN s_es = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+              WHEN s_fr = GREATEST(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM s
+)
+SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+FROM p
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+"""
+
+
+@query("q27_lang_id_confusion", oracle=_Q27_ORACLE)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID vs labeled lang: confusion-matrix counts."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TA.words_col(F.col("text"))
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), TA.predict_lang(ws).alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — quality scoring: composite heuristic + per-source components.
+# ---------------------------------------------------------------------------
+
+_Q28_ORACLE = r"""
+WITH f AS (
+  SELECT source,
+         LENGTH(TRIM(text)) AS n_chars,
+         len(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS n_words,
+         LENGTH(TRIM(text)) - LENGTH(regexp_replace(TRIM(text), '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+                         w -> w IN ('the','and','of','to','is'))) AS n_stop,
+         LENGTH(regexp_replace(TRIM(text), '\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), g AS (
+  SELECT source, n_chars, n_words,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len
+  FROM f
+), s AS (
+  SELECT source, punct_ratio, stopword_ratio,
+         (LEAST(n_words / 100.0, 1.0)
+          + LEAST(stopword_ratio * 4, 1.0)
+          + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 1.0 ELSE 0.3 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END)) / 4 AS score
+  FROM g
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(CAST(AVG(score) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_quality,
+       CAST(ROUND(CAST(AVG(punct_ratio) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_punct_ratio,
+       CAST(ROUND(CAST(AVG(stopword_ratio) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_stopword_ratio
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q28_quality_scores", oracle=_Q28_ORACLE)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic, aggregated per source."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TA.quality_features(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            TA.quality_score(F.col("text")).alias("score"),
+            feats["punct_ratio"].alias("punct_ratio"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec2(F.avg("score")).alias("avg_quality"),
+            dec2(F.avg("punct_ratio")).alias("avg_punct_ratio"),
+            dec2(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — SimHash sketches (32-bit) per document.
+# ---------------------------------------------------------------------------
+
+_WORD_FP_SQL = """list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007)"""
+
+_Q29_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
+                                      w -> {_WORD_FP_SQL})) AS fps
+  FROM documents
+), b AS (
+  SELECT doc_id, UNNEST(fps) AS f FROM t
+), v AS (
+  SELECT doc_id, bit,
+         SUM((CAST(FLOOR(f / POWER(2, bit)) AS BIGINT) % 2) * 2 - 1) AS vote
+  FROM b, (SELECT UNNEST(range(32)) AS bit) bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+FROM v
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q29_simhash", oracle=_Q29_ORACLE)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (majority vote over token fingerprints)."""
+    from cdc_example_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q30 — brute-force cosine top-3 for a query set (similarity operator).
+# ---------------------------------------------------------------------------
+
+_Q30_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), j AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos
+  FROM c, q WHERE c.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM j
+)
+SELECT query_id, vec_id,
+       CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim,
+       rn
+FROM r WHERE rn <= 3
+ORDER BY query_id, rn
+"""
+
+
+@query("q30_cosine_topk_multi", oracle=_Q30_ORACLE)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 neighbors for each of 5 query vectors (JVM cosine)."""
+    from cdc_example_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select(
+        "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
+    ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q31 — embedding-cosine near-duplicate pairs (grouped by label).
+# ---------------------------------------------------------------------------
+
+_Q31_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       CAST(ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim
+FROM v a JOIN v b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+ORDER BY vec_id_1, vec_id_2
+"""
+
+
+@query("q31_embedding_neardup_pairs", oracle=_Q31_ORACLE)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-label embedding pairs with cosine ≥ 0.35."""
+    from cdc_example_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.embedding_neardup_pairs(emb, threshold=0.35)
+    return out.select(
+        "vec_id_1", "vec_id_2", dec2(F.col("cos_sim")).alias("cos_sim")
+    ).orderBy("vec_id_1", "vec_id_2")
+
+
+# ---------------------------------------------------------------------------
+# q32 — MinHash-LSH near-dup candidate pairs (bands=4 × rows=2).
+# The SQL oracle replays the exact signature/band arithmetic, so the
+# approximation itself is deterministic and hash-checked.
+# ---------------------------------------------------------------------------
+
+
+def _sig_sql(i: int) -> str:
+    a, b = 2 * i + 1, 97 * i + 13
+    return (
+        f"COALESCE(list_min(list_transform(fps, f -> ({a} * f + {b}) % 1000000007)),"
+        " 1000000007)"
+    )
+
+
+_Q32_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
+                                      w -> {_WORD_FP_SQL})) AS fps
+  FROM documents
+), sig AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_sig_sql(i)} AS s{i}" for i in range(8))}
+  FROM t
+), banded AS (
+  SELECT doc_id, lang, 0 AS band, (((17 * 31 + s0) % 1000000007) * 31 + s1) % 1000000007 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, lang, 1, (((17 * 31 + s2) % 1000000007) * 31 + s3) % 1000000007 FROM sig
+  UNION ALL
+  SELECT doc_id, lang, 2, (((17 * 31 + s4) % 1000000007) * 31 + s5) % 1000000007 FROM sig
+  UNION ALL
+  SELECT doc_id, lang, 3, (((17 * 31 + s6) % 1000000007) * 31 + s7) % 1000000007 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.lang = b.lang AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@query("q32_minhash_lsh_candidates", oracle=_Q32_ORACLE)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (the scale path q24 verifies)."""
+    from cdc_example_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, group_cols=("lang",)
+    ).orderBy("doc_id_1", "doc_id_2")
+
+
+# ---------------------------------------------------------------------------
+# q33 — multimodal metadata over binary payloads (JVM side).
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+SELECT doc_id AS media_id,
+       'text' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha_prefix
+FROM documents
+ORDER BY media_id
+"""
+
+
+@query("q33_binary_media_meta", oracle=_Q33_ORACLE)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media wrapping: byte length + content digest."""
+    from cdc_example_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.to_media(docs, id_col="doc_id", payload_col="text", media_type="text")
+    return media.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.substring(F.sha2(F.col("payload"), 256), 1, 16).alias("sha_prefix"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# q34 — multimodal feature extraction via mapInPandas (rows-only check:
+# the Arrow/mapInPandas stage is not SQL-expressible; pytest verifies it
+# against a NumPy oracle instead).
+# ---------------------------------------------------------------------------
+
+
+@query("q34_multimodal_features", oracle=None)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake decode→feature stage over binary payloads."""
+    from cdc_example_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.to_media(docs, id_col="doc_id", payload_col="text", media_type="text")
+    feats = M.extract_features_stub(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("dim"),
+        dec2(F.aggregate("features", F.lit(0.0), lambda a, x: a + x)).alias("feat_sum"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# q35 — pandas_udf cosine path: same task as q30, Arrow-batched NumPy
+# kernel, SAME oracle — proves the UDF surface agrees with the JVM path.
+# ---------------------------------------------------------------------------
+
+
+@query("q35_pandas_cosine_topk", oracle=_Q30_ORACLE)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30 via the vectorized pandas_udf kernel (UDF-surface contract)."""
+    from cdc_example_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, use_pandas_udf=True)
+    return out.select(
+        "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
+    ).orderBy("query_id", "rn")

@@ -1,0 +1,128 @@
+"""Operator-level oracles for the LLM-pipeline pieces that SQL can't
+express: mapInPandas features vs NumPy, MinHash vs pure Python, LSH
+recall vs the exact Jaccard pairs, IVF vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_example_spark.operators import dedup as D
+from cdc_example_spark.operators import multimodal as M
+from cdc_example_spark.operators import similarity as S
+from cdc_example_spark.sources.catalog import load_table
+
+FP_MOD = 1_000_000_007
+
+
+def py_word_fp(word: str) -> int:
+    acc = 0
+    for ch in word:
+        acc = (acc * 31 + ord(ch)) % FP_MOD
+    return acc
+
+
+def py_minhash(text: str, num_hashes: int = 8) -> list[int]:
+    fps = {py_word_fp(w) for w in text.lower().strip().split()}
+    out = []
+    for a, b in D.minhash_coeffs(num_hashes):
+        out.append(min(((a * f + b) % FP_MOD for f in fps), default=FP_MOD))
+    return out
+
+
+def test_minhash_signature_matches_python_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = docs.select(
+        "doc_id", "text", D.minhash_signature(F.col("text"), 8).alias("sig")
+    ).collect()
+    for r in got:
+        assert list(r["sig"]) == py_minhash(r["text"]), r["doc_id"]
+
+
+def test_lsh_candidates_cover_exact_neardups(spark, sf_dir):
+    """LSH with b=4,r=2 must recall essentially all Jaccard≥0.8 pairs
+    (P[candidate] = 1-(1-s^2)^4 ≈ 0.998 at s=0.8; the synthetic corpus'
+    near-dups are ≥0.9 where recall is ~1)."""
+    from cdc_example_spark.queries import all_queries
+
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in all_queries()["q24_jaccard_neardup_pairs"].spark(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    cand = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in D.lsh_candidate_pairs(docs, group_cols=("lang",)).collect()
+    }
+    missed = exact - cand
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {len(missed)}/{len(exact)}"
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", D.simhash32(F.lower(F.trim(F.col("text")))).alias("sh"), "text")
+    rows = sh.collect()
+    by_text: dict[str, set[int]] = {}
+    for r in rows:
+        by_text.setdefault(r["text"].strip().lower(), set()).add(r["sh"])
+    for text, hashes in by_text.items():
+        assert len(hashes) == 1  # identical text ⇒ identical sketch
+    assert all(0 <= r["sh"] < 2**32 for r in rows)
+
+
+def test_multimodal_features_match_numpy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    media = M.to_media(docs, id_col="doc_id", payload_col="text")
+    feats = {r["media_id"]: r for r in M.extract_features_stub(media).collect()}
+    for r in docs.collect():
+        raw = r["text"].encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        hist = np.bincount(arr % M.FEATURE_DIM, minlength=M.FEATURE_DIM).astype(np.float64)
+        expect = (hist / hist.sum()).astype(np.float32)
+        got = np.array(feats[r["doc_id"]]["features"], dtype=np.float32)
+        assert feats[r["doc_id"]]["n_bytes"] == len(raw)
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_decode_media_is_explicit_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = M.to_media(docs, id_col="doc_id", payload_col="text")
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media)
+
+
+def test_frame_sampler_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = M.to_media(docs, id_col="doc_id", payload_col="text", media_type="video")
+    frames = M.sample_frames_stub(media, n_frames=4, frame_bytes=32).collect()
+    assert len(frames) == 20  # 5 payloads × 4 frames
+    for fr in frames:
+        assert 0 <= fr["frame_idx"] < 4
+        assert fr["frame"] is not None and len(fr["frame"]) <= 32
+
+
+def test_ivf_topk_approximates_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    exact = S.cosine_topk(emb, queries, k=3)
+    approx = S.ivf_topk(emb, queries, centroids, k=3, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # IVF probes half the cells → recall well above chance; on random
+    # vectors expect a majority overlap, and results must be subsets of
+    # legal candidates (no self matches, right arity)
+    assert len(a) == len(e) == 30
+    assert len(e & a) >= len(e) // 2
+    assert all(q != v for q, v in a)
+
+
+def test_pandas_and_jvm_cosine_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    jvm = S.cosine_topk(emb, q, k=5, use_pandas_udf=False).collect()
+    pnd = S.cosine_topk(emb, q, k=5, use_pandas_udf=True).collect()
+    for a, b in zip(jvm, pnd):
+        assert (a["query_id"], a["vec_id"], a["rn"]) == (b["query_id"], b["vec_id"], b["rn"])
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
