@@ -24,9 +24,15 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def norm_sq(a: Column) -> Column:
+    """Squared L2 norm — precompute this per SIDE of a similarity join so
+    only the dot product is evaluated per pair."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
 def norm(a: Column) -> Column:
     """L2 norm of an array<double> column."""
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(norm_sq(a))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -79,6 +79,47 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
+def token_fp_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exploded distinct token fingerprints: one (key, fp) row per token.
+
+    The nested transform/fold expression is evaluated exactly ONCE per
+    document inside the Generate node — downstream sketches aggregate
+    plain longs. (Referencing ``word_fp_set`` from N sibling expressions
+    instead would make Catalyst's project-collapse duplicate the whole
+    tokenize+fold tree N times — 30× slower measured at sf0.1.)
+    """
+    return df.select(
+        F.col(key_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(word_fp_set(F.col(text_col))).alias("fp"),
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 8,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """MinHash signature as wide columns s0..s{k-1}, one row per doc.
+
+    Shape for scale: explode → groupBy(key) runs as partial (map-side)
+    min + one shuffle of k longs per doc; nothing quadratic, no Python.
+    """
+    fps = token_fp_rows(df, text_col, key_col, extra_cols)
+    aggs = [
+        F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return fps.groupBy(key_col, *extra_cols).agg(*aggs)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -90,14 +131,21 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs (key_1 < key_2, distinct).
 
     Docs sharing ≥1 band key are candidates. ``group_cols`` (e.g. lang)
-    further partition the buckets.
+    further partition the buckets. Only 8-byte band keys shuffle for the
+    self-join — candidate pairs ∝ true near-dups, not |docs|².
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes)
-    banded = df.select(
+    sig = minhash_signature_table(df, text_col, key_col, num_hashes, extra_cols=group_cols)
+    entries = []
+    for bnd in range(bands):
+        key = F.lit(17).cast("long")
+        for r in range(rows_per_band):
+            key = (key * 31 + F.col(f"s{bnd * rows_per_band + r}")) % F.lit(MINHASH_P)
+        entries.append(F.struct(F.lit(bnd).alias("band"), key.alias("key")))
+    banded = sig.select(
         F.col(key_col).alias("k"),
         *[F.col(c) for c in group_cols],
-        F.explode(lsh_band_keys(sig, bands, rows_per_band)).alias("bk"),
+        F.explode(F.array(*entries)).alias("bk"),
     ).select("k", *group_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cond = (
@@ -136,6 +184,36 @@ def simhash32(text: Column) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash as a DataFrame — the scale path for :func:`simhash32`.
+
+    Explode token fingerprints once, then one groupBy computing the
+    per-bit majority votes as plain sums (partial agg + single shuffle).
+    Bit b of fp is ``shiftright(fp, b) & 1`` — identical arithmetic to
+    the floor-div/mod form the SQL oracle uses (fps are non-negative).
+    Docs whose text is NULL produce no row (same as the SQL oracle's
+    UNNEST semantics).
+    """
+    fps = token_fp_rows(df, text_col, key_col, extra_cols)
+    votes = [
+        F.sum(F.shiftright(F.col("fp"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    g = fps.groupBy(key_col, *extra_cols).agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"_v{b}") > 0, F.lit(int(2**b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return g.select(key_col, *extra_cols, out.alias("simhash"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -148,8 +226,8 @@ def simhash_near_pairs(
     Pairing is grouped (lang / shard) to bound the quadratic term; the
     scale path blocks on SimHash prefix bands like LSH.
     """
-    s = df.select(
-        F.col(key_col).alias("k"), *(F.col(c) for c in group_cols), simhash32(F.col(text_col)).alias("sh")
+    s = simhash_table(df, text_col, key_col, extra_cols=tuple(group_cols)).select(
+        F.col(key_col).alias("k"), *(F.col(c) for c in group_cols), F.col("simhash").alias("sh")
     )
     a, b = s.alias("a"), s.alias("b")
     cond = F.col("a.k") < F.col("b.k")

@@ -43,16 +43,23 @@ def cosine_topk(
     vector dimension is large).
     """
     cand = _as_double(candidates, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        V.norm_sq(F.col(vec_col)).alias("nsq"),
     )
     qry = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        V.norm_sq(F.col(vec_col)).alias("qnsq"),
     )
     joined = cand.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
     if use_pandas_udf:
         cos = V.cosine_pandas_udf()(F.col("v"), F.col("qv"))
     else:
-        cos = V.cosine(F.col("v"), F.col("qv"))
+        # norms precomputed per SIDE (n+m folds) — only the dot product
+        # runs per PAIR; same dot/sqrt(a·a * b·b) evaluation order as
+        # DuckDB's list_cosine_similarity, so rounded outputs agree.
+        cos = V.dot(F.col("v"), F.col("qv")) / F.sqrt(F.col("nsq") * F.col("qnsq"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         joined.withColumn("cos_sim", cos)
@@ -139,7 +146,10 @@ def embedding_neardup_pairs(
     Grouped pairing bounds the quadratic blow-up; the ungrouped scale
     path goes through ivf/LSH blocking first."""
     v = _as_double(vectors, vec_col).select(
-        F.col(id_col).alias("k"), *(F.col(c) for c in group_cols), F.col(vec_col).alias("v")
+        F.col(id_col).alias("k"),
+        *(F.col(c) for c in group_cols),
+        F.col(vec_col).alias("v"),
+        V.norm_sq(F.col(vec_col)).alias("nsq"),
     )
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.k") < F.col("b.k")
@@ -147,7 +157,10 @@ def embedding_neardup_pairs(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn("cos_sim", V.cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cos_sim",
+            V.dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.k").alias(f"{id_col}_1"), F.col("b.k").alias(f"{id_col}_2"), "cos_sim")
     )

@@ -429,7 +429,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash")).orderBy("doc_id")
+    return D.simhash_table(docs, text_col="text", key_col="doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
