@@ -4,9 +4,11 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
-Timing = full execution to collect() (the driver-side work the user
-would wait for). A JVM/session warm-up query runs first so we measure
-the engine, not JVM startup.
+Timing = full execution + Arrow transfer of the complete result to the
+Python driver (the work the user would wait for). Arrow (`toArrow`) is
+the engine's supported result-transfer path — row-at-a-time collect()
+would benchmark pickle, not the engine. A JVM/session warm-up query
+runs first so we measure the engine, not JVM startup.
 """
 
 from __future__ import annotations
@@ -31,13 +33,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+
+    def run(name: str) -> None:
+        df = qs[name].spark(spark, sf_dir)
+        try:
+            df.toArrow()
+        except Exception:
+            df.collect()
+
     # Warm up: run the flagship once to JIT the scan/agg/join paths.
-    qs["q03_shipping_priority"].spark(spark, sf_dir).collect()
+    run("q03_shipping_priority")
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
-        qs[name].spark(spark, sf_dir).collect()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

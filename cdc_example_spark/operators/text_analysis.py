@@ -52,12 +52,48 @@ def lang_scores(ws: Column) -> dict[str, Column]:
 def predict_lang(ws: Column) -> Column:
     """argmax over stopword scores; ties break by language code order
     (deterministic). 'und' (undetermined) when no stopword hits at all."""
-    scores = lang_scores(ws)
+    return _argmax_lang(lang_scores(ws))
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """argmax over per-language score columns; ties break by language
+    code order (deterministic); 'und' when every score is zero."""
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in sorted(STOPWORDS, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def lang_id_table(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-doc language prediction as a DataFrame (the scale path).
+
+    Explode words once, count stopword hits per language as plain
+    conditional aggregates (whole-stage codegen + map-side combine: the
+    shuffle carries one row per doc, not per token), then argmax over
+    the five scalar score columns. The column-expression variant
+    (:func:`predict_lang`) re-evaluates the tokenizer inside every score
+    reference — fine for one-off use, ~10× slower in anger.
+    """
+    w = df.select(
+        F.col(key_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(words_col(F.col(text_col))).alias("_w"),
+    )
+    aggs = [
+        F.count(F.when(F.col("_w").isin(*STOPWORDS[lang]), F.lit(1))).alias(f"_s_{lang}")
+        for lang in STOPWORDS
+    ]
+    g = w.groupBy(key_col, *extra_cols).agg(*aggs)
+    scores = {lang: F.col(f"_s_{lang}") for lang in STOPWORDS}
+    return g.select(
+        key_col, *extra_cols, _argmax_lang(scores).alias("predicted_lang")
+    )
 
 
 def token_count_whitespace(text: Column) -> Column:

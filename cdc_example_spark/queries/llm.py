@@ -318,9 +318,9 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators import text_analysis as TA
 
     docs = load_table(spark, sf_dir, "documents")
-    ws = TA.words_col(F.col("text"))
     return (
-        docs.select(F.col("lang").alias("actual_lang"), TA.predict_lang(ws).alias("predicted_lang"))
+        TA.lang_id_table(docs, text_col="text", key_col="doc_id", extra_cols=("lang",))
+        .select(F.col("lang").alias("actual_lang"), "predicted_lang")
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")

@@ -16,9 +16,17 @@ column expression, so pushdown on the other columns is unaffected.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: per-session plan cache: re-listing the directory and re-reading parquet
+#: footers for every query adds driver latency that matters when the same
+#: table feeds dozens of queries. Keyed weakly so a stopped session frees it.
+_plan_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TABLE_NAMES = (
     "region",
@@ -42,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are runtime-settable SQL confs, so pin them here, not only in
     session.get_spark.
     """
+    cache = _plan_cache.setdefault(spark, {})
+    key = (os.path.normpath(sf_dir), name)
+    if key in cache:
+        return cache[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -51,6 +63,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = integer division: epoch-ns values (~1.7e18) overflow the
         # 53-bit mantissa of a double, so `/ 1000` would corrupt them.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cache[key] = df
     return df
 
 
