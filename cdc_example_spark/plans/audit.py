@@ -1,0 +1,91 @@
+"""Physical-plan audit utilities.
+
+A plan that is correct at sf0.01 can still be wrong at 100 TB: a filter
+that doesn't reach the parquet scan re-reads the lake; a dimension join
+that isn't broadcast shuffles the fact table; a projection that doesn't
+prune columns drags every byte through the scan. These helpers turn
+those properties into assertions so tests pin the PLAN, not just the
+rows (SURVEY.md §4.2: verify pushdown "with explain() in tests").
+
+All checks parse ``explain("formatted")`` output — the public, stable
+surface — rather than touching Catalyst internals.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_summary(df: DataFrame) -> dict[str, int]:
+    """Counts of the plan features the scale review cares about."""
+    plan = explain_formatted(df)
+    # formatted mode marks codegen'd operators with a `* ` prefix in the
+    # tree (e.g. `+- * HashAggregate (9)`), not a WholeStageCodegen node.
+    codegen_ops = len(re.findall(r"(?m)^[\s+:|-]*\* \w", plan))
+    return {
+        "exchanges": plan.count("Exchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "scans": plan.count("Scan parquet"),
+        "codegen_spans": codegen_ops,
+    }
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear in a scan's PushedFilters list.
+
+    Fragments are column names (``"l_shipdate"``) or full predicates
+    (``"LessThanOrEqual(l_shipdate"``) — substring match against the
+    PushedFilters lines only, so a filter that runs post-scan does not
+    satisfy the check.
+    """
+    plan = explain_formatted(df)
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    missing = [f for f in fragments if f not in pushed]
+    if missing:
+        raise AssertionError(
+            f"filters not pushed to scan: {missing}\nPushedFilters lines:\n{pushed or '(none)'}"
+        )
+
+
+def assert_read_schema_pruned(df: DataFrame, table_cols: int, max_cols: int) -> None:
+    """The widest parquet ReadSchema must keep ≤ max_cols of table_cols
+    columns — catches accidental SELECT * through a projection."""
+    plan = explain_formatted(df)
+    widths = []
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            schema = ln.split("ReadSchema:", 1)[1]
+            widths.append(schema.count(":"))
+    if not widths:
+        raise AssertionError("no parquet ReadSchema found in plan")
+    if max(widths) > max_cols:
+        raise AssertionError(
+            f"scan reads {max(widths)} of {table_cols} columns (budget {max_cols}):\n"
+            + "\n".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+        )
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    """At least min_count BroadcastHashJoins (dim tables must not shuffle
+    the fact side)."""
+    n = plan_summary(df)["broadcast_joins"]
+    if n < min_count:
+        raise AssertionError(f"expected ≥{min_count} BroadcastHashJoin, found {n}")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """No CartesianProduct / BroadcastNestedLoopJoin without an explicit
+    opt-in — the ones that melt at 100 TB."""
+    plan = explain_formatted(df)
+    if "CartesianProduct" in plan:
+        raise AssertionError("plan contains CartesianProduct")

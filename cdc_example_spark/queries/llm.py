@@ -181,19 +181,23 @@ END
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard ≥ 0.8 pairs (explode + shingle self-join)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
+    # One pass builds each doc's deduped shingle-hash set AND its size;
+    # the exploded rows carry n, so no separate `sizes` aggregation and
+    # no post-join size lookups (was 8 scans / 22 shuffles, now 2 / 7).
+    # 8-byte xxhash64 join keys instead of ~30-byte shingle strings;
+    # the hash is engine-internal (never compared to the oracle), and a
+    # 64-bit collision is ~1e-8 per corpus — irrelevant next to the
+    # 2-decimal rounding of the output.
+    sets = (
         docs.select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
         .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
-        # 8-byte join/shuffle keys instead of ~30-byte strings; xxhash64
-        # is engine-internal (never compared to the oracle), and a 64-bit
-        # collision across a corpus' shingle set is ~1e-8 — irrelevant
-        # next to the 2-decimal rounding of the output.
-        .select("doc_id", "lang", F.xxhash64("s").alias("w"))
-        .distinct()
+        .groupBy("doc_id", "lang")
+        .agg(F.collect_set(F.xxhash64("s")).alias("set"))
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    tok = sets.select(
+        "doc_id", "lang", F.size("set").alias("n"), F.explode("set").alias("w")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
     inter = (
         a.join(
             b,
@@ -201,14 +205,17 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.col("common").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("common"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
-        .filter(jac >= 0.8)
+        inter.filter(jac >= 0.8)
         .select(
             F.col("d1").alias("doc_id_1"),
             F.col("d2").alias("doc_id_2"),

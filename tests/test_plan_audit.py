@@ -1,0 +1,96 @@
+"""Physical-plan invariants — the 100 TB review, enforced.
+
+These never execute a query: they compile the plan at sf0.001 and
+assert the properties that decide cost at scale (filter pushdown,
+column pruning, broadcast dims, no accidental cartesians). A regression
+here means "still correct, 100× slower on the cluster".
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_example_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    plan_summary,
+)
+from cdc_example_spark.queries import all_queries
+from cdc_example_spark.sources.catalog import load_table
+
+QUERIES = all_queries()
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name].spark(spark, sf_dir)
+
+
+def test_q01_filter_reaches_scan_and_prunes(spark, sf_dir):
+    df = q("q01_pricing_summary", spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    # lineitem is 16 columns; Q1 needs 7.
+    assert_read_schema_pruned(df, table_cols=16, max_cols=7)
+
+
+def test_q02_all_range_filters_pushed(spark, sf_dir):
+    df = q("q02_forecast_revenue", spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    assert_read_schema_pruned(df, table_cols=16, max_cols=4)
+
+
+def test_q04_dims_broadcast_not_shuffled(spark, sf_dir):
+    df = q("q04_customers_per_region", spark, sf_dir)
+    assert_broadcast_join(df, min_count=2)  # region and nation
+    assert_no_cartesian(df)
+
+
+def test_q03_no_cartesian_and_pruned(spark, sf_dir):
+    df = q("q03_shipping_priority", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_pushed_filters(df, "c_mktsegment")
+
+
+def test_lsh_join_is_equi_not_cartesian(spark, sf_dir):
+    # the LSH self-join must hash-partition on (band, key), never
+    # degenerate to a cartesian with post-filter.
+    df = q("q32_minhash_lsh_candidates", spark, sf_dir)
+    assert_no_cartesian(df)
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] + s["broadcast_joins"] >= 1, s
+
+
+def test_scan_count_is_bounded(spark, sf_dir):
+    # q24 reuses the documents scan for candidates + both join sides;
+    # plan may duplicate the scan but must not explode combinatorially.
+    s = plan_summary(q("q24_jaccard_neardup_pairs", spark, sf_dir))
+    assert s["scans"] <= 4, s
+
+
+def test_projection_prunes_documents_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    two = docs.select("doc_id", F.length("text").alias("n"))
+    # documents has 6 columns; this projection must scan exactly 2.
+    assert_read_schema_pruned(two, table_cols=6, max_cols=2)
+
+
+def test_codegen_covers_batch_queries(spark, sf_dir):
+    # AQE only materializes WholeStageCodegen spans in the FINAL plan, so
+    # execute first (sf0.001 — milliseconds), then audit.
+    for name in ("q01_pricing_summary", "q16_orders_by_month", "q17_case_math_bands"):
+        df = q(name, spark, sf_dir)
+        df.collect()
+        s = plan_summary(df)
+        assert s["codegen_spans"] >= 1, (name, s)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(QUERIES) if n not in ("q22_cosine_top5", "q30_cosine_topk_multi", "q35_pandas_cosine_topk")],
+)
+def test_no_query_plans_a_cartesian(name, spark, sf_dir):
+    # the cosine top-k queries intentionally broadcast-nested-loop the
+    # tiny query set; everything else must stay equi-join shaped.
+    assert_no_cartesian(q(name, spark, sf_dir))
