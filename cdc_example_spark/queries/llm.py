@@ -625,3 +625,68 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
     ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q36 — IVF approximate top-k: the ANN scale path, hash-checked.
+# Centroids are pinned deterministically (vec_id < 8) so the oracle can
+# replay the exact cell assignment + probe arithmetic in SQL; at scale
+# centroids come from an offline k-means and the candidate assignment is
+# persisted partitioned by centroid_id (partition pruning does the rest).
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cen AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8
+), ca AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cen.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_cosine_similarity(c.v, cen.cv) DESC, cen.centroid_id) AS crn
+    FROM v c, cen) WHERE crn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5
+), qa AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cen.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qv, cen.cv) DESC, cen.centroid_id) AS crn
+    FROM q, cen) WHERE crn <= 2
+), j AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos
+  FROM v c
+  JOIN ca ON c.vec_id = ca.vec_id
+  JOIN qa ON ca.centroid_id = qa.centroid_id
+  JOIN q ON q.query_id = qa.query_id
+  WHERE c.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM j
+)
+SELECT query_id, vec_id,
+       CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim,
+       rn
+FROM r WHERE rn <= 3
+ORDER BY query_id, rn
+"""
+
+
+@query("q36_ivf_topk", oracle=_Q36_ORACLE)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with n_probe=2 over deterministic centroids."""
+    from cdc_example_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(
+        candidates=emb,
+        queries=emb.filter(F.col("vec_id") < 5),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        k=3,
+        n_probe=2,
+    )
+    return out.select(
+        "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
+    ).orderBy("query_id", "rn")

@@ -126,3 +126,28 @@ def test_pandas_and_jvm_cosine_agree(spark, sf_dir):
     for a, b in zip(jvm, pnd):
         assert (a["query_id"], a["vec_id"], a["rn"]) == (b["query_id"], b["vec_id"], b["rn"])
         assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
+
+
+def test_neardup_matmul_and_jvm_kernels_agree(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    grouped = {
+        (r["vec_id_1"], r["vec_id_2"]): round(r["cos_sim"], 9)
+        for r in S.embedding_neardup_pairs(emb, 0.35, use_pandas_udf=True).collect()
+    }
+    joined = {
+        (r["vec_id_1"], r["vec_id_2"]): round(r["cos_sim"], 9)
+        for r in S.embedding_neardup_pairs(emb, 0.35, use_pandas_udf=False).collect()
+    }
+    assert grouped == joined and len(grouped) > 0
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct is the 100 TB cardinality path (bench-only
+    per SURVEY §2.2 — HLL values differ across engines, so it is not in
+    the hash-checked query set). Pin its error envelope here instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.select(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(2, 0.05 * row["exact"]), row
