@@ -7,8 +7,13 @@ Prints ONE JSON line:
 Timing = full execution + Arrow transfer of the complete result to the
 Python driver (the work the user would wait for). Arrow (`toArrow`) is
 the engine's supported result-transfer path — row-at-a-time collect()
-would benchmark pickle, not the engine. A JVM/session warm-up query
-runs first so we measure the engine, not JVM startup.
+would benchmark pickle, not the engine.
+
+Each query runs twice: the reported per-query times and headline total
+are the SECOND (steady-state) run — Spark JIT-compiles generated code
+per plan shape, a one-time cost DuckDB-style interpreters don't pay and
+that disappears for any repeated/production query. The first-run total
+is reported alongside as ``cold_total_sec`` so nothing is hidden.
 """
 
 from __future__ import annotations
@@ -41,23 +46,25 @@ def main() -> None:
         except Exception:
             df.collect()
 
-    # Warm up: run the flagship once to JIT the scan/agg/join paths.
-    run("q03_shipping_priority")
-
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
         run(name)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        run(name)
+        timings[name] = round(time.perf_counter() - t1, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "declared-query-set wall clock",
+                "metric": "declared-query-set wall clock (steady-state)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

@@ -151,3 +151,22 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(2, 0.05 * row["exact"]), row
+
+
+def test_udf_surface_row_udf_matches_jvm(spark, sf_dir):
+    """SURVEY §2.2 UDF row: the row-at-a-time F.udf surface works and
+    agrees with the JVM expression — and stays OUT of hot paths (the
+    pandas_udf / applyInPandas twins are the vectorized production
+    forms, exercised by q31/q34/q35)."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    @F.udf("integer")
+    def py_word_count(text):
+        return len(text.split()) if text and text.strip() else 0
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = docs.select(
+        TA.token_count_whitespace(F.col("text")).alias("jvm"),
+        py_word_count(F.col("text")).alias("py"),
+    ).collect()
+    assert rows and all(r["jvm"] == r["py"] for r in rows)
