@@ -19,23 +19,40 @@ from pyspark.sql import DataFrame
 
 
 def explain_formatted(df: DataFrame) -> str:
-    """The formatted physical plan as a string."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+    """The formatted physical plan as a string.
+
+    For an executed adaptive plan the explain output contains BOTH the
+    final and the initial plan; the initial section is dropped so node
+    counts aren't doubled.
+    """
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
+    marker = "== Initial Plan =="
+    if marker in plan:
+        head, _, tail = plan.partition(marker)
+        # keep the node-detail sections that follow the tree listing
+        detail_start = tail.find("\n\n")
+        plan = head + (tail[detail_start:] if detail_start != -1 else "")
+    return plan
 
 
 def plan_summary(df: DataFrame) -> dict[str, int]:
     """Counts of the plan features the scale review cares about."""
     plan = explain_formatted(df)
+    # count nodes in the TREE section only — the per-node detail blocks
+    # (`(1) Scan parquet ...`) repeat every node name and would double
+    # every count.
+    m = re.search(r"(?m)^\(\d+\) ", plan)
+    tree = plan[: m.start()] if m else plan
     # formatted mode marks codegen'd operators with a `* ` prefix in the
     # tree (e.g. `+- * HashAggregate (9)`), not a WholeStageCodegen node.
-    codegen_ops = len(re.findall(r"(?m)^[\s+:|-]*\* \w", plan))
+    codegen_ops = len(re.findall(r"(?m)^[\s+:|-]*\* \w", tree))
     return {
-        "exchanges": plan.count("Exchange"),
-        "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "scans": plan.count("Scan parquet"),
+        "exchanges": tree.count("Exchange"),
+        "broadcast_joins": tree.count("BroadcastHashJoin"),
+        "sort_merge_joins": tree.count("SortMergeJoin"),
+        "scans": tree.count("Scan parquet"),
         "codegen_spans": codegen_ops,
     }
 
