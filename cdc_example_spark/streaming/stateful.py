@@ -1,0 +1,124 @@
+"""State-store-backed CDC materialization via applyInPandasWithState.
+
+The bucket-sink path (operators/keyed_state.py) materializes to a
+table on storage — the right shape when the view must outlive the query
+and be readable by other engines. This module is the OTHER canonical
+Spark shape: keep the latest row image per key in the streaming state
+store (RocksDB per session.py) and emit the view's CHANGES downstream —
+an update-mode changelog like the reference's WebSocket fan-out
+(MessageWebSocketHandler.kt:35-54), where every listener sees each
+upsert/delete as it lands.
+
+Semantics are identical to KeyedStateSink.apply_changes (cited there):
+last-write-wins by (lsn, ts_ms) — never arrival order — delete on
+tombstone, resurrection allowed. The per-key state is one row image +
+its lsn, so state size is O(live keys), partitioned by Spark across
+executors and spill-safe under RocksDB.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: per-key state: latest applied (lsn, ts_ms) + the row image (None if deleted)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("lsn", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("exists", BooleanType()),
+        StructField("id", StringType()),
+        StructField("create_time", TimestampType()),
+        StructField("update_time", TimestampType()),
+        StructField("message", StringType()),
+        StructField("username", StringType()),
+    ]
+)
+
+#: emitted changelog row (update-mode): the post-apply image per touched key
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key_id", StringType()),
+        StructField("is_delete", BooleanType()),
+        StructField("id", StringType()),
+        StructField("create_time", TimestampType()),
+        StructField("update_time", TimestampType()),
+        StructField("message", StringType()),
+        StructField("username", StringType()),
+        StructField("lsn", LongType()),
+    ]
+)
+
+
+def _apply_key(
+    key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this batch's changes for one key into the stored image."""
+    (key_id,) = key
+    if state.exists:
+        cur = list(state.get)
+    else:
+        cur = [-1, -1, False, None, None, None, None, None]
+
+    for pdf in pdfs:
+        # authoritative order: (lsn, ts_ms) — the batch may arrive shuffled
+        pdf = pdf.sort_values(["lsn", "ts_ms"])
+        for row in pdf.itertuples(index=False):
+            if (row.lsn, row.ts_ms) <= (cur[0], cur[1]):
+                continue  # stale replay (at-least-once delivery) — idempotent skip
+            if row.is_delete:
+                cur = [row.lsn, row.ts_ms, False, None, None, None, None, None]
+            else:
+                a = row.after
+                cur = [
+                    row.lsn,
+                    row.ts_ms,
+                    True,
+                    a["id"],
+                    a["create_time"],
+                    a["update_time"],
+                    a["message"],
+                    a["username"],
+                ]
+    state.update(tuple(cur))
+    yield pd.DataFrame(
+        [
+            {
+                "key_id": key_id,
+                "is_delete": not cur[2],
+                "id": cur[3],
+                "create_time": cur[4],
+                "update_time": cur[5],
+                "message": cur[6],
+                "username": cur[7],
+                "lsn": cur[0],
+            }
+        ]
+    )
+
+
+def materialize_with_state(routed: DataFrame) -> DataFrame:
+    """Routed changes (envelope.route_changes output) → per-key changelog.
+
+    Downstream: ``.writeStream.outputMode("update")`` into memory/console
+    or ``foreachBatch`` fan-out. The live view at any moment is the last
+    changelog row per key with ``is_delete = false``.
+    """
+    return routed.groupBy("key_id").applyInPandasWithState(
+        _apply_key,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

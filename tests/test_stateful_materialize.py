@@ -1,0 +1,79 @@
+"""applyInPandasWithState CDC materialization: the state-store twin of
+the bucket-sink path, checked against the same reference invariants —
+last-write-wins by lsn, delete-on-tombstone, resurrection allowed,
+create_time preserved across updates (CdcApplicationTests.kt:21-44)."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+from cdc_example_spark.streaming.materialize import file_cdc_source
+from cdc_example_spark.streaming.stateful import materialize_with_state
+from tests.cdc_fixtures import envelope, row_image
+
+
+def _write_batch(path, n, records):
+    with open(path / f"batch-{n:04d}.json", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def _view(spark, table):
+    """Live view = last changelog row per key, dropping deletes."""
+    rows = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY key_id ORDER BY lsn DESC) rn
+          FROM {table}
+        ) WHERE rn = 1 AND NOT is_delete
+        """
+    ).collect()
+    return {r["id"]: r.asDict() for r in rows}
+
+
+def test_state_store_materialization_matches_reference_semantics(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    a, b = str(uuid.uuid4()), str(uuid.uuid4())
+    t0 = "2025-10-26T10:00:00.000000Z"
+    t1 = "2025-10-26T10:05:00.000000Z"
+
+    # batch 1: create a and b (out of lsn order within the batch — the
+    # operator must order by lsn, not arrival)
+    _write_batch(src, 1, [
+        envelope("u", a, after=row_image(a, t0, t1, "a-v2", "alice"), lsn=120),
+        envelope("i", a, after=row_image(a, t0, t0, "a-v1", "alice"), lsn=100),
+        envelope("i", b, after=row_image(b, t0, t0, "b-v1", "bob"), lsn=110),
+    ])
+    # batch 2: delete b, then resurrect it; stale replay of a's insert
+    _write_batch(src, 2, [
+        envelope("d", b, after=None, lsn=200),
+        envelope("i", b, after=row_image(b, t1, t1, "b-v2", "bob"), lsn=210),
+        envelope("i", a, after=row_image(a, t0, t0, "a-v1", "alice"), lsn=100),
+    ])
+
+    changelog = materialize_with_state(
+        route_changes(decode_envelope(file_cdc_source(spark, str(src), max_files_per_trigger=1)))
+    )
+    q = (
+        changelog.writeStream.format("memory")
+        .queryName("state_changelog")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    view = _view(spark, "state_changelog")
+    assert set(view) == {a, b}
+    # last-write-wins: a's update (lsn 120) beat both the in-batch
+    # earlier insert and the batch-2 stale replay (lsn 100)
+    assert view[a]["message"] == "a-v2"
+    # create_time preserved across the update; update_time advanced
+    assert view[a]["create_time"] != view[a]["update_time"]
+    # resurrection: delete (200) then insert (210) leaves b live
+    assert view[b]["message"] == "b-v2"
