@@ -506,7 +506,9 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q32 — MinHash-LSH near-dup candidate pairs (bands=4 × rows=2).
+# q32 — MinHash-LSH near-dup candidate pairs (bands=4 × rows=3) over the
+# SAME 3-word-shingle measure q24 computes exactly (unigram MinHash
+# saturates on reordered-copy corpora — operators/dedup.py docstring).
 # The SQL oracle replays the exact signature/band arithmetic, so the
 # approximation itself is deterministic and hash-checked.
 # ---------------------------------------------------------------------------
@@ -520,24 +522,33 @@ def _sig_sql(i: int) -> str:
     )
 
 
+def _band_sql(bnd: int, rows_per_band: int) -> str:
+    key = "17"
+    for r in range(rows_per_band):
+        key = f"(({key} * 31 + s{bnd * rows_per_band + r}) % 1000000007)"
+    return key
+
+
 _Q32_ORACLE = f"""
-WITH t AS (
+WITH ws AS (
   SELECT doc_id, lang,
-         list_distinct(list_transform(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
-                                      w -> {_WORD_FP_SQL})) AS fps
+         list_transform(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
+                        w -> {_WORD_FP_SQL}) AS wfps
   FROM documents
+), t AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(wfps) >= 3 THEN
+           list_transform(range(len(wfps) - 2),
+             i -> ((wfps[i+1] * 31 + wfps[i+2]) % 1000000007 * 31 + wfps[i+3]) % 1000000007)
+           ELSE [] END) AS fps
+  FROM ws
+  WHERE len(wfps) >= 3
 ), sig AS (
   SELECT doc_id, lang,
-         {", ".join(f"{_sig_sql(i)} AS s{i}" for i in range(8))}
+         {", ".join(f"{_sig_sql(i)} AS s{i}" for i in range(12))}
   FROM t
 ), banded AS (
-  SELECT doc_id, lang, 0 AS band, (((17 * 31 + s0) % 1000000007) * 31 + s1) % 1000000007 AS key FROM sig
-  UNION ALL
-  SELECT doc_id, lang, 1, (((17 * 31 + s2) % 1000000007) * 31 + s3) % 1000000007 FROM sig
-  UNION ALL
-  SELECT doc_id, lang, 2, (((17 * 31 + s4) % 1000000007) * 31 + s5) % 1000000007 FROM sig
-  UNION ALL
-  SELECT doc_id, lang, 3, (((17 * 31 + s6) % 1000000007) * 31 + s7) % 1000000007 FROM sig
+  {" UNION ALL ".join(f"SELECT doc_id, lang, {b} AS band, {_band_sql(b, 3)} AS key FROM sig" for b in range(4))}
 )
 SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
 FROM banded a JOIN banded b
@@ -553,7 +564,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return D.lsh_candidate_pairs(
-        docs, num_hashes=8, bands=4, group_cols=("lang",)
+        docs, num_hashes=12, bands=4, group_cols=("lang",)
     ).orderBy("doc_id_1", "doc_id_2")
 
 

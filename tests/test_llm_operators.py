@@ -41,9 +41,9 @@ def test_minhash_signature_matches_python_oracle(spark, sf_dir):
 
 
 def test_lsh_candidates_cover_exact_neardups(spark, sf_dir):
-    """LSH with b=4,r=2 must recall essentially all Jaccard≥0.8 pairs
-    (P[candidate] = 1-(1-s^2)^4 ≈ 0.998 at s=0.8; the synthetic corpus'
-    near-dups are ≥0.9 where recall is ~1)."""
+    """Shingle-MinHash LSH with b=4,r=3 must recall essentially all
+    3-shingle-Jaccard≥0.8 pairs (P[candidate] = 1-(1-s³)⁴ ≈ 0.94 at
+    s=0.8; the synthetic corpus' near-dups are ≥0.9 where recall ~1)."""
     from cdc_example_spark.queries import all_queries
 
     exact = {
