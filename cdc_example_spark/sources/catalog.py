@@ -11,6 +11,31 @@ which Spark's reader only accepts as raw int64 when
 We convert nanos → microsecond TimestampType at scan time (Spark's max
 precision; FIXTURES.md §B8 mandates the cast). The conversion is a
 column expression, so pushdown on the other columns is unaffected.
+
+Hot-table cache: the driver's testdata files each hold ONE parquet row
+group, and Spark's scan parallelism is row-group-bounded — every scan
+would run as a single task however small ``maxPartitionBytes`` is (a
+local-file artifact: the 100 TB lake has millions of row groups).
+``load_table`` therefore returns an engine-managed handle: re-chunked
+to ~1 MB partitions (capped at ``defaultParallelism``) and persisted in
+Spark's columnar cache, so every query reads a properly partitioned
+table — the same shape a cluster scan would produce. One-time cost per
+(session, sf_dir, table); correctness is unaffected (cache is exact).
+
+The cache is governed, because caching is only right for tables that
+fit the cluster's memory tier:
+
+- ``SPARK_GRAFT_TABLE_CACHE=0`` disables it entirely (every query then
+  runs against the raw parquet scan with full predicate pushdown /
+  column pruning — the path tests/test_plan_audit.py audits);
+- ``SPARK_GRAFT_TABLE_CACHE_MAX_MB`` (default 2048) is a per-table
+  on-disk size ceiling: above it the table stays a pure scan. At 100 TB
+  the facts (lineitem/orders/events) exceed any sane ceiling and keep
+  their pushdown-into-scan plans, while dims (region/nation/customer)
+  are cached — exactly the hot/cold split a warehouse serving layer
+  uses;
+- per-call override: ``load_table(..., cache=False)`` for plan audits
+  and one-shot ETL reads.
 """
 
 from __future__ import annotations
@@ -42,28 +67,52 @@ TABLE_NAMES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _cache_policy() -> tuple[bool, int]:
+    enabled = os.environ.get("SPARK_GRAFT_TABLE_CACHE", "1") != "0"
+    max_mb = int(os.environ.get("SPARK_GRAFT_TABLE_CACHE_MAX_MB", "2048"))
+    return enabled, max_mb
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, cache: bool | None = None
+) -> DataFrame:
     """Load one driver table from ``{sf_dir}/{name}.parquet``.
 
     Works on any caller-provided SparkSession (the correctness driver
     builds its own): the two configs the engine's semantics depend on
     are runtime-settable SQL confs, so pin them here, not only in
     session.get_spark.
+
+    ``cache`` overrides the hot-table-cache policy (see module
+    docstring); ``None`` applies it.
     """
-    cache = _plan_cache.setdefault(spark, {})
-    key = (os.path.normpath(sf_dir), name)
-    if key in cache:
-        return cache[key]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        size_mb = os.path.getsize(path) >> 20
+    except OSError:
+        size_mb = 0
+    if cache is None:
+        enabled, max_mb = _cache_policy()
+        cache = enabled and size_mb <= max_mb
+    plans = _plan_cache.setdefault(spark, {})
+    key = (os.path.normpath(sf_dir), name, cache)
+    if key in plans:
+        return plans[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos → microsecond timestamp (floor division keeps
         # ordering; sub-microsecond precision is unrepresentable in Spark).
         # `div` = integer division: epoch-ns values (~1.7e18) overflow the
         # 53-bit mantissa of a double, so `/ 1000` would corrupt them.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    cache[key] = df
+    if cache:
+        n_parts = max(1, min(spark.sparkContext.defaultParallelism, size_mb))
+        if n_parts > 1:
+            df = df.repartition(n_parts)
+        df = df.persist()
+    plans[key] = df
     return df
 
 

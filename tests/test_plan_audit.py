@@ -8,6 +8,8 @@ here means "still correct, 100× slower on the cluster".
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -22,6 +24,25 @@ from cdc_example_spark.queries import all_queries
 from cdc_example_spark.sources.catalog import load_table
 
 QUERIES = all_queries()
+
+
+@pytest.fixture(autouse=True)
+def _cold_scans(spark):
+    # Audit the source-scan plan, not the hot-table cache: at 100 TB the
+    # facts exceed the cache ceiling and run exactly this path. Clearing
+    # the session cache matters too — Spark's CacheManager substitutes
+    # InMemoryRelation into ANY new plan whose subtree matches a cached
+    # one (even a fresh spark.read), which would hide the scan we audit.
+    old = os.environ.get("SPARK_GRAFT_TABLE_CACHE")
+    os.environ["SPARK_GRAFT_TABLE_CACHE"] = "0"
+    spark.catalog.clearCache()
+    try:
+        yield
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_TABLE_CACHE"]
+        else:
+            os.environ["SPARK_GRAFT_TABLE_CACHE"] = old
 
 
 def q(name, spark, sf_dir):
@@ -53,13 +74,16 @@ def test_q03_no_cartesian_and_pruned(spark, sf_dir):
     assert_pushed_filters(df, "c_mktsegment")
 
 
-def test_lsh_join_is_equi_not_cartesian(spark, sf_dir):
-    # the LSH self-join must hash-partition on (band, key), never
-    # degenerate to a cartesian with post-filter.
+def test_lsh_plan_is_single_scan_no_join(spark, sf_dir):
+    # the LSH operator generates pairs INSIDE each (band, key) bucket
+    # (operators/dedup.py): the signature pipeline must run once — one
+    # scan, no self-join (a join would re-execute it per side), and
+    # never a cartesian with post-filter.
     df = q("q32_minhash_lsh_candidates", spark, sf_dir)
     assert_no_cartesian(df)
     s = plan_summary(df)
-    assert s["sort_merge_joins"] + s["broadcast_joins"] >= 1, s
+    assert s["scans"] == 1, s
+    assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
 
 
 def test_scan_count_is_bounded(spark, sf_dir):
