@@ -9,11 +9,21 @@ Python driver (the work the user would wait for). Arrow (`toArrow`) is
 the engine's supported result-transfer path — row-at-a-time collect()
 would benchmark pickle, not the engine.
 
-Each query runs twice: the reported per-query times and headline total
-are the SECOND (steady-state) run — Spark JIT-compiles generated code
-per plan shape, a one-time cost DuckDB-style interpreters don't pay and
-that disappears for any repeated/production query. The first-run total
-is reported alongside as ``cold_total_sec`` so nothing is hidden.
+Each query runs three times, reported as three tiers so nothing hides:
+
+- ``cold_total_sec``  — first run: plan build + codegen JIT + execute.
+  Spark JIT-compiles generated code per plan shape, a one-time cost
+  DuckDB-style interpreters don't pay.
+- **headline** (``value`` / ``queries``) — second run, with the
+  engine's prepared-plan cache invalidated first: a FRESH plan build +
+  full distributed re-execution. Apples-to-apples with DuckDB running
+  the same query fresh, and the round-over-round comparable number.
+- ``resubmit_total_sec`` — third run through the registry's
+  prepared-plan cache (queries/registry.py): planning skipped, and
+  Spark reuses the prior run's shuffle files, so only the final stage
+  and result transfer re-run. This is the serving-path latency for a
+  repeated query, reported separately because it measures cache reuse,
+  not fresh execution.
 """
 
 from __future__ import annotations
@@ -31,7 +41,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from cdc_example_spark.queries import all_queries
+    from cdc_example_spark.queries import all_queries, registry
     from cdc_example_spark.session import get_spark
 
     spark = get_spark("cdc_example_spark-bench")
@@ -48,23 +58,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    resubmit: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
         run(name)
         cold[name] = round(time.perf_counter() - t0, 3)
+        registry.invalidate(spark)  # time a fresh plan, not the memo
         t1 = time.perf_counter()
         run(name)
         timings[name] = round(time.perf_counter() - t1, 3)
+        t2 = time.perf_counter()
+        run(name)  # memoized plan + shuffle reuse
+        resubmit[name] = round(time.perf_counter() - t2, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "declared-query-set wall clock (steady-state)",
+                "metric": "declared-query-set wall clock (steady-state, fresh plans)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "resubmit_total_sec": round(sum(resubmit.values()), 3),
                 "sf": sf,
             }
         )

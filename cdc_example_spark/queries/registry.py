@@ -18,12 +18,50 @@ Determinism contract (FIXTURES.md "Determinism rules"):
 
 from __future__ import annotations
 
+import os
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+#: Prepared-plan cache. Building a registered query costs ~0.3 s of
+#: driver-side work (py4j DataFrame construction + Catalyst analysis /
+#: optimization) against ~40 ms of actual execution at sf0.1 — so a
+#: repeated query re-submitted through the registry reuses its analyzed
+#: DataFrame, exactly like a prepared statement. Every action on the
+#: cached handle still re-runs the full distributed execution and result
+#: transfer; only planning is skipped. Keyed weakly per session so a
+#: stopped session frees its plans; keyed on the normalized sf_dir so
+#: different datasets never share a plan. ``invalidate()`` drops plans
+#: after an external writer changes data under a path in-place.
+_plan_memo: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def invalidate(spark: SparkSession | None = None) -> None:
+    """Drop prepared plans (all sessions, or one)."""
+    if spark is None:
+        _plan_memo.clear()
+    else:
+        _plan_memo.pop(spark, None)
+
+
+def _prepared(name: str, fn: SparkQuery) -> SparkQuery:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        memo = _plan_memo.setdefault(spark, {})
+        key = (name, os.path.normpath(sf_dir))
+        df = memo.get(key)
+        if df is None:
+            memo[key] = df = fn(spark, sf_dir)
+        return df
+
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__name__ = getattr(fn, "__name__", name)
+    return wrapper
 
 
 @dataclass(frozen=True)
@@ -43,7 +81,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, doc=(fn.__doc__ or "").strip(), spark=fn, oracle=oracle)
+        _REGISTRY[name] = Query(
+            name=name,
+            doc=(fn.__doc__ or "").strip(),
+            spark=_prepared(name, fn),
+            oracle=oracle,
+        )
         return fn
 
     return deco

@@ -33,12 +33,16 @@ def _cold_scans(spark):
     # the session cache matters too — Spark's CacheManager substitutes
     # InMemoryRelation into ANY new plan whose subtree matches a cached
     # one (even a fresh spark.read), which would hide the scan we audit.
+    from cdc_example_spark.queries import registry
+
     old = os.environ.get("SPARK_GRAFT_TABLE_CACHE")
     os.environ["SPARK_GRAFT_TABLE_CACHE"] = "0"
     spark.catalog.clearCache()
+    registry.invalidate(spark)  # don't audit (or leave behind) shared prepared plans
     try:
         yield
     finally:
+        registry.invalidate(spark)
         if old is None:
             del os.environ["SPARK_GRAFT_TABLE_CACHE"]
         else:
