@@ -800,3 +800,97 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q37 — the full ranking/analytic window family (SURVEY.md §2.2 "Window"
+# rows): row_number / rank / dense_rank / ntile + first/last frame
+# analytics in one pass. Ties are real (acctbal is banded to $1000) so
+# rank vs dense_rank actually diverge; row_number/ntile/first/last use
+# the total order (band DESC, custkey) so every output is deterministic.
+# Scale: both windows share the c_nationkey partitioning, so Catalyst
+# plans ONE exchange + two sorts — no per-function shuffle.
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+WITH r AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         ROW_NUMBER() OVER w2 AS rn,
+         RANK() OVER w1 AS rnk,
+         DENSE_RANK() OVER w1 AS drnk,
+         NTILE(4) OVER w2 AS quartile,
+         FIRST_VALUE(c_custkey) OVER w2 AS richest_cust,
+         LAST_VALUE(c_custkey) OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_cust
+  FROM customer
+  WINDOW
+    w1 AS (PARTITION BY c_nationkey
+           ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC),
+    w2 AS (PARTITION BY c_nationkey
+           ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC, c_custkey)
+)
+SELECT c_nationkey, c_custkey, bal_band, rn, rnk, drnk, quartile,
+       richest_cust, poorest_cust
+FROM r
+WHERE rn <= 5
+ORDER BY c_nationkey, rn
+"""
+
+
+@query("q37_ranking_family", oracle=_Q37_ORACLE)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile/first/last over one partitioning."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    w1 = Window.partitionBy("c_nationkey").orderBy(F.col("bal_band").desc())
+    w2 = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal_band").desc(), F.col("c_custkey")
+    )
+    w2_full = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cust.select("c_nationkey", "c_custkey", band.alias("bal_band"))
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "bal_band",
+            F.row_number().over(w2).alias("rn"),
+            F.rank().over(w1).alias("rnk"),
+            F.dense_rank().over(w1).alias("drnk"),
+            F.ntile(4).over(w2).alias("quartile"),
+            F.first("c_custkey").over(w2).alias("richest_cust"),
+            F.last("c_custkey").over(w2_full).alias("poorest_cust"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — approximate COUNT(DISTINCT) (HyperLogLog++) next to the exact
+# counts it approximates. No DuckDB oracle: HLL implementations differ
+# across engines, so the driver applies the rows-only check; the bound
+# |approx − exact| ≤ 3·rsd·exact is asserted by
+# tests/test_queries_oracle.py::test_q38_hll_error_bound
+# (Spark's default rsd = 0.05). Scale: this is THE cardinality operator
+# at 100 TB — fixed-size sketches merge tree-wise instead of shuffling
+# every distinct value like Q14's exact variant.
+# ---------------------------------------------------------------------------
+
+
+@query("q38_approx_distinct", oracle=None)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct(l_partkey/l_suppkey) per returnflag + exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+        )
+        .orderBy("l_returnflag")
+    )

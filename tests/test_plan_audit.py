@@ -122,3 +122,11 @@ def test_no_query_plans_a_cartesian(name, spark, sf_dir):
     # the cosine top-k queries intentionally broadcast-nested-loop the
     # tiny query set; everything else must stay equi-join shaped.
     assert_no_cartesian(q(name, spark, sf_dir))
+
+
+def test_q37_windows_share_one_exchange(spark, sf_dir):
+    # both ranking windows partition by c_nationkey: Catalyst must plan
+    # ONE shuffle (plus the final orderBy's range exchange), never one
+    # exchange per window function.
+    s = plan_summary(q("q37_ranking_family", spark, sf_dir))
+    assert s["exchanges"] <= 2, s

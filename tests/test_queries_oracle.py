@@ -31,3 +31,14 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         assert len(df.columns) > 0
     else:
         compare(df, con, q.oracle, name=name)
+
+
+def test_q38_hll_error_bound(spark, sf_dir):
+    # approx_count_distinct has no cross-engine oracle; its contract is
+    # the HLL++ error bound instead: |approx − exact| ≤ 3·rsd·exact
+    # (rsd defaults to 0.05; 3σ makes the assertion flake-proof).
+    rows = QUERIES["q38_approx_distinct"].spark(spark, sf_dir).collect()
+    assert rows, "q38 returned no groups"
+    for r in rows:
+        for approx, exact in ((r.approx_parts, r.exact_parts), (r.approx_supps, r.exact_supps)):
+            assert abs(approx - exact) <= max(1, 3 * 0.05 * exact), r
