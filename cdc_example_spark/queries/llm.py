@@ -701,3 +701,53 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
     ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q39 — the array-function family (SURVEY §2.2 "Array" row): size /
+# element access (1-based and negative) / array_contains / split, all on
+# the tokenized documents table. Spark's java-split and DuckDB's
+# regexp_split_to_array agree on leading/trailing empties for trimmed
+# input, so the fold is hash-checkable. Scale: pure per-row expressions
+# inside whole-stage codegen + one 2-key partial agg — scan-bound.
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+WITH t AS (
+  SELECT lang, regexp_split_to_array(TRIM(text), '\\s+') AS ws FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) AS docs_with_the,
+       CAST(ROUND(CAST(AVG(len(ws)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_words,
+       COUNT(DISTINCT ws[1]) AS n_first_words,
+       COUNT(DISTINCT ws[-1]) AS n_last_words
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q39_array_ops", oracle=_Q39_ORACLE)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/array_contains over whitespace-tokenized docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select(
+            "lang",
+            F.size(ws).alias("nw"),
+            F.array_contains(ws, "the").cast("int").alias("has_the"),
+            F.element_at(ws, 1).alias("first_w"),
+            F.element_at(ws, -1).alias("last_w"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_the").alias("docs_with_the"),
+            dec2(F.avg("nw")).alias("avg_words"),
+            F.countDistinct("first_w").alias("n_first_words"),
+            F.countDistinct("last_w").alias("n_last_words"),
+        )
+        .orderBy("lang")
+    )

@@ -273,3 +273,30 @@ def test_s6_session_window_equals_batch_q19(spark, sf_dir, tmp_path):
         r["user_id"]: r["n_sessions"] for r in q19(spark, sf_dir).collect()
     }
     assert streamed_sessions == batch_sessions
+
+
+def test_s5_complete_mode_memory_sink(spark, sf_dir, tmp_path):
+    # output-mode contract (SURVEY §2.2 "output modes"): COMPLETE re-emits
+    # the full aggregate table each trigger, so after the last trigger the
+    # memory sink equals the batch answer directly (no update folding).
+    stream = replay_events_as_stream(spark, sf_dir, str(tmp_path / "replay"))
+    q = (
+        tumbling_counts(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("s5_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r["w"]["start"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]): r["num_events"]
+        for r in spark.sql("SELECT * FROM s5_complete").collect()
+    }
+    batch = {
+        (r["hour_start"], r["event_type"]): r["num_events"]
+        for r in q18(spark, sf_dir).collect()
+    }
+    assert got == batch
