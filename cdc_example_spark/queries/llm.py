@@ -176,18 +176,38 @@ CASE WHEN size(ws) >= 3
 END
 """
 
+#: NOTE (measured, sf0.1): building the deduped shingle-hash set as one
+#: array expression (array_distinct ∘ transform ∘ element_at) instead of
+#: explode → collect_set looks like it should drop a shuffle, but runs
+#: 14× SLOWER (20 s vs 1.4 s): InferFiltersFromGenerate derives a
+#: `size(set) > 0` filter under the later explode, and predicate
+#: pushdown INLINES the whole set expression into it — re-evaluating the
+#: word-split per element_at reference, O(words²) per doc. The
+#: explode → collect_set shape keeps every expensive alias behind a
+#: Generate (which pushdown won't cross), and its extra shuffle is
+#: 8-byte hashes — cheap. Excluding the optimizer rule fixes the array
+#: form but is session-global; not worth it.
+
 
 @query("q24_jaccard_neardup_pairs", oracle=_Q24_ORACLE)
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-set Jaccard ≥ 0.8 pairs (explode + shingle self-join)."""
+    """Exact shingle-set Jaccard ≥ 0.8 pairs (in-bucket pair counting)."""
     docs = load_table(spark, sf_dir, "documents")
     # One pass builds each doc's deduped shingle-hash set AND its size;
-    # the exploded rows carry n, so no separate `sizes` aggregation and
-    # no post-join size lookups (was 8 scans / 22 shuffles, now 2 / 7).
-    # 8-byte xxhash64 join keys instead of ~30-byte shingle strings;
-    # the hash is engine-internal (never compared to the oracle), and a
-    # 64-bit collision is ~1e-8 per corpus — irrelevant next to the
-    # 2-decimal rounding of the output.
+    # the exploded rows carry n, so no post-hoc size lookups. 8-byte
+    # xxhash64 keys instead of ~30-byte shingle strings; the hash is
+    # engine-internal (never compared to the oracle), and a 64-bit
+    # collision is ~1e-8 per corpus — irrelevant next to the 2-decimal
+    # rounding of the output.
+    #
+    # Pair generation mirrors operators/dedup.lsh_candidate_pairs: group
+    # the posting list of each shingle hash and emit (d1 < d2) pairs
+    # INSIDE the bucket, instead of a self-join whose two sides would
+    # each re-execute the whole scan + shingle pipeline (2 full corpus
+    # passes at 100 TB; locally the table cache hides it). Per-shingle
+    # doc frequency bounds the bucket quadratic — that term is the
+    # intersection size itself, and 3-gram frequency stays low even on
+    # small vocabularies.
     sets = (
         docs.select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
         .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
@@ -197,19 +217,33 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = sets.select(
         "doc_id", "lang", F.size("set").alias("n"), F.explode("set").alias("w")
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    posting = (
+        tok.groupBy("w", "lang")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("d1"),
+                    y["doc_id"].alias("d2"),
+                    x["n"].alias("n1"),
+                    y["n"].alias("n2"),
+                ),
+            ),
         )
+    )
+    inter = (
+        posting.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
+            F.col("p.d1").alias("d1"),
+            F.col("p.d2").alias("d2"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.n2").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -91,10 +91,11 @@ def test_lsh_plan_is_single_scan_no_join(spark, sf_dir):
 
 
 def test_scan_count_is_bounded(spark, sf_dir):
-    # q24 reuses the documents scan for candidates + both join sides;
-    # plan may duplicate the scan but must not explode combinatorially.
+    # q24 generates pairs from per-shingle posting lists, so the whole
+    # query is ONE pass over documents — a self-join shape would scan
+    # (and re-shingle) the corpus once per side.
     s = plan_summary(q("q24_jaccard_neardup_pairs", spark, sf_dir))
-    assert s["scans"] <= 4, s
+    assert s["scans"] == 1, s
 
 
 def test_projection_prunes_documents_scan(spark, sf_dir):
