@@ -894,3 +894,193 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — GROUPING SETS proper (ROLLUP/CUBE cover only their fixed
+# lattices; arbitrary set lists are the general form). grouping_id()
+# disambiguates which keys are aggregated away, exactly as in Q7/Q8.
+# Scale: one expand + one partial+final agg — same cost model as CUBE.
+# ---------------------------------------------------------------------------
+
+_Q40_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("q40_grouping_sets", oracle=_Q40_ORACLE)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) with grouping_id markers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dec2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — exact percentiles (median / p95, linear interpolation). Both
+# engines interpolate continuously (Spark `percentile`, DuckDB
+# `quantile_cont`), so the 2-decimal rounded values hash-match.
+# Scale: exact percentile shuffles every value to its group — this is
+# the expensive-but-exact path; approx_percentile (t-digest sketch,
+# fixed memory, mergeable) is the 100 TB default and is asserted against
+# the exact value's neighborhood in tests rather than hash-checked.
+# ---------------------------------------------------------------------------
+
+_Q41_ORACLE = """
+SELECT l_returnflag,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS median_price,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS p95_price,
+       CAST(ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q41_percentiles", oracle=_Q41_ORACLE)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (median, p95) with linear interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dec2(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
+            dec2(F.percentile("l_extendedprice", F.lit(0.95))).alias("p95_price"),
+            dec2(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — statistical aggregates: stddev/variance (sample), Pearson
+# correlation, sample covariance. The profiling pass every dataset gets
+# before training. Floating-point sum order differs between engines;
+# the DECIMAL(18,2) rounding absorbs it (1-ulp differences sit ~1e-10
+# relative, far inside the rounding bucket).
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+SELECT l_returnflag,
+       CAST(ROUND(CAST(stddev_samp(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sd_qty,
+       CAST(ROUND(CAST(var_samp(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS var_qty,
+       CAST(ROUND(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS corr_qty_price,
+       CAST(ROUND(CAST(covar_samp(l_discount, l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cov_disc_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q42_stats_profile", oracle=_Q42_ORACLE)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/var/corr/covar profiling aggregates per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dec2(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            dec2(F.var_samp("l_quantity")).alias("var_qty"),
+            dec2(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            dec2(F.covar_samp("l_discount", "l_extendedprice")).alias("cov_disc_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — deterministic train/val/test split: Knuth multiplicative hash of
+# the stable row key, pure int64 arithmetic, so the SAME rows land in the
+# SAME split on any engine, any partitioning, any day — the property a
+# training pipeline needs from a split (random() gives none of it).
+# 80/10/10 by bucket ranges; counts per (lang, split) are hash-checked.
+# Scale: embarrassingly parallel row-local expression; no shuffle before
+# the count agg.
+# ---------------------------------------------------------------------------
+
+_Q43_ORACLE = """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+              WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs
+FROM s
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@query("q43_train_test_split", oracle=_Q43_ORACLE)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via multiplicative hashing of doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000)
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — pivot: long → wide event counts, one column per event_type.
+# Spark's pivot with an EXPLICIT value list compiles to conditional
+# aggregation (one pass, no per-value scans) and keeps the output schema
+# static — required at 100 TB, where a value-discovery pre-pass over the
+# fact table would double the job, and required for the oracle (the SQL
+# spells the same conditional aggs).
+# ---------------------------------------------------------------------------
+
+_Q44_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("q44_pivot_event_counts", oracle=_Q44_ORACLE)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events long→wide: per-day count per event_type column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(day_str(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+        .orderBy("day")
+    )

@@ -42,3 +42,18 @@ def test_q38_hll_error_bound(spark, sf_dir):
     for r in rows:
         for approx, exact in ((r.approx_parts, r.exact_parts), (r.approx_supps, r.exact_supps)):
             assert abs(approx - exact) <= max(1, 3 * 0.05 * exact), r
+
+
+def test_q41_approx_percentile_tracks_exact(spark, sf_dir):
+    # the 100 TB percentile path is the t-digest sketch; pin it to the
+    # exact answer within 1% relative (10k accuracy parameter).
+    from pyspark.sql import functions as F
+
+    from cdc_example_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert abs(r.approx - r.exact) <= 0.01 * abs(r.exact), r
