@@ -71,6 +71,19 @@ def main() -> None:
         run(name)  # memoized plan + shuffle reuse
         resubmit[name] = round(time.perf_counter() - t2, 3)
 
+    # CDC apply throughput (BASELINE T2) on the same session — 100k
+    # synthetic Debezium envelopes through decode → route → MERGE.
+    try:
+        import bench_streaming
+
+        cdc = bench_streaming.run(spark=spark, n_events=100_000)
+        cdc_fields = {
+            "cdc_apply_events_per_sec": cdc["value"],
+            "cdc_batch_apply_p50_ms": cdc["batch_apply_p50_ms"],
+        }
+    except Exception as e:  # never let the T2 add-on kill the T1 report
+        cdc_fields = {"cdc_apply_error": repr(e)[:200]}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -81,6 +94,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "resubmit_total_sec": round(sum(resubmit.values()), 3),
+                **cdc_fields,
                 "sf": sf,
             }
         )

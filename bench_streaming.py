@@ -30,8 +30,14 @@ import uuid
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 
-def main() -> None:
-    n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "300000"))
+def run(spark=None, n_events: int | None = None) -> dict:
+    """Run the CDC apply benchmark; returns the metrics dict.
+
+    Reusable from bench.py (which embeds the numbers in its one-line
+    JSON) — pass the session to share it; owns-and-stops it otherwise.
+    """
+    if n_events is None:
+        n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "300000"))
     n_files = 5
     n_keys = max(100, n_events // 20)
 
@@ -41,7 +47,9 @@ def main() -> None:
     from cdc_example_spark.session import get_spark
     from cdc_example_spark.streaming.materialize import file_cdc_source, materialize
 
-    spark = get_spark("cdc_example_spark-stream-bench")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("cdc_example_spark-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="cdc_stream_bench_")
@@ -95,23 +103,25 @@ def main() -> None:
     visible = sink.snapshot(spark).count()
     shutil.rmtree(work, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cdc apply throughput (decode->route->merge)",
-                "value": round(seq / wall, 1),
-                "unit": "events/sec",
-                "events": seq,
-                "batches": len(batch_times),
-                "batch_apply_p50_ms": round(statistics.median(batch_times) * 1000, 1)
-                if batch_times
-                else None,
-                "final_state_rows": visible,
-                "wall_s": round(wall, 2),
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "cdc apply throughput (decode->route->merge)",
+        "value": round(seq / wall, 1),
+        "unit": "events/sec",
+        "events": seq,
+        "batches": len(batch_times),
+        "batch_apply_p50_ms": round(statistics.median(batch_times) * 1000, 1)
+        if batch_times
+        else None,
+        "final_state_rows": visible,
+        "wall_s": round(wall, 2),
+    }
+    if owns_session:
+        spark.stop()
+    return out
+
+
+def main() -> None:
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

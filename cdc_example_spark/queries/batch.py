@@ -1084,3 +1084,94 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — the subquery family through the engine's SQL surface: EXISTS
+# (correlated), NOT IN, and a correlated scalar subquery, in one query.
+# Catalyst de-correlates these into semi/anti/aggregate-joins
+# (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery) — the
+# same physical shapes Q5/Q6 build explicitly with the DataFrame API;
+# this query pins the SQL→plan path. The IDENTICAL text runs on DuckDB
+# (no engine-specific functions), so the oracle is the query itself.
+# NOT IN is safe here because o_custkey is non-nullable; a nullable
+# column would make NOT IN three-valued and is the documented caveat.
+# ---------------------------------------------------------------------------
+
+_Q45_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""
+
+
+@query("q45_subqueries", oracle=_Q45_SQL)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT IN + correlated scalar subquery (shared SQL text)."""
+    from cdc_example_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q45_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q46 — RANGE window frame (value-based, not row-based): for each order,
+# aggregate over every order of the same customer within $5,000 below
+# its price. The frame key is integer cents so both engines bound the
+# frame identically (RANGE over DOUBLE is type-picky in Spark and
+# ulp-sensitive everywhere). Aggregates inside a value-frame are
+# order-insensitive, so ties in the order key don't break determinism.
+# Scale: one shuffle on o_custkey; the running frame is computed in a
+# single sorted pass per partition.
+# ---------------------------------------------------------------------------
+
+_Q46_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT o_custkey,
+         COUNT(*) OVER (PARTITION BY o_custkey ORDER BY cents
+                        RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW) AS n_band,
+         SUM(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+                          RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW) AS cents_band
+  FROM o
+)
+SELECT o_custkey, MAX(n_band) AS max_band_orders,
+       CAST(ROUND(CAST(MAX(cents_band) / 100.0 AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS max_band_total
+FROM r
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@query("q46_range_frame", oracle=_Q46_ORACLE)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN value-frame: orders within $5,000 below each order."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("cents")
+        .rangeBetween(-500000, Window.currentRow)
+    )
+    return (
+        orders.select("o_custkey", cents.alias("cents"))
+        .select(
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("n_band"),
+            F.sum("cents").over(w).alias("cents_band"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("n_band").alias("max_band_orders"),
+            dec2(F.max("cents_band") / 100.0).alias("max_band_total"),
+        )
+        .orderBy("o_custkey")
+    )
