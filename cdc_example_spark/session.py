@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row batches for Arrow transfer and the columnar cache:
+        # analytics results/tables are narrow, so bigger batches cut
+        # per-batch overhead without memory risk (default is 10k).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # 128MB input splits: right-sized map tasks at 100TB; harmless locally.
