@@ -1022,13 +1022,17 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q43_ORACLE = """
 WITH s AS (
   SELECT lang,
-         CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-              WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
-              ELSE 'test' END AS split
+         ((doc_id % 1000003) * 2654435761 + (doc_id // 1000003) * 40503) % 1000 AS b
   FROM documents
+), t AS (
+  SELECT lang,
+         CASE WHEN b < 800 THEN 'train'
+              WHEN b < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM s
 )
 SELECT lang, split, COUNT(*) AS n_docs
-FROM s
+FROM t
 GROUP BY lang, split
 ORDER BY lang, split
 """
@@ -1038,7 +1042,15 @@ ORDER BY lang, split
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split via multiplicative hashing of doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000)
+    # Overflow-safe for any NON-NEGATIVE int64 doc_id (Spark 4 ANSI mode
+    # makes int64 overflow an error, and DuckDB always did): the low
+    # part stays ≤ 1e6·2654435761 ≈ 2.7e15 and the high part
+    # ≤ 9.2e12·40503 ≈ 3.7e17, so the sum is far inside int64 while
+    # every bit of doc_id still reaches the bucket. (Negative keys are
+    # out of contract: Spark DIV truncates, DuckDB // floors.)
+    lo = (F.col("doc_id") % F.lit(1000003)) * F.lit(2654435761)
+    hi = F.expr("doc_id DIV 1000003") * F.lit(40503)
+    bucket = (lo + hi) % F.lit(1000)
     split = (
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )

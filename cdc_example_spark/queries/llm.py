@@ -208,8 +208,12 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc frequency bounds the bucket quadratic — that term is the
     # intersection size itself, and 3-gram frequency stays low even on
     # small vocabularies.
+    # NULL langs can never pair in the oracle (its join needs
+    # a.lang = b.lang), but groupBy buckets NULLs together — filter them
+    # so the in-bucket rewrite keeps the self-join's NULL semantics.
     sets = (
-        docs.select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
+        docs.filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
         .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
         .groupBy("doc_id", "lang")
         .agg(F.collect_set(F.xxhash64("s")).alias("set"))
@@ -596,7 +600,9 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (the scale path q24 verifies)."""
     from cdc_example_spark.operators import dedup as D
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL langs can't pair in the oracle (a.lang = b.lang), but the
+    # operator's groupBy-bucketing would pair them — filter for parity.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     return D.lsh_candidate_pairs(
         docs, num_hashes=12, bands=4, group_cols=("lang",)
     ).orderBy("doc_id_1", "doc_id_2")

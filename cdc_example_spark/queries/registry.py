@@ -35,15 +35,22 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 #: cached handle still re-runs the full distributed execution and result
 #: transfer; only planning is skipped. Keyed weakly per session so a
 #: stopped session frees its plans; keyed on the normalized sf_dir so
-#: different datasets never share a plan. ``invalidate()`` drops plans
-#: after an external writer changes data under a path in-place.
+#: different datasets never share a plan. After an external writer
+#: changes data under a path in-place, call ``invalidate()`` AND
+#: ``sources.catalog.invalidate_tables`` (see invalidate's docstring).
 _plan_memo: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
 
 def invalidate(spark: SparkSession | None = None) -> None:
-    """Drop prepared plans (all sessions, or one)."""
+    """Drop prepared plans (all sessions, or one).
+
+    If files were rewritten in place under a data path, ALSO call
+    ``sources.catalog.invalidate_tables`` — a rebuilt plan would
+    otherwise re-hit the catalog's loaded-table handle, whose persisted
+    columnar cache and snapshotted file listing still serve old data.
+    """
     if spark is None:
         _plan_memo.clear()
     else:

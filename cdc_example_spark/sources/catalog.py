@@ -48,8 +48,9 @@ from pyspark.sql import functions as F
 
 #: per-session plan cache: re-listing the directory and re-reading parquet
 #: footers for every query adds driver latency that matters when the same
-#: table feeds dozens of queries. Keyed weakly so a stopped session frees it.
-_plan_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+#: table feeds dozens of queries. Keyed weakly so a stopped session frees
+#: it; key = (normalized sf_dir, table name, cache-enabled).
+_plan_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str, bool], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -73,6 +74,54 @@ def _cache_policy() -> tuple[bool, int]:
     return enabled, max_mb
 
 
+def _dataset_mb(path: str, stop_after_mb: int) -> int:
+    """On-disk MB of a parquet file OR directory-shaped dataset.
+
+    A Spark/Hive-written table is a directory; ``os.path.getsize`` on it
+    returns the ~4 KB directory entry, which would wrongly classify a
+    500 GB fact table as cacheable. Walk the tree, but stop counting as
+    soon as the ceiling is exceeded — the policy only needs the
+    comparison, not the exact size of a petabyte directory.
+    """
+    try:
+        if not os.path.isdir(path):
+            return os.path.getsize(path) >> 20
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+                if (total >> 20) > stop_after_mb:
+                    return total >> 20
+        return total >> 20
+    except OSError:
+        return 0
+
+
+def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop (and unpersist) loaded table handles.
+
+    Required after an external writer rewrites files under a path
+    in-place: both the persisted columnar cache AND the snapshotted file
+    listing inside a cached DataFrame keep serving the old data.
+    Pair with ``queries.registry.invalidate`` so prepared query plans
+    over those tables are rebuilt too.
+    """
+    plans = _plan_cache.get(spark)
+    if not plans:
+        return
+    norm = os.path.normpath(sf_dir) if sf_dir is not None else None
+    for key in [k for k in plans if norm is None or k[0] == norm]:
+        df = plans.pop(key)
+        if key[2]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, cache: bool | None = None
 ) -> DataFrame:
@@ -87,12 +136,9 @@ def load_table(
     docstring); ``None`` applies it.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        size_mb = os.path.getsize(path) >> 20
-    except OSError:
-        size_mb = 0
+    enabled, max_mb = _cache_policy()
+    size_mb = _dataset_mb(path, stop_after_mb=max_mb)
     if cache is None:
-        enabled, max_mb = _cache_policy()
         cache = enabled and size_mb <= max_mb
     plans = _plan_cache.setdefault(spark, {})
     key = (os.path.normpath(sf_dir), name, cache)

@@ -34,6 +34,7 @@ def _cold_scans(spark):
     # InMemoryRelation into ANY new plan whose subtree matches a cached
     # one (even a fresh spark.read), which would hide the scan we audit.
     from cdc_example_spark.queries import registry
+    from cdc_example_spark.sources import catalog
 
     old = os.environ.get("SPARK_GRAFT_TABLE_CACHE")
     os.environ["SPARK_GRAFT_TABLE_CACHE"] = "0"
@@ -43,6 +44,10 @@ def _cold_scans(spark):
         yield
     finally:
         registry.invalidate(spark)
+        # clearCache() above unpersisted every loaded-table handle; drop
+        # them from the catalog too, so later test modules re-load (and
+        # re-persist) instead of silently running on unpersisted handles.
+        catalog.invalidate_tables(spark)
         if old is None:
             del os.environ["SPARK_GRAFT_TABLE_CACHE"]
         else:
