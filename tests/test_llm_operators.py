@@ -170,3 +170,61 @@ def test_udf_surface_row_udf_matches_jvm(spark, sf_dir):
         py_word_count(F.col("text")).alias("py"),
     ).collect()
     assert rows and all(r["jvm"] == r["py"] for r in rows)
+
+
+def test_q24_matches_python_bruteforce(spark, sf_dir):
+    # Independent oracle for the in-bucket pair rewrite: brute-force
+    # O(n^2) Jaccard over all same-lang doc pairs in plain Python.
+    from cdc_example_spark.queries.llm import q24
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    shingles = {}
+    for r in rows:
+        if r.lang is None:
+            continue
+        ws = r.text.lower().strip().split()
+        shingles[(r.doc_id, r.lang)] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+    expected = set()
+    keys = sorted(shingles)
+    for i, (d1, l1) in enumerate(keys):
+        s1 = shingles[(d1, l1)]
+        if not s1:
+            continue
+        for d2, l2 in keys[i + 1 :]:
+            if l2 != l1:
+                continue
+            s2 = shingles[(d2, l2)]
+            if not s2:
+                continue
+            inter = len(s1 & s2)
+            if inter and inter / (len(s1) + len(s2) - inter) >= 0.8:
+                expected.add((min(d1, d2), max(d1, d2)))
+    got = {(r.doc_id_1, r.doc_id_2) for r in q24(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_plain_python_udf_surface(spark, sf_dir):
+    # SURVEY §2.2 "UDF surface": the row-at-a-time Python UDF tier.
+    # Deliberately unused in declared queries (it is the slow path —
+    # SCALE.md §3); this pins that the tier itself works and agrees
+    # with the JVM expression it would replace.
+    from pyspark.sql.types import IntegerType
+
+    from cdc_example_spark.operators import text_analysis as TA
+
+    @F.udf(returnType=IntegerType())
+    def py_word_count(text):
+        return len(text.split()) if text and text.strip() else 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    mismatch = (
+        docs.select(
+            py_word_count("text").alias("py"),
+            TA.token_count_whitespace(F.col("text")).alias("jvm"),
+        )
+        .filter(F.col("py") != F.col("jvm"))
+        .count()
+    )
+    assert mismatch == 0
