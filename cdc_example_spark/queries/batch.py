@@ -28,12 +28,12 @@ _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                        AS sum_qty,
-  CAST(ROUND(CAST(SUM(l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                   AS sum_base_price,
-  CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-  CAST(ROUND(CAST(AVG(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                        AS avg_qty,
-  CAST(ROUND(CAST(AVG(l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                   AS avg_price,
-  CAST(ROUND(CAST(AVG(l_discount) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                        AS avg_disc,
+  CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,10)), 2) AS DOUBLE)                        AS sum_qty,
+  CAST(ROUND(CAST(SUM(l_extendedprice) AS DECIMAL(28,10)), 2) AS DOUBLE)                   AS sum_base_price,
+  CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(CAST(AVG(l_quantity) AS DECIMAL(28,10)), 2) AS DOUBLE)                        AS avg_qty,
+  CAST(ROUND(CAST(AVG(l_extendedprice) AS DECIMAL(28,10)), 2) AS DOUBLE)                   AS avg_price,
+  CAST(ROUND(CAST(AVG(l_discount) AS DECIMAL(28,10)), 2) AS DOUBLE)                        AS avg_disc,
   COUNT(*)                                                                AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -69,7 +69,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q2_ORACLE = """
 SELECT
-  CAST(ROUND(CAST(SUM(l_extendedprice * l_discount) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS revenue,
+  CAST(ROUND(CAST(SUM(l_extendedprice * l_discount) AS DECIMAL(28,10)), 2) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -107,7 +107,7 @@ _Q3_ORACLE = """
 SELECT
   o.o_orderkey,
   strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-  CAST(ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS revenue
+  CAST(ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -144,8 +144,8 @@ _Q4_ORACLE = """
 SELECT
   r.r_name,
   COUNT(*) AS num_customers,
-  CAST(ROUND(CAST(AVG(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_acctbal,
-  CAST(ROUND(CAST(SUM(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_acctbal
+  CAST(ROUND(CAST(AVG(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_acctbal,
+  CAST(ROUND(CAST(SUM(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_acctbal
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -242,7 +242,7 @@ SELECT
   CAST(GROUPING(n.n_name) AS INTEGER)       AS g_nation,
   CAST(GROUPING(c.c_mktsegment) AS INTEGER) AS g_segment,
   COUNT(*) AS num_customers,
-  CAST(ROUND(CAST(SUM(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_acctbal
+  CAST(ROUND(CAST(SUM(c.c_acctbal) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
@@ -284,7 +284,7 @@ SELECT
   CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
   CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
   COUNT(*) AS num_orders,
-  CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS total_price
+  CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(28,10)), 2) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -320,7 +320,7 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_ORACLE = """
 SELECT c_nationkey, c_custkey,
-       CAST(ROUND(CAST(c_acctbal AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS acctbal,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(28,10)), 2) AS DOUBLE) AS acctbal,
        rn
 FROM (
   SELECT c_nationkey, c_custkey, c_acctbal,
@@ -356,7 +356,7 @@ SELECT o_custkey, o_orderkey,
        date_diff('day',
                  CAST(lag(o_orderdate) OVER w AS DATE),
                  CAST(o_orderdate AS DATE))                      AS gap_days,
-       CAST(ROUND(CAST(o_totalprice - lag(o_totalprice) OVER w AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))                                    AS price_delta,
+       CAST(ROUND(CAST(o_totalprice - lag(o_totalprice) OVER w AS DECIMAL(28,10)), 2) AS DOUBLE)                                    AS price_delta,
        strftime(lead(o_orderdate) OVER w, '%Y-%m-%d')            AS next_order_date
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -398,7 +398,7 @@ SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        CAST(ROUND(CAST(SUM(o_totalprice) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cum_spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,10)), 2) AS DOUBLE) AS cum_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
@@ -432,7 +432,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS extendedprice
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(28,10)), 2) AS DOUBLE) AS extendedprice
 FROM lineitem
 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
 LIMIT 20
@@ -576,7 +576,7 @@ SELECT CAST(YEAR(o.o_orderdate) AS INTEGER)  AS order_year,
        CAST(MONTH(o.o_orderdate) AS INTEGER) AS order_month,
        strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS month_start,
        COUNT(*) AS num_orders,
-       CAST(ROUND(CAST(SUM(o.o_totalprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS total_price
+       CAST(ROUND(CAST(SUM(o.o_totalprice) AS DECIMAL(28,10)), 2) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'MACHINERY'
@@ -617,12 +617,12 @@ SELECT
        ELSE 'jumbo' END                                   AS band,
   CAST(FLOOR(o_totalprice / 100000) AS BIGINT)            AS bucket_100k,
   COUNT(*)                                                AS num_orders,
-  CAST(ROUND(CAST(AVG(ABS(o_totalprice - 150000)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_abs_dev,
-  CAST(ROUND(CAST(MAX(LEAST(o_totalprice, 400000)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS max_capped,
-  CAST(ROUND(CAST(MIN(GREATEST(o_totalprice, 2000)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS min_floored,
-  CAST(ROUND(CAST(SUM(COALESCE(NULLIF(o_totalprice, 0), 0)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS total,
-  CAST(ROUND(CAST(AVG(MOD(CAST(o_orderkey AS BIGINT), 7)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))   AS avg_mod7,
-  CAST(ROUND(CAST(SUM(POWER(o_totalprice / 100000, 2)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))      AS sum_sq_lakh
+  CAST(ROUND(CAST(AVG(ABS(o_totalprice - 150000)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_abs_dev,
+  CAST(ROUND(CAST(MAX(LEAST(o_totalprice, 400000)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS max_capped,
+  CAST(ROUND(CAST(MIN(GREATEST(o_totalprice, 2000)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS min_floored,
+  CAST(ROUND(CAST(SUM(COALESCE(NULLIF(o_totalprice, 0), 0)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS total,
+  CAST(ROUND(CAST(AVG(MOD(CAST(o_orderkey AS BIGINT), 7)) AS DECIMAL(28,10)), 2) AS DOUBLE)   AS avg_mod7,
+  CAST(ROUND(CAST(SUM(POWER(o_totalprice / 100000, 2)) AS DECIMAL(28,10)), 2) AS DOUBLE)      AS sum_sq_lakh
 FROM orders
 GROUP BY band, bucket_100k
 ORDER BY band, bucket_100k
@@ -668,8 +668,8 @@ _Q18_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type,
        COUNT(*) AS num_events,
-       CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_value,
-       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_value
+       CAST(ROUND(CAST(AVG(value) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_value,
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY hour_start, event_type
 ORDER BY hour_start, event_type
@@ -727,10 +727,10 @@ WITH t AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS n_events,
-       CAST(ROUND(CAST(AVG(n_events) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_events,
-       CAST(ROUND(CAST(AVG(dur_s) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))    AS avg_dur_s,
-       CAST(ROUND(CAST(MAX(dur_s) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2))    AS max_dur_s
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(AVG(n_events) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_events,
+       CAST(ROUND(CAST(AVG(dur_s) AS DECIMAL(28,10)), 2) AS DOUBLE)    AS avg_dur_s,
+       CAST(ROUND(CAST(MAX(dur_s) AS DECIMAL(28,10)), 2) AS DOUBLE)    AS max_dur_s
 FROM g
 GROUP BY user_id
 ORDER BY user_id
@@ -778,7 +778,7 @@ _Q20_ORACLE = """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
        event_type,
        COUNT(*) AS num_events,
-       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_value
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY k_bucket, event_type
 ORDER BY k_bucket, event_type
@@ -907,7 +907,7 @@ _Q40_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
        COUNT(*) AS n_orders,
-       CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sum_price
+       CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -949,9 +949,9 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q41_ORACLE = """
 SELECT l_returnflag,
-       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS median_price,
-       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS p95_price,
-       CAST(ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS median_qty
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,10)), 2) AS DOUBLE) AS median_price,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(28,10)), 2) AS DOUBLE) AS p95_price,
+       CAST(ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(28,10)), 2) AS DOUBLE) AS median_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -977,16 +977,16 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q42 — statistical aggregates: stddev/variance (sample), Pearson
 # correlation, sample covariance. The profiling pass every dataset gets
 # before training. Floating-point sum order differs between engines;
-# the DECIMAL(18,2) rounding absorbs it (1-ulp differences sit ~1e-10
+# the 2-decimal rounding absorbs it (1-ulp differences sit ~1e-10
 # relative, far inside the rounding bucket).
 # ---------------------------------------------------------------------------
 
 _Q42_ORACLE = """
 SELECT l_returnflag,
-       CAST(ROUND(CAST(stddev_samp(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS sd_qty,
-       CAST(ROUND(CAST(var_samp(l_quantity) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS var_qty,
-       CAST(ROUND(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS corr_qty_price,
-       CAST(ROUND(CAST(covar_samp(l_discount, l_extendedprice) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cov_disc_price
+       CAST(ROUND(CAST(stddev_samp(l_quantity) AS DECIMAL(28,10)), 2) AS DOUBLE) AS sd_qty,
+       CAST(ROUND(CAST(var_samp(l_quantity) AS DECIMAL(28,10)), 2) AS DOUBLE) AS var_qty,
+       CAST(ROUND(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(28,10)), 2) AS DOUBLE) AS corr_qty_price,
+       CAST(ROUND(CAST(covar_samp(l_discount, l_extendedprice) AS DECIMAL(28,10)), 2) AS DOUBLE) AS cov_disc_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1073,11 +1073,11 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q44_ORACLE = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY day
 ORDER BY day
@@ -1112,7 +1112,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q45_SQL = """
 SELECT c_custkey, c_nationkey,
-       CAST(ROUND(CAST(c_acctbal AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS acctbal
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(28,10)), 2) AS DOUBLE) AS acctbal
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
@@ -1156,7 +1156,7 @@ WITH o AS (
   FROM o
 )
 SELECT o_custkey, MAX(n_band) AS max_band_orders,
-       CAST(ROUND(CAST(MAX(cents_band) / 100.0 AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS max_band_total
+       CAST(ROUND(CAST(MAX(cents_band) / 100.0 AS DECIMAL(28,10)), 2) AS DOUBLE) AS max_band_total
 FROM r
 GROUP BY o_custkey
 ORDER BY o_custkey

@@ -29,8 +29,8 @@ SELECT lang,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT sha256(LOWER(TRIM(text)))) AS n_distinct,
        COUNT(*) - COUNT(DISTINCT sha256(LOWER(TRIM(text)))) AS n_dup_docs,
-       CAST(ROUND(CAST(AVG(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_words,
-       CAST(ROUND(CAST(AVG(n_chars) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_chars
+       CAST(ROUND(CAST(AVG(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_words,
+       CAST(ROUND(CAST(AVG(n_chars) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -70,7 +70,7 @@ WITH q AS (
 )
 SELECT e.vec_id,
        e.label,
-       CAST(ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim
+       CAST(ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim
 FROM embeddings e, q
 WHERE e.label = q.qlabel AND e.vec_id <> 0
 ORDER BY cos_sim DESC, e.vec_id
@@ -158,7 +158,7 @@ WITH ws AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.d1 AS doc_id_1, i.d2 AS doc_id_2,
-       CAST(ROUND(CAST(CAST(i.common AS DOUBLE) / (s1.n + s2.n - i.common) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS jaccard
+       CAST(ROUND(CAST(CAST(i.common AS DOUBLE) / (s1.n + s2.n - i.common) AS DECIMAL(28,10)), 2) AS DOUBLE) AS jaccard
 FROM inter i
 JOIN sizes s1 ON i.d1 = s1.doc_id
 JOIN sizes s2 ON i.d2 = s2.doc_id
@@ -294,9 +294,9 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q26_ORACLE = r"""
 SELECT lang,
-       SUM(len(regexp_split_to_array(TRIM(text), '\s+'))) AS ws_tokens,
-       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
-       CAST(ROUND(CAST(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_bpe_tokens
+       CAST(SUM(len(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+       CAST(ROUND(CAST(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_bpe_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -402,9 +402,9 @@ WITH f AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       CAST(ROUND(CAST(AVG(score) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_quality,
-       CAST(ROUND(CAST(AVG(punct_ratio) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_punct_ratio,
-       CAST(ROUND(CAST(AVG(stopword_ratio) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_stopword_ratio
+       CAST(ROUND(CAST(AVG(score) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_quality,
+       CAST(ROUND(CAST(AVG(punct_ratio) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_punct_ratio,
+       CAST(ROUND(CAST(AVG(stopword_ratio) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_stopword_ratio
 FROM s
 GROUP BY source
 ORDER BY source
@@ -461,7 +461,7 @@ WITH t AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM v
 GROUP BY doc_id
 ORDER BY doc_id
@@ -495,7 +495,7 @@ WITH q AS (
   FROM j
 )
 SELECT query_id, vec_id,
-       CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim,
+       CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim,
        rn
 FROM r WHERE rn <= 3
 ORDER BY query_id, rn
@@ -523,7 +523,7 @@ WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
 SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-       CAST(ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim
+       CAST(ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim
 FROM v a JOIN v b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35
@@ -718,7 +718,7 @@ WITH v AS (
   FROM j
 )
 SELECT query_id, vec_id,
-       CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS cos_sim,
+       CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim,
        rn
 FROM r WHERE rn <= 3
 ORDER BY query_id, rn
@@ -758,8 +758,8 @@ WITH t AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) AS docs_with_the,
-       CAST(ROUND(CAST(AVG(len(ws)) AS DECIMAL(28,10)), 2) AS DECIMAL(18,2)) AS avg_words,
+       CAST(SUM(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_the,
+       CAST(ROUND(CAST(AVG(len(ws)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_words,
        COUNT(DISTINCT ws[1]) AS n_first_words,
        COUNT(DISTINCT ws[-1]) AS n_last_words
 FROM t

@@ -7,9 +7,15 @@ with no SQL-expressible oracle (approximate / iterative ops) set
 
 Determinism contract (FIXTURES.md "Determinism rules"):
 - total-order ORDER BY with key tie-breaks on every query;
-- every float output as CAST(ROUND(x, 2) AS DECIMAL(18,2)) on BOTH
-  engines so the decimal string — hence the driver's value hash — is
-  exact rather than ulp-sensitive;
+- every float output as CAST(ROUND(CAST(x AS DECIMAL(28,10)), 2) AS
+  DOUBLE) on BOTH engines: the decimal round makes the value exact
+  rather than ulp-sensitive, and the final DOUBLE keeps the fetched
+  representation identical (DECIMAL outputs stringify trailing-zero
+  cents differently across the engines' fetch paths — the round-1
+  hash-mismatch cause);
+- never emit DECIMAL or (DuckDB) HUGEINT: wrap oracle integer SUMs in
+  CAST(... AS BIGINT) — SUM(BIGINT) is HUGEINT, which pandas fetches
+  as float64 against Spark's int64;
 - timestamps out as formatted strings (engine-native temporal types
   stringify differently across drivers);
 - identical column aliases on both engines (the driver sorts columns by

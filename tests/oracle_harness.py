@@ -2,9 +2,19 @@
 
 Runs a registered query on Spark and its oracle SQL on DuckDB over the
 same parquet, then compares row count, column-name set, and canonical
-values (columns sorted by name, rows sorted, everything stringified) —
-the same discipline as CORRECTNESS_r{N}.json, so a green test here
-predicts a driver hash match.
+values — the same discipline as CORRECTNESS_r{N}.json, so a green test
+here predicts a driver hash match.
+
+Fidelity note (round-1 post-mortem): the driver's hash is sensitive to
+the *fetched representation*, not just the value — DuckDB DECIMAL(18,2)
+keeps trailing-zero cents ('248095.00') where a double prints
+'248095.0', and DuckDB SUM(BIGINT) yields HUGEINT which lands in pandas
+as float64 ('6.0') against Spark's int64 ('6'). Round 1's harness
+stringified Decimals identically on both sides and was green while the
+driver was red. This version therefore (a) fetches BOTH sides through
+pandas, the representation-lossy path, and (b) canonicalizes with the
+value's type CLASS (int-kind vs float-kind vs Decimal vs other), so any
+int/float/Decimal skew between the engines fails locally.
 """
 
 from __future__ import annotations
@@ -14,6 +24,7 @@ import os
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 
 TABLE_NAMES = (
     "region",
@@ -38,14 +49,28 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _cell(v) -> str:
+    """Type-class-tagged canonical form.
+
+    int-kind and float-kind values of equal magnitude must NOT collide
+    ('i:6' vs 'f:6.0' — the HUGEINT trap), and Decimal must keep its
+    scale ('dec:248095.00' — the trailing-zero trap). Int *width*
+    (int32 vs int64) intentionally collapses: the driver tolerates it
+    (q37's rank columns hash-matched in round 1 with Spark int32 vs
+    DuckDB int64).
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NULL"
-        return repr(v)
     if isinstance(v, Decimal):
-        return f"{v:f}"
+        return f"dec:{v}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else f"f:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if v is not v:  # pandas NaT and other non-reflexive missings
+        return "NULL"
     return str(v)
 
 
@@ -57,12 +82,18 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...
     return out
 
 
+def _pandas_rows(df) -> tuple[list[str], list[tuple]]:
+    """DataFrame → (columns, row tuples) keeping per-value numpy/object
+    types (``itertuples`` preserves dtype per cell; ``values`` would
+    upcast the whole block)."""
+    cols = [str(c) for c in df.columns]
+    rows = [tuple(t[1:]) for t in df.itertuples(name=None)]
+    return cols, rows
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
-    rel = con.execute(sql)
-    d_cols = [d[0] for d in rel.description]
-    d_rows = [tuple(r) for r in rel.fetchall()]
+    s_cols, s_rows = _pandas_rows(spark_df.toPandas())
+    d_cols, d_rows = _pandas_rows(con.execute(sql).df())
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
