@@ -870,27 +870,55 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q38 — approximate COUNT(DISTINCT) (HyperLogLog++) next to the exact
-# counts it approximates. No DuckDB oracle: HLL implementations differ
-# across engines, so the driver applies the rows-only check; the bound
-# |approx − exact| ≤ 3·rsd·exact is asserted by
-# tests/test_queries_oracle.py::test_q38_hll_error_bound
-# (Spark's default rsd = 0.05). Scale: this is THE cardinality operator
-# at 100 TB — fixed-size sketches merge tree-wise instead of shuffling
-# every distinct value like Q14's exact variant.
+# counts it approximates. HLL estimates are engine-specific, so the raw
+# approximate values can't be hash-checked against DuckDB; instead the
+# hashed output carries the exact counts plus a Spark-computed boolean
+# per sketch asserting the error contract |approx − exact| ≤ 3·rsd·exact
+# (rsd = 0.05, Spark's default). The oracle states the exact counts and
+# TRUE — so a sketch regression that breaks the bound flips the hash.
+# The raw approx values keep their own 3σ assertion in
+# tests/test_queries_oracle.py::test_q38_hll_error_bound.
+# Scale: this is THE cardinality operator at 100 TB — fixed-size
+# sketches merge tree-wise instead of shuffling every distinct value
+# like Q14's exact variant.
 # ---------------------------------------------------------------------------
 
+_Q38_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_within_3sigma,
+       TRUE AS supps_within_3sigma
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
-@query("q38_approx_distinct", oracle=None)
+_HLL_RSD = 0.05
+
+
+def _within_3sigma(approx, exact):
+    return F.abs(approx - exact) <= 3 * _HLL_RSD * exact
+
+
+@query("q38_approx_distinct", oracle=_Q38_ORACLE)
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct(l_partkey/l_suppkey) per returnflag + exact."""
+    """approx_count_distinct error contract vs exact, per returnflag."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
             F.countDistinct("l_suppkey").alias("exact_supps"),
+            F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("ap"),
+            F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("asup"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            _within_3sigma(F.col("ap"), F.col("exact_parts")).alias("parts_within_3sigma"),
+            _within_3sigma(F.col("asup"), F.col("exact_supps")).alias("supps_within_3sigma"),
         )
         .orderBy("l_returnflag")
     )

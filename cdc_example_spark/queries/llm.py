@@ -638,13 +638,48 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q34 — multimodal feature extraction via mapInPandas (rows-only check:
-# the Arrow/mapInPandas stage is not SQL-expressible; pytest verifies it
-# against a NumPy oracle instead).
+# q34 — multimodal feature extraction via mapInPandas, hash-checked: the
+# stub features are an L1-normalized byte histogram, so bucket COUNTS
+# are exactly recoverable as round(features[i] · n_bytes) (float32
+# relative error 6e-8 × counts ≤ 1e4 stays far below 0.5), and DuckDB
+# replays the histogram byte-by-byte over hex(encode(text)). This pins
+# the whole Arrow round trip — binary payload in, float vector out —
+# not just the row count.
 # ---------------------------------------------------------------------------
 
+_Q34_ORACLE = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         ((strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) - 1) * 16
+          + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 1) % 16 AS bucket
+  FROM h, UNNEST(range(LENGTH(hx) // 2)) AS t(i)
+), c AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bucket = 0  THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN bucket = 5  THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+         CAST(SUM(CASE WHEN bucket = 10 THEN 1 ELSE 0 END) AS BIGINT) AS b10,
+         CAST(SUM(CASE WHEN bucket = 15 THEN 1 ELSE 0 END) AS BIGINT) AS b15
+  FROM b GROUP BY doc_id
+)
+SELECT h.doc_id AS media_id, h.n_bytes, 16 AS dim,
+       COALESCE(c.b0, 0) AS bucket0, COALESCE(c.b5, 0) AS bucket5,
+       COALESCE(c.b10, 0) AS bucket10, COALESCE(c.b15, 0) AS bucket15
+FROM h LEFT JOIN c ON h.doc_id = c.doc_id
+ORDER BY media_id
+"""
 
-@query("q34_multimodal_features", oracle=None)
+
+def _bucket_count(idx: int):
+    # features is 0-indexed conceptually, element_at is 1-based
+    return F.round(F.element_at("features", idx + 1).cast("double") * F.col("n_bytes")).cast(
+        "bigint"
+    )
+
+
+@query("q34_multimodal_features", oracle=_Q34_ORACLE)
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake decode→feature stage over binary payloads."""
     from cdc_example_spark.operators import multimodal as M
@@ -656,7 +691,10 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         F.size("features").alias("dim"),
-        dec2(F.aggregate("features", F.lit(0.0), lambda a, x: a + x)).alias("feat_sum"),
+        _bucket_count(0).alias("bucket0"),
+        _bucket_count(5).alias("bucket5"),
+        _bucket_count(10).alias("bucket10"),
+        _bucket_count(15).alias("bucket15"),
     ).orderBy("media_id")
 
 
