@@ -78,12 +78,46 @@ class KeyedStateSink:
     # the CDC apply (foreachBatch body)
     # ------------------------------------------------------------------
 
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_applied_batch_id")
+
+    def last_applied_batch_id(self) -> int | None:
+        """High-watermark of the last fully merged batch id (None if
+        no batch carrying an id has been applied)."""
+        try:
+            with open(self._marker_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _record_batch_id(self, batch_id: int) -> None:
+        # write-then-rename so a crash mid-write never leaves a torn
+        # marker; a crash BETWEEN the merge and this rename re-delivers
+        # the batch, and the re-merge is idempotent (same LSN winners →
+        # same state), so the effect stays exactly-once either way.
+        tmp = self._marker_path() + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._marker_path())
+
     def apply_changes(self, changes: DataFrame, batch_id: int | None = None) -> None:
         """MERGE one micro-batch of routed changes (see envelope.route_changes).
 
         Expected columns: key_id, is_delete, after (struct), lsn, ts_ms.
+
+        When ``batch_id`` is passed (foreachBatch does), a persisted
+        high-watermark skips batches already fully merged — the
+        at-least-once redelivery window (crash between this sink's write
+        and the streaming checkpoint commit) becomes a metadata no-op
+        instead of a re-merge. Without an id the re-merge itself is
+        idempotent, so correctness never depends on the marker.
         """
         spark = changes.sparkSession
+        if batch_id is not None:
+            last = self.last_applied_batch_id()
+            if last is not None and batch_id <= last:
+                return
         # 1. intra-batch collapse: last write per key by (lsn, ts_ms) —
         #    an insert+update+delete of one key in one batch must land
         #    as exactly its final outcome.
@@ -115,6 +149,8 @@ class KeyedStateSink:
             #    (MessageEventTestListener.kt:19-23).
             touched = latest.select(F.col("key_id").alias(self.key)).distinct()
             self._merge(spark, touched, upserts)
+            if batch_id is not None:
+                self._record_batch_id(batch_id)
         finally:
             latest.unpersist()
 
@@ -196,10 +232,9 @@ class KeyedStateSink:
 
         with_id = requests.filter(F.col("id").isNotNull())
         missing = with_id.join(state.select("id"), on="id", how="left_anti")
-        n_missing = missing.limit(1).count()
-        if n_missing:
-            some = missing.select("id").first()[0]
-            raise KeyNotFoundError(f"update of non-existent key: {some}")
+        hit = missing.select("id").take(1)  # one driver round trip, not two
+        if hit:
+            raise KeyNotFoundError(f"update of non-existent key: {hit[0][0]}")
 
         inserts = requests.filter(F.col("id").isNull()).select(
             F.expr("uuid()").alias("id"),
@@ -220,7 +255,15 @@ class KeyedStateSink:
                 F.col("r.username").alias("username"),
             )
         )
-        new_rows = inserts.unionByName(updates)
+        # uuid() is NON-deterministic: _merge evaluates new_rows in two
+        # actions (the touched-bucket collect and the overwrite write).
+        # If re-evaluation generated different ids, written rows could
+        # hash into buckets absent from the collected list — and dynamic
+        # partition overwrite would then replace those directories with
+        # ONLY the new rows, silently dropping the live keys that were
+        # never read into `kept`. Materialize the generated ids once so
+        # both actions see identical keys.
+        new_rows = inserts.unionByName(updates).localCheckpoint(eager=True)
         touched = new_rows.select(F.col("id").alias(self.key)).distinct()
         self._merge(spark, touched, new_rows)
 

@@ -80,10 +80,14 @@ def lang_id_table(
     (:func:`predict_lang`) re-evaluates the tokenizer inside every score
     reference — fine for one-off use, ~10× slower in anger.
     """
+    # COALESCE(text, ''): exploding a NULL token array would DROP the
+    # document, while the SQL oracle's CASE would fall through NULL
+    # comparisons to its ELSE branch — with '' both engines tokenize an
+    # empty doc and predict 'und'.
     w = df.select(
         F.col(key_col),
         *[F.col(c) for c in extra_cols],
-        F.explode(words_col(F.col(text_col))).alias("_w"),
+        F.explode(words_col(F.coalesce(F.col(text_col), F.lit("")))).alias("_w"),
     )
     aggs = [
         F.count(F.when(F.col("_w").isin(*STOPWORDS[lang]), F.lit(1))).alias(f"_s_{lang}")

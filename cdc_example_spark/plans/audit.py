@@ -100,9 +100,20 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
         raise AssertionError(f"expected ≥{min_count} BroadcastHashJoin, found {n}")
 
 
-def assert_no_cartesian(df: DataFrame) -> None:
+def assert_no_cartesian(df: DataFrame, allow_bnlj: bool = False) -> None:
     """No CartesianProduct / BroadcastNestedLoopJoin without an explicit
-    opt-in — the ones that melt at 100 TB."""
+    opt-in — the ones that melt at 100 TB.
+
+    ``allow_bnlj=True`` is the opt-in for operators that intentionally
+    broadcast a tiny side into a theta-join (cosine_topk's query-set
+    broadcast); a CartesianProduct is never allowed.
+    """
     plan = explain_formatted(df)
     if "CartesianProduct" in plan:
         raise AssertionError("plan contains CartesianProduct")
+    if not allow_bnlj and "BroadcastNestedLoopJoin" in plan:
+        raise AssertionError(
+            "plan contains BroadcastNestedLoopJoin (a non-equi join that "
+            "degrades to per-row scans of the broadcast side at scale); "
+            "pass allow_bnlj=True only for intentional tiny-side theta-joins"
+        )

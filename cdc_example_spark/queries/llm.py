@@ -331,7 +331,10 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q27_ORACLE = r"""
 WITH t AS (
-  SELECT lang, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS ws FROM documents
+  -- COALESCE mirrors the operator: a NULL text tokenizes as '' and
+  -- predicts 'und' on both engines (without it, NULL scores would fall
+  -- through every CASE arm to 'zh' while Spark dropped the doc).
+  SELECT lang, regexp_split_to_array(LOWER(TRIM(COALESCE(text, ''))), '\s+') AS ws FROM documents
 ), s AS (
   SELECT lang,
          len(list_filter(ws, w -> w IN ('the','and','of','to','is')))   AS s_en,

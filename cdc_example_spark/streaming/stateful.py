@@ -72,6 +72,15 @@ def _apply_key(
         cur = [-1, -1, False, None, None, None, None, None]
 
     for pdf in pdfs:
+        # Normalize NULL lsn/ts_ms to -1 BEFORE ordering/comparing: in
+        # pandas a NULL long arrives as NaN, which (a) makes the
+        # stale-skip tuple compare always-False, (b) sorts LAST in
+        # sort_values (null would win), and (c) would be stored into a
+        # LongType state field. -1 makes nulls lose, matching
+        # keyed_state.py's desc_nulls_last order and the initial state
+        # sentinel.
+        pdf = pdf.copy()
+        pdf[["lsn", "ts_ms"]] = pdf[["lsn", "ts_ms"]].fillna(-1).astype("int64")
         # authoritative order: (lsn, ts_ms) — the batch may arrive shuffled
         pdf = pdf.sort_values(["lsn", "ts_ms"])
         for row in pdf.itertuples(index=False):

@@ -124,6 +124,50 @@ def test_s3_delete_and_insert_same_batch_collapses(spark, sink):
     assert rows_by_id(spark, sink) == {}
 
 
+def test_crash_replay_batch_is_exactly_once(spark, sink):
+    """foreachBatch redelivery (crash between sink write and checkpoint
+    commit) must leave state equal to the once-applied fold —
+    SURVEY.md §3.2.4: the reference is at-least-once; the sink claims
+    exactly-once *effect*, so the claim gets a crash test.
+    """
+    mid = str(uuid.uuid4())
+    other = str(uuid.uuid4())
+    t0 = "2025-10-26T10:00:00.000000Z"
+    batch1 = [
+        envelope("i", mid, after=row_image(mid, t0, t0, "v1", "bob"), lsn=100),
+        envelope("i", other, after=row_image(other, t0, t0, "x", "carol"), lsn=110),
+    ]
+    batch2 = [
+        envelope("u", mid, after=row_image(mid, t0, t0, "v2", "bob"), lsn=200),
+        envelope("d", other, after=None, lsn=210),
+    ]
+
+    def routed(records):
+        raw = spark.createDataFrame(records, "key STRING, value STRING")
+        return route_changes(decode_envelope(raw))
+
+    sink.apply_changes(routed(batch1), batch_id=1)
+    sink.apply_changes(routed(batch2), batch_id=2)
+    expected = rows_by_id(spark, sink)
+    assert expected[mid]["message"] == "v2" and other not in expected
+
+    # replay WITH the batch id (the foreachBatch shape): high-watermark
+    # makes redelivery a metadata no-op
+    sink.apply_changes(routed(batch2), batch_id=2)
+    assert rows_by_id(spark, sink) == expected
+    assert sink.last_applied_batch_id() == 2
+
+    # replay WITHOUT an id (marker unavailable): the re-merge itself
+    # must be idempotent against post-batch state — same LSN winners,
+    # same rows, and the redelivered delete of an absent key a no-op
+    sink.apply_changes(routed(batch2))
+    assert rows_by_id(spark, sink) == expected
+
+    # double replay for good measure (at-least-once can redeliver twice)
+    sink.apply_changes(routed(batch2))
+    assert rows_by_id(spark, sink) == expected
+
+
 def test_write_path_upsert_delete_semantics(spark, sink):
     """A12/A13: service-level upsert preserving create_time + delete."""
     now0 = dt.datetime(2025, 1, 1, 12, 0, 0)

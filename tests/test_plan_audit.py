@@ -120,14 +120,21 @@ def test_codegen_covers_batch_queries(spark, sf_dir):
         assert s["codegen_spans"] >= 1, (name, s)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [n for n in sorted(QUERIES) if n not in ("q22_cosine_top5", "q30_cosine_topk_multi", "q35_pandas_cosine_topk")],
-)
+# Queries that INTENTIONALLY broadcast a tiny side into a theta-join
+# (BroadcastNestedLoopJoin): the cosine top-k family broadcasts the
+# query-vector set; IVF broadcasts the centroid set. Everything else
+# must stay equi-join shaped, and nothing may plan a CartesianProduct.
+BNLJ_INTENTIONAL = {
+    "q22_cosine_top5",
+    "q30_cosine_topk_multi",
+    "q35_pandas_cosine_topk",
+    "q36_ivf_topk",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_query_plans_a_cartesian(name, spark, sf_dir):
-    # the cosine top-k queries intentionally broadcast-nested-loop the
-    # tiny query set; everything else must stay equi-join shaped.
-    assert_no_cartesian(q(name, spark, sf_dir))
+    assert_no_cartesian(q(name, spark, sf_dir), allow_bnlj=name in BNLJ_INTENTIONAL)
 
 
 def test_q37_windows_share_one_exchange(spark, sf_dir):
