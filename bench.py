@@ -46,9 +46,12 @@ def main() -> None:
         sf = -1.0
 
     from cdc_example_spark.queries import all_queries, registry
-    from cdc_example_spark.session import get_spark
+    from cdc_example_spark.session import get_spark, scale_profile
 
-    spark = get_spark("cdc_example_spark-bench")
+    # size the runtime profile to the benched input (see session.py:
+    # sub-GiB inputs run 8-way shuffles without AQE; cluster-scale
+    # inputs keep the scale defaults)
+    spark = get_spark("cdc_example_spark-bench", extra_conf=scale_profile(sf_dir))
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()

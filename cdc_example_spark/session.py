@@ -16,10 +16,43 @@ Pins the session to the engine's determinism + performance contract:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Below this many input bytes the runtime profile flips to "small":
+# 8-way shuffles and no AQE. Rationale (measured, BASELINE.md): at
+# sf0.1 (~60 MB) a 32-partition shuffle is 32 tasks of ~3 ms — pure
+# dispatch overhead — and AQE's per-stage re-planning rounds cost
+# ~60 ms/query against ~40 ms of real work. At cluster scale both
+# defaults are right: AQE coalescing IS the dynamic version of this
+# profile, but its savings only materialize when stages are big enough
+# to amortize the re-plan.
+SMALL_INPUT_BYTES = 2 * 1024**3
+
+
+def scale_profile(sf_dir: str) -> dict[str, str]:
+    """Runtime profile keyed on input scale, like any engine that sizes
+    its parallelism to the data (DuckDB sizes to the machine; Spark's
+    AQE re-sizes per stage). Statically picking the small profile for
+    sub-GiB inputs avoids paying AQE's re-planning latency to discover
+    what the input size already told us."""
+    try:
+        total = sum(f.stat().st_size for f in Path(sf_dir).glob("*.parquet"))
+    except OSError:
+        total = SMALL_INPUT_BYTES
+    if total and total < SMALL_INPUT_BYTES:
+        return {
+            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.adaptive.enabled": "false",
+            # sub-GiB shuffle blocks: LZ4 framing costs more than the
+            # bytes it saves (measured ~10-20 ms/query at sf0.1)
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        }
+    return {}
 
 
 def get_spark(
@@ -37,6 +70,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # local mode: the driver JVM IS the cluster — leaving it on the
+        # 1 GiB default makes every bench number a GC benchmark. On a
+        # real cluster spark-submit's --driver-memory overrides this.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the UI's listener bus retains every stage/task across a
+        # multi-hundred-stage session and slows job scheduling; an
+        # embedded engine has no use for the web UI.
+        .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
