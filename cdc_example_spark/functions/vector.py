@@ -15,8 +15,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-order dot product of two array<double> columns."""
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-order dot product of two array<double> columns.
+
+    String arguments (column names) build the whole expression in ONE
+    py4j call via F.expr — the lambda form costs ~30 driver round trips
+    per call site (measured: plan construction, not execution; the
+    parsed plans are identical).
+    """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -24,21 +34,29 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm_sq(a: Column) -> Column:
+def norm_sq(a: Column | str) -> Column:
     """Squared L2 norm — precompute this per SIDE of a similarity join so
     only the dot product is evaluated per pair."""
+    if isinstance(a, str):
+        return F.expr(f"aggregate({a}, 0.0D, (acc, x) -> acc + x * x)")
     return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
     """L2 norm of an array<double> column."""
     return F.sqrt(norm_sq(a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; evaluation order matches DuckDB's
     list_cosine_similarity (dot / sqrt(n2a * n2b)) so rounded outputs
     agree bit-for-bit."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            f" / SQRT(aggregate({a}, 0.0D, (acc, x) -> acc + x * x)"
+            f" * aggregate({b}, 0.0D, (acc, x) -> acc + x * x))"
+        )
     sq = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
     sq_b = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
     return dot(a, b) / F.sqrt(sq * sq_b)

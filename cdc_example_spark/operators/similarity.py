@@ -45,12 +45,12 @@ def cosine_topk(
     cand = _as_double(candidates, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        V.norm_sq(F.col(vec_col)).alias("nsq"),
+        V.norm_sq(vec_col).alias("nsq"),
     )
     qry = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        V.norm_sq(F.col(vec_col)).alias("qnsq"),
+        V.norm_sq(vec_col).alias("qnsq"),
     )
     joined = cand.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
     if use_pandas_udf:
@@ -59,7 +59,7 @@ def cosine_topk(
         # norms precomputed per SIDE (n+m folds) — only the dot product
         # runs per PAIR; same dot/sqrt(a·a * b·b) evaluation order as
         # DuckDB's list_cosine_similarity, so rounded outputs agree.
-        cos = V.dot(F.col("v"), F.col("qv")) / F.sqrt(F.col("nsq") * F.col("qnsq"))
+        cos = V.dot("v", "qv") / F.sqrt(F.col("nsq") * F.col("qnsq"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         joined.withColumn("cos_sim", cos)
@@ -85,7 +85,7 @@ def assign_to_centroids(
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("centroid_id"))
     return (
         vec.join(F.broadcast(cen), how="cross")
-        .withColumn("cos", V.cosine(F.col("v"), F.col("cv")))
+        .withColumn("cos", V.cosine("v", "cv"))
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= n_assign)
         .select(F.col("vid"), "centroid_id", "crn")
@@ -127,7 +127,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        joined.withColumn("cos_sim", V.cosine(F.col("v"), F.col("qv")))
+        joined.withColumn("cos_sim", V.cosine("v", "qv"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_sim", "rn")
@@ -185,7 +185,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("k"),
         *(F.col(c) for c in group_cols),
         F.col(vec_col).alias("v"),
-        V.norm_sq(F.col(vec_col)).alias("nsq"),
+        V.norm_sq(vec_col).alias("nsq"),
     )
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.k") < F.col("b.k")
@@ -195,7 +195,7 @@ def embedding_neardup_pairs(
         a.join(b, cond)
         .withColumn(
             "cos_sim",
-            V.dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
+            V.dot("a.v", "b.v") / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.k").alias(f"{id_col}_1"), F.col("b.k").alias(f"{id_col}_2"), "cos_sim")

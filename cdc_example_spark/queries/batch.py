@@ -966,9 +966,16 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q41 — exact percentiles (median / p95, linear interpolation). Both
-# engines interpolate continuously (Spark `percentile`, DuckDB
-# `quantile_cont`), so the 2-decimal rounded values hash-match.
+# Q41 — exact percentiles (median / p95, linear interpolation).
+# np.percentile's default linear interpolation computes exactly DuckDB's
+# quantile_cont, so the 2-decimal rounded values hash-match.
+# Implementation choice (measured): exact grouped percentile needs each
+# group's values in one place no matter what — Spark's JVM `percentile`
+# aggregate builds and merges a value→count OpenHashMap per group
+# (~memory O(distinct), here ~all 600k doubles), measured 1.19 s at
+# sf0.1; one Arrow hop + np.percentile (O(n) introselect) on the same
+# grouped data measures 0.55 s. Same memory contract, 2.2× faster — the
+# sanctioned pandas-UDF case (built-in genuinely loses).
 # Scale: exact percentile shuffles every value to its group — this is
 # the expensive-but-exact path; approx_percentile (t-digest sketch,
 # fixed memory, mergeable) is the 100 TB default and is asserted against
@@ -986,19 +993,38 @@ ORDER BY l_returnflag
 """
 
 
+def _q41_percentiles_pdf(pdf):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "median_price": [np.percentile(pdf["l_extendedprice"], 50)],
+            "p95_price": [np.percentile(pdf["l_extendedprice"], 95)],
+            "median_qty": [np.percentile(pdf["l_quantity"], 50)],
+        }
+    )
+
+
 @query("q41_percentiles", oracle=_Q41_ORACLE)
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (median, p95) with linear interpolation."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            dec2(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
-            dec2(F.percentile("l_extendedprice", F.lit(0.95))).alias("p95_price"),
-            dec2(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+    raw = (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            _q41_percentiles_pdf,
+            "l_returnflag string, median_price double, p95_price double, median_qty double",
         )
-        .orderBy("l_returnflag")
     )
+    return raw.select(
+        "l_returnflag",
+        dec2(F.col("median_price")).alias("median_price"),
+        dec2(F.col("p95_price")).alias("p95_price"),
+        dec2(F.col("median_qty")).alias("median_qty"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
