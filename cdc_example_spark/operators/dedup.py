@@ -309,26 +309,64 @@ def simhash_near_pairs(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     group_cols: tuple[str, ...] = ("lang",),
+    bits: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Pairs whose SimHash Hamming distance ≤ max_hamming.
+    """All pairs whose SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pairing is grouped (lang / shard) to bound the quadratic term; the
-    scale path blocks on SimHash prefix bands like LSH.
+    Pigeonhole banding (the classic near-duplicate trick from Manku,
+    Jain & Sarma's WWW'07 web-crawl dedup): split the ``bits``-bit
+    sketch into ``max_hamming + 1`` disjoint bit-bands — two hashes
+    within Hamming distance h differ in at most h bands, so they must
+    agree EXACTLY on at least one band. Blocking on (band index, band
+    bits) therefore has recall 1.0 — unlike MinHash-LSH banding this
+    candidate generation is lossless — and the final ``bit_count(xor)``
+    filter removes band-collision false positives.
+
+    Shape for scale (same as :func:`lsh_candidate_pairs`, pinned by
+    tests/test_plan_audit.py): the sketch pipeline runs ONCE — a
+    self-join would re-execute the explode+vote sketch for both sides
+    and go quadratic within groups — only (band, band-bits, sketch)
+    longs shuffle, and pairs are generated inside each bucket from a
+    collected, key-sorted struct array. Bucket size is bounded by the
+    count of docs sharing ``bits/(h+1)`` exact sketch bits within a
+    ``group_cols`` block; ``max_bucket`` caps pathological boilerplate
+    clusters (exact dups should be removed by :func:`exact_dedup`
+    first — identical docs share every band).
     """
-    s = simhash_table(df, text_col, key_col, extra_cols=tuple(group_cols)).select(
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    s = simhash_table(df, text_col, key_col, extra_cols=tuple(group_cols), bits=bits).select(
         F.col(key_col).alias("k"), *(F.col(c) for c in group_cols), F.col("simhash").alias("sh")
     )
-    a, b = s.alias("a"), s.alias("b")
-    cond = F.col("a.k") < F.col("b.k")
-    for c in group_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    entries = []
+    for b in range(n_bands):
+        off = b * width
+        w_b = bits - off if b == n_bands - 1 else width  # last band takes the remainder
+        mask = (1 << w_b) - 1
+        entries.append(F.expr(f"struct({b} AS band, shiftright(sh, {off}) & {mask}L AS key)"))
+    banded = s.select(
+        "k", "sh", *group_cols, F.explode(F.array(*entries)).alias("bk")
+    ).select("k", "sh", *group_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        banded.groupBy("band", "key", *group_cols)
+        .agg(F.expr("array_sort(collect_list(struct(k, sh))) AS ks"))
+        .filter(F.size("ks") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ks") <= max_bucket)
+    pairs = F.expr(
+        "flatten(transform(ks, (x, i) -> "
+        "  transform(slice(ks, i + 2, size(ks)), y -> "
+        "    struct(x.k AS k1, y.k AS k2, bit_count(x.sh ^ y.sh) AS hamming))))"
+    )
     return (
-        a.join(b, cond)
-        .withColumn("hamming", F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))))
-        .filter(F.col("hamming") <= max_hamming)
+        buckets.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.hamming") <= max_hamming)
         .select(
-            F.col("a.k").alias(f"{key_col}_1"),
-            F.col("b.k").alias(f"{key_col}_2"),
-            "hamming",
+            F.col("p.k1").alias(f"{key_col}_1"),
+            F.col("p.k2").alias(f"{key_col}_2"),
+            F.col("p.hamming").alias("hamming"),
         )
+        .distinct()
     )

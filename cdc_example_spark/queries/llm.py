@@ -832,3 +832,62 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — SimHash near-duplicate pairs via pigeonhole banding.
+# The oracle computes the same sketches (q29's arithmetic) and
+# brute-forces every same-lang pair — banding has recall 1.0 (distance
+# ≤ h forces exact agreement on one of h+1 bands) and the hamming
+# filter kills band collisions, so the banded pair-set must EQUAL the
+# quadratic oracle's (asserted row-for-row at sf0.001 in pytest). The
+# registered query hash-checks the pair-count histogram per Hamming
+# distance: this synthetic corpus is template-generated and saturates
+# the 32-bit sketch (~1.3M raw pairs at sf0.1), and shipping megarows
+# of pair ids would bench Arrow transfer, not the operator.
+# ---------------------------------------------------------------------------
+
+_Q47_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
+                                      w -> {_WORD_FP_SQL})) AS fps
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, UNNEST(fps) AS f FROM t
+), v AS (
+  SELECT doc_id, lang, bit,
+         SUM((CAST(FLOOR(f / POWER(2, bit)) AS BIGINT) % 2) * 2 - 1) AS vote
+  FROM b, (SELECT UNNEST(range(32)) AS bit) bits
+  GROUP BY doc_id, lang, bit
+), sh AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM v
+  GROUP BY doc_id, lang
+), p AS (
+  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
+@query("q47_simhash_near_pairs", oracle=_Q47_ORACLE)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pair histogram (Hamming ≤ 3, per lang)."""
+    from cdc_example_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        docs, text_col="text", key_col="doc_id", max_hamming=3, group_cols=("lang",)
+    )
+    return (
+        pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

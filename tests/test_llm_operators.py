@@ -71,6 +71,37 @@ def test_simhash_exact_dups_have_zero_hamming(spark, sf_dir):
     assert all(0 <= r["sh"] < 2**32 for r in rows)
 
 
+def test_simhash_near_pairs_match_bruteforce(spark, sf_dir):
+    """Banded blocking is LOSSLESS for Hamming ≤ h (pigeonhole over h+1
+    bands), so the operator's pair-set must EQUAL the quadratic
+    brute-force reference — not just approximate it."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = D.simhash_table(docs, extra_cols=("lang",)).collect()
+    by_lang: dict[str, list] = {}
+    for r in sketches:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["simhash"]))
+    expected = set()
+    for rows in by_lang.values():
+        rows.sort()
+        for i, (d1, s1) in enumerate(rows):
+            for d2, s2 in rows[i + 1 :]:
+                h = bin(s1 ^ s2).count("1")
+                if h <= 3:
+                    expected.add((d1, d2, h))
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["hamming"])
+        for r in D.simhash_near_pairs(docs, max_hamming=3, group_cols=("lang",)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_simhash_near_pairs_max_bucket_caps_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = D.simhash_near_pairs(docs, max_hamming=3, group_cols=("lang",), max_bucket=2)
+    uncapped = D.simhash_near_pairs(docs, max_hamming=3, group_cols=("lang",))
+    assert capped.count() <= uncapped.count()
+
+
 def test_multimodal_features_match_numpy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(25)
     media = M.to_media(docs, id_col="doc_id", payload_col="text")

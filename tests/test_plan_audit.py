@@ -95,6 +95,17 @@ def test_lsh_plan_is_single_scan_no_join(spark, sf_dir):
     assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
 
 
+def test_simhash_pairs_plan_is_single_scan_no_join(spark, sf_dir):
+    # banded SimHash pairing (operators/dedup.py simhash_near_pairs)
+    # must keep the LSH shape: sketch pipeline runs once, pairs are
+    # generated in-bucket — one scan, zero joins.
+    df = q("q47_simhash_near_pairs", spark, sf_dir)
+    assert_no_cartesian(df)
+    s = plan_summary(df)
+    assert s["scans"] == 1, s
+    assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
+
+
 def test_scan_count_is_bounded(spark, sf_dir):
     # q24 generates pairs from per-shingle posting lists, so the whole
     # query is ONE pass over documents — a self-join shape would scan
