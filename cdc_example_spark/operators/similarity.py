@@ -16,6 +16,8 @@ cost without rewriting.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -134,6 +136,37 @@ def ivf_topk(
     )
 
 
+def srp_buckets(n_bits: int, n_tables: int, seed: int = 0x5EED):
+    """Signed-random-projection LSH signatures for cosine similarity.
+
+    Returns a pandas_udf mapping array<double> → array<long> of
+    ``n_tables`` bucket ids; table t's id packs the sign bits of the
+    vector against ``n_bits`` hyperplanes drawn from a seeded RNG
+    (deterministic across batches/executors — every row sees the same
+    hyperplanes). Two vectors at angle θ agree on one hyperplane bit
+    with P = 1 − θ/π, on a whole table with P^n_bits; near-dups
+    (cos ≥ 0.95 ⇒ θ ≤ 18°, P ≈ 0.9) collide in ≥1 of L tables with
+    1 − (1 − 0.9^b)^L — b=8, L=4 gives ~0.93 recall, and the exact
+    cosine verify keeps precision at 1.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        G = np.vstack(v.to_numpy())
+        out = np.empty((len(G), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            H = np.random.default_rng(seed + t).standard_normal((G.shape[1], n_bits))
+            bits = (G @ H) >= 0
+            acc = np.zeros(len(G), dtype=np.int64)
+            for b in range(n_bits):
+                acc = acc * 2 + bits[:, b]
+            out[:, t] = acc
+        return pd.Series(list(out))
+
+    return _buckets
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -141,24 +174,46 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     group_cols: tuple[str, ...] = ("label",),
     use_pandas_udf: bool = True,
+    lsh_bits: int | None = None,
+    lsh_tables: int = 4,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2) within groups.
 
-    Grouped pairing bounds the quadratic blow-up; the ungrouped scale
-    path goes through ivf/LSH blocking first."""
-    if use_pandas_udf and group_cols:
+    Grouped pairing bounds the quadratic blow-up. ``lsh_bits`` composes
+    the blocking key to (group_cols × SRP bucket) — the 100 TB shape:
+    a bare label can hold millions of vectors, whose in-group n×n
+    cosine matrix would not fit one executor, but (label, 2^b-way SRP
+    bucket) splits every label into data-independent slices while
+    near-identical vectors still collide in ≥1 of ``lsh_tables`` tables
+    (recall math in :func:`srp_buckets`; pairs are deduped across
+    tables). ``max_group`` is the memory guard: blocks still larger
+    than the cap are dropped, like lsh_candidate_pairs' max_bucket —
+    raise ``lsh_bits`` if the guard fires on real data.
+    """
+    if use_pandas_udf and (group_cols or lsh_bits):
         # Grouped-matmul path: one applyInPandas group per blocking key —
         # Arrow ships each vector ONCE (not once per pair) and a single
         # BLAS G·Gᵀ replaces |pairs| interpreted folds. Arithmetic is the
         # same dot/sqrt(a·a * b·b) as the JVM path (cross-checked in
         # tests). At 100 TB the blocking key is (label, LSH bucket) so no
         # single group exceeds executor memory.
-        import numpy as np
-        import pandas as pd
-
         v = _as_double(vectors, vec_col).select(
             F.col(id_col).alias("k"), *(F.col(c) for c in group_cols), F.col(vec_col).alias("v")
         )
+        block_cols = list(group_cols)
+        if lsh_bits is not None:
+            v = v.select(
+                "*", F.posexplode(srp_buckets(lsh_bits, lsh_tables)(F.col("v"))).alias("t", "bkt")
+            )
+            block_cols += ["t", "bkt"]
+        if max_group is not None:
+            # same-key window count rides the blocking shuffle (no extra
+            # exchange); blocks over the cap are dropped, not OOM'd
+            w = Window.partitionBy(*block_cols)
+            v = v.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+                F.col("_n") <= max_group
+            ).drop("_n")
         thr = float(threshold)
 
         def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -173,13 +228,16 @@ def embedding_neardup_pairs(
                 {"k1": ids[i[keep]], "k2": ids[j[keep]], "cos_sim": C[i[keep], j[keep]]}
             )
 
-        return (
-            v.groupBy(*group_cols)
+        out = (
+            v.groupBy(*block_cols)
             .applyInPandas(pairs, schema="k1 long, k2 long, cos_sim double")
             .select(
                 F.col("k1").alias(f"{id_col}_1"), F.col("k2").alias(f"{id_col}_2"), "cos_sim"
             )
         )
+        if lsh_bits is not None:
+            out = out.distinct()  # a pair may collide in several tables
+        return out
 
     v = _as_double(vectors, vec_col).select(
         F.col(id_col).alias("k"),

@@ -172,6 +172,52 @@ def test_neardup_matmul_and_jvm_kernels_agree(spark, sf_dir):
     assert grouped == joined and len(grouped) > 0
 
 
+def test_neardup_composed_lsh_blocking_handles_skewed_labels(spark, sf_dir):
+    """The 100 TB blocking shape: (label × SRP bucket). A label holding
+    90% of the corpus exceeds max_group, so label-only blocking must
+    DROP it (guard fires, no OOM) — while the composed key still finds
+    its near-dup pairs because SRP buckets slice the mega-label into
+    bounded blocks with near-identical vectors colliding."""
+    rng = np.random.default_rng(7)
+    rows, dim = [], 16
+    for cluster in range(100):
+        base = rng.standard_normal(dim)
+        label = "big" if cluster < 90 else f"small{cluster % 4}"
+        for copy in range(4):
+            vec = base + 0.01 * rng.standard_normal(dim)
+            rows.append((cluster * 4 + copy, label, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    # brute-force truth (within label, cos >= 0.98)
+    import itertools
+
+    by_label: dict[str, list] = {}
+    for vid, label, vec in rows:
+        by_label.setdefault(label, []).append((vid, np.array(vec)))
+    expected = set()
+    for vs in by_label.values():
+        for (i1, v1), (i2, v2) in itertools.combinations(vs, 2):
+            if v1 @ v2 / np.sqrt((v1 @ v1) * (v2 @ v2)) >= 0.98:
+                expected.add((min(i1, i2), max(i1, i2)))
+    assert len(expected) >= 400  # ~6 pairs per cluster
+
+    # label-only blocking with the guard: the 360-row label is dropped
+    label_only = S.embedding_neardup_pairs(
+        df, 0.98, group_cols=("label",), max_group=50
+    )
+    kept = {(r["vec_id_1"], r["vec_id_2"]) for r in label_only.collect()}
+    assert kept and all(p in expected for p in kept)
+    assert len(kept) < len(expected) // 2  # big label's pairs are gone
+
+    # composed (label × SRP bucket): bounded blocks AND the pairs back
+    composed = S.embedding_neardup_pairs(
+        df, 0.98, group_cols=("label",), lsh_bits=8, lsh_tables=4, max_group=50
+    )
+    got = {(r["vec_id_1"], r["vec_id_2"]) for r in composed.collect()}
+    assert all(p in expected for p in got)  # exact verify ⇒ precision 1
+    assert len(got) >= 0.8 * len(expected), (len(got), len(expected))
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """approx_count_distinct is the 100 TB cardinality path (bench-only
     per SURVEY §2.2 — HLL values differ across engines, so it is not in
