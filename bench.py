@@ -104,6 +104,49 @@ def main() -> None:
         collect(prepared)  # memoized plan + shuffle reuse
         resubmit[name] = round(time.perf_counter() - t2, 3)
 
+    # Approx sketch tiers — the 100 TB defaults (fixed-size, mergeable
+    # sketches) timed next to their exact twins so the scale
+    # recommendation carries a measured number, not prose. Values are
+    # engine-specific (t-digest / HLL++), so these are bench-only; the
+    # error envelopes are pinned in pytest
+    # (test_q41_approx_percentile_tracks_exact,
+    #  test_approx_count_distinct_within_tolerance).
+    approx_tiers: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from cdc_example_spark.sources.catalog import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+
+        def bench_approx(label: str, df: DataFrame) -> None:
+            collect(df)  # cold: plan + JIT
+            fresh_df = replan(df)
+            t = time.perf_counter()
+            collect(fresh_df)
+            approx_tiers[label] = round(time.perf_counter() - t, 3)
+
+        bench_approx(
+            "q41_approx_percentile",
+            li.groupBy("l_returnflag")
+            .agg(
+                F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000).alias("pcts_price"),
+                F.percentile_approx("l_quantity", 0.5, 10_000).alias("median_qty"),
+            )
+            .orderBy("l_returnflag"),
+        )
+        bench_approx(
+            "q38_approx_count_distinct",
+            li.groupBy("l_returnflag")
+            .agg(
+                F.approx_count_distinct("l_partkey", 0.05).alias("ap_parts"),
+                F.approx_count_distinct("l_suppkey", 0.05).alias("ap_supps"),
+            )
+            .orderBy("l_returnflag"),
+        )
+    except Exception as e:  # pragma: no cover — never kill the T1 report
+        approx_tiers["error"] = repr(e)[:200]  # type: ignore[assignment]
+
     # CDC apply throughput (BASELINE T2) on the same session — 100k
     # synthetic Debezium envelopes through decode → route → MERGE.
     try:
@@ -128,6 +171,7 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "construct_total_sec": round(sum(construct.values()), 3),
                 "resubmit_total_sec": round(sum(resubmit.values()), 3),
+                "approx_tiers": approx_tiers,
                 **cdc_fields,
                 "sf": sf,
             }

@@ -26,6 +26,8 @@ reproducible in plain SQL on any engine.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -34,6 +36,20 @@ from cdc_example_spark.functions import text as T
 
 #: MinHash modulus and deterministic per-permutation coefficients.
 MINHASH_P = 1_000_000_007
+
+#: 16-bit popcount table (64 KB, built once per worker import) — this
+#: numpy is pre-2.0 (no np.bitwise_count); four lookups cover 64 bits.
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    x = x.astype(np.uint64)
+    return (
+        _POP16[x & 0xFFFF]
+        + _POP16[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
+        + _POP16[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
+        + _POP16[x >> np.uint64(48)]
+    ).astype(np.int64)
 
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
@@ -327,12 +343,23 @@ def simhash_near_pairs(
     tests/test_plan_audit.py): the sketch pipeline runs ONCE — a
     self-join would re-execute the explode+vote sketch for both sides
     and go quadratic within groups — only (band, band-bits, sketch)
-    longs shuffle, and pairs are generated inside each bucket from a
-    collected, key-sorted struct array. Bucket size is bounded by the
-    count of docs sharing ``bits/(h+1)`` exact sketch bits within a
-    ``group_cols`` block; ``max_bucket`` caps pathological boilerplate
-    clusters (exact dups should be removed by :func:`exact_dedup`
-    first — identical docs share every band).
+    longs shuffle, and pairs are generated inside each bucket. Bucket
+    size is bounded by the count of docs sharing ``bits/(h+1)`` exact
+    sketch bits within a ``group_cols`` block; ``max_bucket`` caps
+    pathological boilerplate clusters (exact dups should be removed by
+    :func:`exact_dedup` first — identical docs share every band).
+
+    Two engineering choices, both measured at sf0.1 (template-heavy
+    corpus, ~1.3M true pairs):
+    - each pair is emitted from its FIRST matching band only — both
+      buckets hold the full sketches, so "did an earlier band also
+      match?" is computed in-place, replacing a global distinct() that
+      shuffled every candidate (2.4 s of a 3.3 s query);
+    - in-bucket pairing runs as a vectorized numpy kernel
+      (applyInPandas per bucket: one XOR matrix + table-lookup
+      popcount), 3.3 s → ~1.7 s vs the JVM higher-order-function
+      emission of per-candidate structs — the sanctioned pandas case
+      (built-in expression eval genuinely loses on ~5M candidates).
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
@@ -348,25 +375,44 @@ def simhash_near_pairs(
     banded = s.select(
         "k", "sh", *group_cols, F.explode(F.array(*entries)).alias("bk")
     ).select("k", "sh", *group_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = (
-        banded.groupBy("band", "key", *group_cols)
-        .agg(F.expr("array_sort(collect_list(struct(k, sh))) AS ks"))
-        .filter(F.size("ks") > 1)
-    )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ks") <= max_bucket)
-    pairs = F.expr(
-        "flatten(transform(ks, (x, i) -> "
-        "  transform(slice(ks, i + 2, size(ks)), y -> "
-        "    struct(x.k AS k1, y.k AS k2, bit_count(x.sh ^ y.sh) AS hamming))))"
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .filter(F.col("p.hamming") <= max_hamming)
-        .select(
-            F.col("p.k1").alias(f"{key_col}_1"),
-            F.col("p.k2").alias(f"{key_col}_2"),
-            F.col("p.hamming").alias("hamming"),
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"k1": pd.Series(dtype="int64"), "k2": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
         )
-        .distinct()
+        n = len(pdf)
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return empty
+        pdf = pdf.sort_values("k")
+        ks = pdf["k"].to_numpy(dtype=np.int64)
+        sh = pdf["sh"].to_numpy(dtype=np.int64)
+        band = int(pdf["band"].iloc[0])
+        hm = _popcount64(sh[:, None] ^ sh[None, :])
+        # first-match filter: drop pairs that already matched an
+        # earlier band (exactly-once emission without a global distinct)
+        first = np.ones((n, n), dtype=bool)
+        for b2 in range(band):
+            off = b2 * width
+            w2 = bits - off if b2 == n_bands - 1 else width
+            bb = (sh >> off) & ((1 << w2) - 1)
+            first &= bb[:, None] != bb[None, :]
+        i, j = np.triu_indices(n, 1)
+        keep = (hm[i, j] <= max_hamming) & first[i, j]
+        return pd.DataFrame(
+            {"k1": ks[i[keep]], "k2": ks[j[keep]], "hamming": hm[i, j][keep]}
+        )
+
+    # pre-partition by the grouping key so the applyInPandas stage runs
+    # at full parallelism (the grouping reuses this exact partitioning;
+    # with shuffle.partitions=4 under the small profile the heaviest
+    # buckets would otherwise straggle on one task)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    grouped = banded.repartition(n_parts, "band", "key", *group_cols).groupBy(
+        "band", "key", *group_cols
+    )
+    return grouped.applyInPandas(bucket_pairs, "k1 long, k2 long, hamming long").select(
+        F.col("k1").alias(f"{key_col}_1"),
+        F.col("k2").alias(f"{key_col}_2"),
+        "hamming",
     )
