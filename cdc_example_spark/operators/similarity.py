@@ -65,7 +65,7 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         joined.withColumn("cos_sim", cos)
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_sim", "rn")
     )
@@ -130,7 +130,7 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         joined.withColumn("cos_sim", V.cosine("v", "qv"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_sim", "rn")
     )

@@ -341,7 +341,12 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("c_nationkey", "c_custkey", dec2(F.col("c_acctbal")).alias("acctbal"), "rn")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            dec2(F.col("c_acctbal")).alias("acctbal"),
+            F.col("rn").cast("long").alias("rn"),
+        )
         .orderBy("c_nationkey", "rn")
     )
 
@@ -558,10 +563,10 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("p_name").alias("name_upper"),
             F.substring("p_name", 1, 8).alias("name_pfx"),
             F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.trim(F.col("p_name")).alias("name_trim"),
             F.regexp_extract(F.col("p_brand"), r"#?([0-9]+)$", 1).alias("brand_num"),
-            (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1).alias("n_words"),
+            (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1).cast("long").alias("n_words"),
         )
         .orderBy("p_partkey")
     )
@@ -856,10 +861,10 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             "bal_band",
-            F.row_number().over(w2).alias("rn"),
-            F.rank().over(w1).alias("rnk"),
-            F.dense_rank().over(w1).alias("drnk"),
-            F.ntile(4).over(w2).alias("quartile"),
+            F.row_number().over(w2).cast("long").alias("rn"),
+            F.rank().over(w1).cast("long").alias("rnk"),
+            F.dense_rank().over(w1).cast("long").alias("drnk"),
+            F.ntile(4).over(w2).cast("long").alias("quartile"),
             F.first("c_custkey").over(w2).alias("richest_cust"),
             F.last("c_custkey").over(w2_full).alias("poorest_cust"),
         )
