@@ -90,6 +90,11 @@ def main() -> None:
     cold: dict[str, float] = {}
     construct: dict[str, float] = {}
     resubmit: dict[str, float] = {}
+    # Per-query cold → fresh → resubmit, deliberately interleaved: the
+    # fresh run right after the same query's cold run measures with that
+    # plan shape's generated code hot in the JIT/code cache — a phased
+    # all-colds-then-all-fresh ordering was measured 70% SLOWER on the
+    # fresh tier (47 plan shapes evict each other between passes).
     for name in sorted(qs):
         t0 = time.perf_counter()
         prepared = qs[name].spark(spark, sf_dir)
