@@ -1246,3 +1246,101 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — AS-OF JOIN: for each click event, the user's most recent error
+# event at or before it (inclusive). Spark has no asof operator; the
+# union-merge encoding (operators/asof.py) does it with one shuffle and
+# ZERO join nodes — the oracle uses DuckDB's native ASOF LEFT JOIN, so
+# the hash check is a true cross-engine semantics check of the
+# encoding, nulls (users with no prior error) included.
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+_Q48_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), errs AS (
+  SELECT user_id, ts, event_id AS err_id, ts AS err_ts, value AS err_value
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.event_id,
+       strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+       e.err_id,
+       strftime(e.err_ts, '{_TS_FMT_DUCK}') AS err_ts,
+       CAST(ROUND(CAST(e.err_value AS DECIMAL(28,10)), 2) AS DOUBLE) AS err_value
+FROM clicks c ASOF LEFT JOIN errs e ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
+@query("q48_asof_join", oracle=_Q48_ORACLE)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent same-user error at or before each click (as-of join)."""
+    from cdc_example_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    joined = asof_join(
+        clicks, errs, on=["user_id"], left_ts="ts", right_ts="ts", tiebreak="err_id"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+        "err_id",
+        F.date_format("err_ts", _TS_FMT_SPARK).alias("err_ts"),
+        dec2(F.col("err_value")).alias("err_value"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q49 — changelog time travel: per-user state as of a fixed instant —
+# the batch twin of the CDC sink's last-write-wins MERGE (the snapshot
+# a consumer would read "as of T"). One partial-aggregating max_by per
+# key; no window sort over historical versions.
+# ---------------------------------------------------------------------------
+
+_Q49_AS_OF = "2024-02-15 00:00:00"
+
+_Q49_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '{_Q49_AS_OF}'
+)
+SELECT user_id, event_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS state_ts,
+       event_type,
+       CAST(ROUND(CAST(value AS DECIMAL(28,10)), 2) AS DOUBLE) AS value
+FROM v WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@query("q49_snapshot_at", oracle=_Q49_ORACLE)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot of each user's latest event (time travel)."""
+    from cdc_example_spark.operators.asof import snapshot_at
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    snap = snapshot_at(ev, keys=["user_id"], ts_col="ts", as_of=_Q49_AS_OF, tiebreak="event_id")
+    return snap.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("state_ts"),
+        "event_type",
+        dec2(F.col("value")).alias("value"),
+    ).orderBy("user_id")

@@ -305,3 +305,43 @@ def test_plain_python_udf_surface(spark, sf_dir):
         .count()
     )
     assert mismatch == 0
+
+
+def test_asof_join_null_payload_and_ties(spark, sf_dir):
+    """The struct transport must carry a NULL payload column through a
+    real match (last(ignorenulls) must not skip past it), and equal
+    timestamps must resolve deterministically by tiebreak."""
+    from cdc_example_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 1, None), (1, 150, 2, 7.0), (1, 150, 3, None), (2, 101, 4, 9.0)],
+        "k long, t long, rid long, payload double",
+    )
+    got = {
+        (r["k"], r["t"]): (r["rid"], r["payload"])
+        for r in asof_join(left, right, on=["k"], left_ts="t", right_ts="t", tiebreak="rid").collect()
+    }
+    assert got[(1, 100)] == (1, None)  # real match whose payload IS null
+    assert got[(1, 200)] == (3, None)  # tie at t=150 -> max rid wins
+    assert got[(2, 100)] == (None, None)  # right row is later: no match
+
+
+def test_snapshot_at_tombstones(spark, sf_dir):
+    from cdc_example_spark.operators.asof import snapshot_at
+    from pyspark.sql import functions as F
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "a", False),
+            (1, 20, "b", True),   # delete wins at t<=25
+            (2, 15, "c", False),
+            (2, 30, "d", False),  # after the snapshot point
+        ],
+        "k long, t long, v string, is_delete boolean",
+    )
+    snap = snapshot_at(log, keys=["k"], ts_col="t", as_of=F.lit(25), delete_col="is_delete")
+    got = {r["k"]: r["v"] for r in snap.collect()}
+    assert got == {2: "c"}  # key 1 tombstoned; key 2's later version excluded

@@ -106,6 +106,25 @@ def test_simhash_pairs_plan_is_single_scan_no_join(spark, sf_dir):
     assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
 
 
+def test_asof_join_plans_no_join_node(spark, sf_dir):
+    # asof_join is the union-merge encoding (operators/asof.py): a
+    # range theta-join would plan BroadcastNestedLoopJoin and melt at
+    # scale; the encoding must produce ZERO join nodes of any kind.
+    df = q("q48_asof_join", spark, sf_dir)
+    assert_no_cartesian(df)
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
+
+
+def test_snapshot_at_is_partial_agg_not_window(spark, sf_dir):
+    # time travel must aggregate (max_by partial agg: one candidate per
+    # key per map task) — a row_number window would sort every
+    # historical version through one shuffle.
+    plan = q("q49_snapshot_at", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan or "MaxBy" in plan, plan[:2000]
+    assert "partial_max_by" in plan or "partial" in plan.lower(), plan[:2000]
+
+
 def test_scan_count_is_bounded(spark, sf_dir):
     # q24 generates pairs from per-shingle posting lists, so the whole
     # query is ONE pass over documents — a self-join shape would scan
