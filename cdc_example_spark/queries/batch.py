@@ -1344,3 +1344,64 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         dec2(F.col("value")).alias("value"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q50 — range (interval) join: clicks within one hour AFTER each error,
+# per user, as a bucketed equi-join (operators/rangejoin.py) — the raw
+# inequality join would plan the BroadcastNestedLoopJoin that
+# plans/audit.py bans. Aggregated per error event; errors with no
+# follow-up clicks count 0 via the left join.
+# ---------------------------------------------------------------------------
+
+_Q50_ORACLE = """
+WITH errs AS (
+  SELECT user_id, event_id AS err_id, ts AS err_ts FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT e.user_id, e.err_id,
+       CAST(COUNT(c.click_ts) AS BIGINT) AS n_clicks_1h
+FROM errs e LEFT JOIN clicks c
+  ON e.user_id = c.user_id
+ AND c.click_ts >= e.err_ts
+ AND c.click_ts <= e.err_ts + INTERVAL 1 HOUR
+GROUP BY e.user_id, e.err_id
+ORDER BY e.user_id, e.err_id
+"""
+
+
+@query("q50_range_join", oracle=_Q50_ORACLE)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 1h after each error (bucketed interval join)."""
+    from cdc_example_spark.operators.rangejoin import range_join
+
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("err_us"),
+        (F.unix_micros("ts") + hour_us).alias("err_hi_us"),
+    )
+    joined = range_join(
+        clicks,
+        errs,
+        on=["user_id"],
+        left_point="click_us",
+        right_lo="err_us",
+        right_hi="err_hi_us",
+        bucket_width=hour_us,
+    )
+    counts = joined.groupBy("user_id", "err_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    return (
+        errs.select("user_id", "err_id")
+        .join(counts, ["user_id", "err_id"], "left")
+        .select("user_id", "err_id", F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"))
+        .orderBy("user_id", "err_id")
+    )

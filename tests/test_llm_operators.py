@@ -345,3 +345,23 @@ def test_snapshot_at_tombstones(spark, sf_dir):
     snap = snapshot_at(log, keys=["k"], ts_col="t", as_of=F.lit(25), delete_col="is_delete")
     got = {r["k"]: r["v"] for r in snap.collect()}
     assert got == {2: "c"}  # key 1 tombstoned; key 2's later version excluded
+
+
+def test_range_join_bucket_width_is_not_a_correctness_knob(spark, sf_dir):
+    """Any bucket width must give identical rows (including widths
+    smaller than the interval, where intervals span several buckets)."""
+    from cdc_example_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 99), (2, 10)], "k long, p long"
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 9, 50, "b"), (2, 11, 20, "c")], "k long, lo long, hi long, tag string"
+    )
+    expected = {(1, 5, "a"), (1, 10, "a"), (1, 10, "b")}
+    for width in (3, 10, 1000):
+        got = {
+            (r["k"], r["p"], r["tag"])
+            for r in range_join(left, right, ["k"], "p", "lo", "hi", bucket_width=width).collect()
+        }
+        assert got == expected, width
