@@ -97,3 +97,28 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: Column | str, ho
     """Stream–static join (reference A8 analog): the static side is
     (re)broadcast per micro-batch; no state, no watermark needed."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream join with bounded state (S7; batch twin = Q50's
+    bucketed range join).
+
+    ``on`` must include an equality on the key AND a two-sided event-time
+    constraint (e.g. ``r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 HOUR``):
+    Spark derives each side's state-eviction horizon from the watermark
+    plus that interval, so state size is (rate × (watermark + interval
+    length)) per side, not unbounded. Pre-alias the sides — both carry
+    event-time columns. Works identically on batch frames (the
+    watermark is a no-op there), which is how the S7 suite proves
+    stream == batch."""
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    return l.join(r, on, how)

@@ -300,3 +300,57 @@ def test_s5_complete_mode_memory_sink(spark, sf_dir, tmp_path):
         for r in q18(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_s7_stream_stream_interval_join_equals_batch_q50(spark, sf_dir, tmp_path):
+    """S7: two branches of the replayed event stream (errors, clicks)
+    joined on user + [err_ts, err_ts + 1h] must produce exactly the
+    matched pairs of Q50's (oracle-checked) batch range join."""
+    from cdc_example_spark.streaming.windows import stream_stream_interval_join
+
+    stream = replay_events_as_stream(spark, sf_dir, str(tmp_path / "replay"), n_files=3)
+    errs = stream.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = stream_stream_interval_join(
+        errs, clicks, cond, left_ts="err_ts", right_ts="click_ts", watermark="2 hours"
+    )
+    pairs: set = set()
+
+    def absorb(batch_df, _bid):
+        pairs.update((r["err_id"], r["click_id"]) for r in batch_df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    ev = load_table(spark, sf_dir, "events")
+    b_errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    b_clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    batch_pairs = {
+        (r["err_id"], r["click_id"])
+        for r in b_errs.join(
+            b_clicks,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("err_ts"))
+            & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert pairs == batch_pairs and len(pairs) > 0
