@@ -365,3 +365,39 @@ def test_range_join_bucket_width_is_not_a_correctness_knob(spark, sf_dir):
             for r in range_join(left, right, ["k"], "p", "lo", "hi", bucket_width=width).collect()
         }
         assert got == expected, width
+
+
+def test_salted_join_equals_plain_join_under_skew(spark, sf_dir):
+    """Salting is routing, not semantics: results must equal the plain
+    join exactly, including duplicate right keys and left-outer nulls,
+    and the rows per reducer for the hot key must actually spread."""
+    from cdc_example_spark.operators.skew import salted_join
+
+    # 90% of left rows share one key; right has duplicate keys too
+    left = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot-a"), (1, "hot-b")] + [(k, f"d{k}") for k in range(2, 52)],
+        "k long, dim string",
+    )
+    for how in ("inner", "left"):
+        plain = {(r["k"], r["payload"], r["dim"]) for r in left.join(right, "k", how).collect()}
+        salted = {
+            (r["k"], r["payload"], r["dim"])
+            for r in salted_join(left, right, ["k"], salt_factor=8, how=how).collect()
+        }
+        assert salted == plain and len(salted) > 0, how
+
+    # the hot key's rows really do land on several salt values
+    from pyspark.sql import functions as F
+
+    salts = (
+        left.withColumn("_salt", F.floor(F.rand(42) * 8).cast("int"))
+        .filter(F.col("k") == 1)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 4
