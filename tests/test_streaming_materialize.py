@@ -125,3 +125,60 @@ def test_kafka_source_wiring(spark):
     with pytest.raises(AnalysisException) as e:
         kafka_cdc_source(spark, "localhost:9092")
     assert "kafka" in str(e.value).lower()
+
+
+def test_restart_from_checkpoint_continues_not_reprocesses(spark, tmp_path):
+    """Stop-and-restart contract: a second run over the same checkpoint
+    must pick up ONLY the files that arrived since the first run (offset
+    log), re-deliver nothing, and leave state equal to the full fold."""
+    import json
+    import os
+    import uuid
+
+    from tests.cdc_fixtures import envelope, row_image
+    from cdc_example_spark.operators.keyed_state import KeyedStateSink
+    from cdc_example_spark.streaming.materialize import file_cdc_source, materialize
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = KeyedStateSink(path=str(tmp_path / "state"))
+    k1, k2 = str(uuid.uuid4()), str(uuid.uuid4())
+    t0 = "2025-10-26T10:00:00.000000Z"
+
+    def write(name, records):
+        with open(os.path.join(src, name), "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    write("b0.jsonl", [envelope("i", k1, after=row_image(k1, t0, t0, "v1", "alice"), lsn=100)])
+    write("b1.jsonl", [envelope("i", k2, after=row_image(k2, t0, t0, "x1", "bob"), lsn=110)])
+
+    batches_run1: list[int] = []
+    q = materialize(
+        file_cdc_source(spark, src), sink, checkpoint_dir=ckpt,
+        on_batch=lambda df, bid: batches_run1.append(bid), trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    state1 = {r["id"]: r["message"] for r in sink.snapshot(spark).collect()}
+    assert state1 == {k1: "v1", k2: "x1"}
+
+    # new files arrive while "down": an update and a delete
+    write("b2.jsonl", [envelope("u", k1, after=row_image(k1, t0, t0, "v2", "alice"), lsn=200)])
+    write("b3.jsonl", [envelope("d", k2, after=None, lsn=210)])
+
+    batches_run2: list[int] = []
+    q2 = materialize(
+        file_cdc_source(spark, src), sink, checkpoint_dir=ckpt,
+        on_batch=lambda df, bid: batches_run2.append(bid), trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    state2 = {r["id"]: r["message"] for r in sink.snapshot(spark).collect()}
+    assert state2 == {k1: "v2"}
+    # only the NEW files were delivered, with batch ids continuing the log
+    assert len(batches_run2) >= 1
+    assert min(batches_run2) > max(batches_run1)
+    assert sink.last_applied_batch_id() == max(batches_run2)
