@@ -4,9 +4,10 @@
 (MessageWebSocketHandler.kt:68-77): ``{type: UPSERT|DELETE, id,
 content?}`` with ``content`` null on delete. ``broadcast_frames``
 reproduces serialize-once / per-subscriber error isolation
-(MessageWebSocketHandler.kt:56-66). The actual WebSocket server is
-optional — the container has no websockets lib, so subscribers are
-plain callables (a real deployment registers socket senders).
+(MessageWebSocketHandler.kt:56-66). Subscribers are plain
+``str -> None`` callables; a real socket endpoint ships in
+``streaming/websocket.py`` (stdlib RFC 6455 server) — its
+``WsHub.broadcast`` plugs in here directly.
 """
 
 from __future__ import annotations
