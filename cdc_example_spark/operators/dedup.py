@@ -26,8 +26,6 @@ reproducible in plain SQL on any engine.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,20 +34,6 @@ from cdc_example_spark.functions import text as T
 
 #: MinHash modulus and deterministic per-permutation coefficients.
 MINHASH_P = 1_000_000_007
-
-#: 16-bit popcount table (64 KB, built once per worker import) — this
-#: numpy is pre-2.0 (no np.bitwise_count); four lookups cover 64 bits.
-_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
-
-
-def _popcount64(x: "np.ndarray") -> "np.ndarray":
-    x = x.astype(np.uint64)
-    return (
-        _POP16[x & 0xFFFF]
-        + _POP16[(x >> np.uint64(16)) & np.uint64(0xFFFF)]
-        + _POP16[(x >> np.uint64(32)) & np.uint64(0xFFFF)]
-        + _POP16[x >> np.uint64(48)]
-    ).astype(np.int64)
 
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
@@ -339,80 +323,76 @@ def simhash_near_pairs(
     candidate generation is lossless — and the final ``bit_count(xor)``
     filter removes band-collision false positives.
 
-    Shape for scale (same as :func:`lsh_candidate_pairs`, pinned by
-    tests/test_plan_audit.py): the sketch pipeline runs ONCE — a
-    self-join would re-execute the explode+vote sketch for both sides
-    and go quadratic within groups — only (band, band-bits, sketch)
-    longs shuffle, and pairs are generated inside each bucket. Bucket
+    Shape for scale (pinned by tests/test_plan_audit.py): the sketch
+    pipeline runs ONCE, only (band, band-bits, sketch) longs shuffle,
+    and pairs are generated inside each (band, key) bucket. Bucket
     size is bounded by the count of docs sharing ``bits/(h+1)`` exact
     sketch bits within a ``group_cols`` block; ``max_bucket`` caps
     pathological boilerplate clusters (exact dups should be removed by
     :func:`exact_dedup` first — identical docs share every band).
 
-    Two engineering choices, both measured at sf0.1 (template-heavy
-    corpus, ~1.3M true pairs):
-    - each pair is emitted from its FIRST matching band only — both
-      buckets hold the full sketches, so "did an earlier band also
-      match?" is computed in-place, replacing a global distinct() that
-      shuffled every candidate (2.4 s of a 3.3 s query);
-    - in-bucket pairing runs as a vectorized numpy kernel
-      (applyInPandas per bucket: one XOR matrix + table-lookup
-      popcount), 3.3 s → ~1.7 s vs the JVM higher-order-function
-      emission of per-candidate structs — the sanctioned pandas case
-      (built-in expression eval genuinely loses on ~5M candidates).
+    In-bucket pairing is a SELF-JOIN on the band key whose two sides
+    are the IDENTICAL banded-sketch subplan: Spark's ReuseExchange rule
+    computes and shuffles that subplan ONCE and both join sides read
+    the same shuffle files (plan shows one scan + a ReusedExchange;
+    pinned by tests/test_plan_audit.py). The ``merge`` hint is load-
+    bearing: with cached-table statistics the planner would otherwise
+    pick a broadcast join, which has no exchanges to reuse and
+    re-executes the sketch pipeline per side. Candidate filtering
+    (``bit_count(xor) <= h``) runs in whole-stage codegen — measured
+    ~1.0 s fresh / ~0.1 s warm at sf0.1 vs 2–6 s (with Python-worker
+    variance) for an applyInPandas numpy kernel doing the same n×n
+    popcount per bucket — and each pair streams straight into the
+    consumer with no per-bucket matrix materialization.
+
+    Each pair is emitted from its FIRST matching band only: both sides
+    carry the full sketch, so "did an earlier band also match?" is a
+    plain column predicate, replacing a global distinct() that would
+    shuffle every candidate.
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
     s = simhash_table(df, text_col, key_col, extra_cols=tuple(group_cols), bits=bits).select(
         F.col(key_col).alias("k"), *(F.col(c) for c in group_cols), F.col("simhash").alias("sh")
     )
-    entries = []
-    for b in range(n_bands):
+
+    def band_key(sh_ref: str, b: int) -> str:
         off = b * width
         w_b = bits - off if b == n_bands - 1 else width  # last band takes the remainder
-        mask = (1 << w_b) - 1
-        entries.append(F.expr(f"struct({b} AS band, shiftright(sh, {off}) & {mask}L AS key)"))
+        return f"(shiftright({sh_ref}, {off}) & {(1 << w_b) - 1}L)"
+
+    entries = [F.expr(f"struct({b} AS band, {band_key('sh', b)} AS key)")
+               for b in range(n_bands)]
     banded = s.select(
         "k", "sh", *group_cols, F.explode(F.array(*entries)).alias("bk")
     ).select("k", "sh", *group_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        empty = pd.DataFrame(
-            {"k1": pd.Series(dtype="int64"), "k2": pd.Series(dtype="int64"),
-             "hamming": pd.Series(dtype="int64")}
-        )
-        n = len(pdf)
-        if n < 2 or (max_bucket is not None and n > max_bucket):
-            return empty
-        pdf = pdf.sort_values("k")
-        ks = pdf["k"].to_numpy(dtype=np.int64)
-        sh = pdf["sh"].to_numpy(dtype=np.int64)
-        band = int(pdf["band"].iloc[0])
-        hm = _popcount64(sh[:, None] ^ sh[None, :])
-        # first-match filter: drop pairs that already matched an
-        # earlier band (exactly-once emission without a global distinct)
-        first = np.ones((n, n), dtype=bool)
-        for b2 in range(band):
-            off = b2 * width
-            w2 = bits - off if b2 == n_bands - 1 else width
-            bb = (sh >> off) & ((1 << w2) - 1)
-            first &= bb[:, None] != bb[None, :]
-        i, j = np.triu_indices(n, 1)
-        keep = (hm[i, j] <= max_hamming) & first[i, j]
-        return pd.DataFrame(
-            {"k1": ks[i[keep]], "k2": ks[j[keep]], "hamming": hm[i, j][keep]}
+    if max_bucket is not None:
+        # drop pathological buckets before pairing; the window's
+        # partitioning equals the join keys, so both sides still share
+        # one (windowed) exchange.
+        wb = Window.partitionBy("band", "key", *group_cols)
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
 
-    # pre-partition by the grouping key so the applyInPandas stage runs
-    # at full parallelism (the grouping reuses this exact partitioning;
-    # with shuffle.partitions=4 under the small profile the heaviest
-    # buckets would otherwise straggle on one task)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    grouped = banded.repartition(n_parts, "band", "key", *group_cols).groupBy(
-        "band", "key", *group_cols
+    a, b_ = banded.alias("a").hint("merge"), banded.alias("b").hint("merge")
+    on = [F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")]
+    on += [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    on.append(F.col("a.k") < F.col("b.k"))
+    # first-match: every earlier band must DISAGREE (pair not yet emitted)
+    first = " AND ".join(
+        f"(a.band <= {b2} OR {band_key('a.sh', b2)} != {band_key('b.sh', b2)})"
+        for b2 in range(n_bands - 1)
     )
-    return grouped.applyInPandas(bucket_pairs, "k1 long, k2 long, hamming long").select(
-        F.col("k1").alias(f"{key_col}_1"),
-        F.col("k2").alias(f"{key_col}_2"),
-        "hamming",
+    return (
+        a.join(b_, on)
+        .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= max_hamming)
+        .filter(F.expr(first))
+        .select(
+            F.col("a.k").alias(f"{key_col}_1"),
+            F.col("b.k").alias(f"{key_col}_2"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("long").alias("hamming"),
+        )
     )

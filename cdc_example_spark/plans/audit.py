@@ -53,6 +53,7 @@ def plan_summary(df: DataFrame) -> dict[str, int]:
         "broadcast_joins": tree.count("BroadcastHashJoin"),
         "sort_merge_joins": tree.count("SortMergeJoin"),
         "scans": tree.count("Scan parquet"),
+        "reused_exchanges": tree.count("ReusedExchange"),
         "codegen_spans": codegen_ops,
     }
 

@@ -168,6 +168,18 @@ ORDER BY doc_id_1, doc_id_2
 
 #: 3-word shingles of the (already split) word array `ws`; guarded CASE
 #: because sequence(1, 0) would descend, not produce empty.
+#:
+#: NOTE (measured, sf0.1): building the deduped shingle-hash set as one
+#: array expression (array_distinct ∘ transform ∘ element_at) instead of
+#: explode → collect_set looks like it should drop a shuffle, but runs
+#: 14× SLOWER (15–20 s vs ~1 s): InferFiltersFromGenerate derives a
+#: `size(set) > 0` filter under the later explode, and predicate
+#: pushdown INLINES the whole set expression into it — re-evaluating the
+#: word-split per element_at reference, O(words²) per doc. The
+#: explode → collect_set shape keeps every expensive alias behind a
+#: Generate (which pushdown won't cross), and its extra shuffle is
+#: 8-byte hashes — cheap. Excluding the optimizer rule fixes the array
+#: form but is session-global; not worth it.
 _SHINGLES = """
 CASE WHEN size(ws) >= 3
      THEN transform(sequence(1, size(ws) - 2),
@@ -176,41 +188,33 @@ CASE WHEN size(ws) >= 3
 END
 """
 
-#: NOTE (measured, sf0.1): building the deduped shingle-hash set as one
-#: array expression (array_distinct ∘ transform ∘ element_at) instead of
-#: explode → collect_set looks like it should drop a shuffle, but runs
-#: 14× SLOWER (20 s vs 1.4 s): InferFiltersFromGenerate derives a
-#: `size(set) > 0` filter under the later explode, and predicate
-#: pushdown INLINES the whole set expression into it — re-evaluating the
-#: word-split per element_at reference, O(words²) per doc. The
-#: explode → collect_set shape keeps every expensive alias behind a
-#: Generate (which pushdown won't cross), and its extra shuffle is
-#: 8-byte hashes — cheap. Excluding the optimizer rule fixes the array
-#: form but is session-global; not worth it.
-
 
 @query("q24_jaccard_neardup_pairs", oracle=_Q24_ORACLE)
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-set Jaccard ≥ 0.8 pairs (in-bucket pair counting)."""
+    """Exact shingle-set Jaccard ≥ 0.8 pairs (shared-scan self-join)."""
     docs = load_table(spark, sf_dir, "documents")
     # One pass builds each doc's deduped shingle-hash set AND its size;
-    # the exploded rows carry n, so no post-hoc size lookups. 8-byte
-    # xxhash64 keys instead of ~30-byte shingle strings; the hash is
-    # engine-internal (never compared to the oracle), and a 64-bit
+    # the exploded rows carry n, so no post-hoc size lookups.
+    #
+    # Pair counting is a self-join of the exploded posting rows on
+    # (shingle hash, lang) — but the two sides are the IDENTICAL
+    # subplan, so ReuseExchange computes and shuffles the scan→shingle→
+    # explode pipeline ONCE and both sides read the same shuffle files
+    # (one corpus pass at 100 TB; pinned by tests/test_plan_audit.py).
+    # The `merge` hint is load-bearing: with cached-table statistics the
+    # planner would pick a broadcast join, which has no exchange to
+    # reuse and re-executes the pipeline per side. Joined pairs stream
+    # through a map-side partial count (the intersection size) with no
+    # posting-list arrays materialized — measured ~1.0 s fresh at sf0.1
+    # vs 1.3–2.3 s (with 9 s allocation-noise spikes) for collect_list +
+    # in-bucket flatten pair generation.
+    #
+    # NULL langs can never pair in the oracle (its join needs
+    # a.lang = b.lang); the join's equality keys preserve exactly that.
+    # 8-byte xxhash64 keys instead of ~30-byte shingle strings; the hash
+    # is engine-internal (never compared to the oracle), and a 64-bit
     # collision is ~1e-8 per corpus — irrelevant next to the 2-decimal
     # rounding of the output.
-    #
-    # Pair generation mirrors operators/dedup.lsh_candidate_pairs: group
-    # the posting list of each shingle hash and emit (d1 < d2) pairs
-    # INSIDE the bucket, instead of a self-join whose two sides would
-    # each re-execute the whole scan + shingle pipeline (2 full corpus
-    # passes at 100 TB; locally the table cache hides it). Per-shingle
-    # doc frequency bounds the bucket quadratic — that term is the
-    # intersection size itself, and 3-gram frequency stays low even on
-    # small vocabularies.
-    # NULL langs can never pair in the oracle (its join needs
-    # a.lang = b.lang), but groupBy buckets NULLs together — filter them
-    # so the in-bucket rewrite keeps the self-join's NULL semantics.
     sets = (
         docs.filter(F.col("lang").isNotNull())
         .select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
@@ -221,33 +225,21 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = sets.select(
         "doc_id", "lang", F.size("set").alias("n"), F.explode("set").alias("w")
     )
-    posting = (
-        tok.groupBy("w", "lang")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    ds = F.col("ds")
-    pairs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("d1"),
-                    y["doc_id"].alias("d2"),
-                    x["n"].alias("n1"),
-                    y["n"].alias("n2"),
-                ),
-            ),
-        )
-    )
+    a, b = tok.alias("a").hint("merge"), tok.alias("b").hint("merge")
     inter = (
-        posting.select(F.explode(pairs).alias("p"))
+        a.join(
+            b,
+            [
+                F.col("a.w") == F.col("b.w"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
         .groupBy(
-            F.col("p.d1").alias("d1"),
-            F.col("p.d2").alias("d2"),
-            F.col("p.n1").alias("n1"),
-            F.col("p.n2").alias("n2"),
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )

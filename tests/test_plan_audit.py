@@ -95,15 +95,21 @@ def test_lsh_plan_is_single_scan_no_join(spark, sf_dir):
     assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
 
 
-def test_simhash_pairs_plan_is_single_scan_no_join(spark, sf_dir):
-    # banded SimHash pairing (operators/dedup.py simhash_near_pairs)
-    # must keep the LSH shape: sketch pipeline runs once, pairs are
-    # generated in-bucket — one scan, zero joins.
+def test_simhash_pairs_plan_shares_one_sketch_pass(spark, sf_dir):
+    # banded SimHash pairing (operators/dedup.py simhash_near_pairs) is
+    # a self-join on the band key, but its two sides must be ONE shared
+    # exchange (ReuseExchange): exactly one corpus scan, one merge join,
+    # never a broadcast (which would re-execute the sketch pipeline per
+    # side and has no exchange to reuse).
     df = q("q47_simhash_near_pairs", spark, sf_dir)
     assert_no_cartesian(df)
+    # under AQE, exchange reuse happens via runtime stage caching — only
+    # the executed (final) plan shows the ReusedExchange / single scan.
+    df.collect()
     s = plan_summary(df)
     assert s["scans"] == 1, s
-    assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
+    assert s["sort_merge_joins"] == 1 and s["broadcast_joins"] == 0, s
+    assert s["reused_exchanges"] >= 1, s
 
 
 def test_asof_join_plans_no_join_node(spark, sf_dir):
@@ -126,11 +132,15 @@ def test_snapshot_at_is_partial_agg_not_window(spark, sf_dir):
 
 
 def test_scan_count_is_bounded(spark, sf_dir):
-    # q24 generates pairs from per-shingle posting lists, so the whole
-    # query is ONE pass over documents — a self-join shape would scan
-    # (and re-shingle) the corpus once per side.
-    s = plan_summary(q("q24_jaccard_neardup_pairs", spark, sf_dir))
+    # q24's posting self-join must share ONE scan→shingle→explode pass
+    # between its two sides via ReuseExchange — a broadcast join (no
+    # exchange to reuse) would re-shingle the corpus once per side.
+    df = q("q24_jaccard_neardup_pairs", spark, sf_dir)
+    df.collect()  # AQE: reuse only materializes in the final plan
+    s = plan_summary(df)
     assert s["scans"] == 1, s
+    assert s["sort_merge_joins"] == 1 and s["broadcast_joins"] == 0, s
+    assert s["reused_exchanges"] >= 1, s
 
 
 def test_projection_prunes_documents_scan(spark, sf_dir):
