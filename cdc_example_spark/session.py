@@ -89,6 +89,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps read as TimestampType (LTZ), not NTZ:
+        # with the UTC session this is an exact relabel and keeps the
+        # timestamp-function surface + scan pushdown (see sources/catalog.py).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # 128MB input splits: right-sized map tasks at 100TB; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -146,6 +146,13 @@ def load_table(
         return plans[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Driver testdata stores naive timestamp[us]; Spark 4 would infer
+    # TIMESTAMP_NTZ, which half the timestamp function surface
+    # (unix_micros, window, watermarks) rejects. Disabling NTZ inference
+    # makes the SCAN yield TimestampType directly — wall-clock identical
+    # to DuckDB's naive read under the pinned UTC session, and pushdown
+    # on the column is preserved (a per-column cast would defeat it).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos → microsecond timestamp (floor division keeps
