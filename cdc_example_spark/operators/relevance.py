@@ -1,0 +1,197 @@
+"""Corpus-relevance operators: TF-IDF, BM25, n-gram vocabulary.
+
+The retrieval/curation trio a training-data pipeline runs over a raw
+corpus: term weighting (which words characterize a document), query
+relevance (which documents match a probe query — the standard data-
+curation trick of ranking a crawl against a quality prompt), and
+vocabulary building (the n-gram frequency table that seeds a tokenizer).
+
+Everything is JVM-side column expressions over a whitespace tokenizer
+(functions/text.words) — no UDFs, no collect. Scale shapes:
+
+- the token stream (the 100 TB object) is reduced to per-(doc, term)
+  counts by a map-side-combined hash aggregate before anything else
+  touches it; raw tokens never cross a shuffle un-aggregated;
+- corpus-level statistics (doc counts, average doc length, per-term
+  document frequency over a bounded query vocabulary) are tiny
+  aggregates that broadcast back to the big side;
+- top-k-per-group selections express as rank-filtered windows, which
+  Spark ≥3.5 executes with WindowGroupLimit: each map task keeps only
+  its local top-k before the shuffle, so the sort never sees the full
+  group (tests/test_plan_audit.py pins this for the ranking queries).
+
+Reference parity: the reference has no text operators at all
+(SURVEY.md §2.1); this module is part of the BASELINE.json:6 mandated
+LLM-data-pipeline extension, same discipline as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_example_spark.functions import text as T
+
+#: BM25 shape parameters (Robertson/Spärck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tokens(df: DataFrame, text_col: str, keep: Sequence[str]) -> DataFrame:
+    """Lower-cased whitespace tokens of ``text_col``, one row per token,
+    carrying ``keep``. The explode happens after column pruning, so the
+    only wide value in flight is the token itself."""
+    return df.select(
+        *keep, F.explode(T.words(F.lower(F.col(text_col)))).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_col: str = "lang",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document, IDF scoped per ``corpus_col``.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) with N = docs in
+    the corpus partition and df = docs containing the term (smoothed so
+    a corpus-universal term scores 0 instead of exploding).
+
+    Plan: token stream → (corpus, doc, term) hash agg (map-side
+    combine; the ONLY pass over raw text) → df via a count window over
+    (corpus, term) on the already-aggregated tf rows → N per corpus as
+    a broadcast dim → per-doc rank window, WindowGroupLimit-pruned.
+    """
+    tf = (
+        _tokens(docs, text_col, (corpus_col, id_col))
+        .groupBy(corpus_col, id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.groupBy(corpus_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    df_w = Window.partitionBy(corpus_col, "term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .join(F.broadcast(n_docs), corpus_col)
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1)),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "rnk", "tfidf")
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against a bag of query terms.
+
+    score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·
+               tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+
+    Only documents containing ≥1 query term participate (BM25 of a
+    non-matching doc is 0). The top-k cut orders by the 2-decimal
+    rounded score with ``id_col`` tie-break — rounding first makes the
+    cut reproducible across engines whose ln() differ in the last ulp.
+
+    Plan: doc lengths in the same pass that tokenizes; the token stream
+    is filtered to the query vocabulary BEFORE the (doc, term) agg, so
+    the shuffle carries only query-term hits; df (≤|query| rows) and
+    the corpus stats (1 row) broadcast back; final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    from cdc_example_spark.queries.util import dec2
+
+    lens = docs.select(
+        id_col, T.words(F.lower(F.col(text_col))).alias("ws")
+    ).withColumn("dl", F.size("ws"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        lens.select(id_col, "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    # the corpus-stats frame is ONE row: broadcasting it into a
+    # nested-loop join is the intentional tiny-build-side pattern the
+    # plan audit allowlists (same shape as the cosine query-set
+    # broadcast) — a literal-key equi-join would just be constant-folded
+    # back into this.
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            dec2(F.sum("s")).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 5,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Top-``k`` most frequent word ``n``-grams per ``group_col`` —
+    the vocabulary/statistics table a tokenizer trainer starts from.
+
+    n-grams build as a JVM ``transform`` over the token array (no UDF,
+    no extra pass); counts are map-side-combined; the per-group top-k
+    is a WindowGroupLimit-pruned rank. Ties (equal counts) break on the
+    n-gram string, so the output is a total order — integer counts make
+    it reproducible bit-for-bit on any engine.
+    """
+    toks = docs.select(group_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+    # sequence(0, size-n) is DESCENDING when size < n (Spark extends
+    # sequences both ways) — guard short docs to an empty n-gram list.
+    grams = F.when(
+        F.size(F.col("ws")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(ws) - {n}), "
+            f"i -> concat_ws(' ', slice(ws, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toks.select(group_col, F.explode(grams).alias("ngram"))
+        .groupBy(group_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_occurrences").desc(), "ngram"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, "rnk", "ngram", "n_occurrences")
+    )

@@ -10,5 +10,6 @@ from cdc_example_spark.queries.registry import Query, all_queries, query
 # Side-effect imports: each module registers its queries.
 from cdc_example_spark.queries import batch as _batch  # noqa: F401
 from cdc_example_spark.queries import llm as _llm  # noqa: F401
+from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 
 __all__ = ["Query", "all_queries", "query"]

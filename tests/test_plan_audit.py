@@ -169,6 +169,8 @@ BNLJ_INTENTIONAL = {
     "q30_cosine_topk_multi",
     "q35_pandas_cosine_topk",
     "q36_ivf_topk",
+    # BM25 broadcasts its 1-row corpus-stats frame (N, avgdl)
+    "q52_bm25_search",
 }
 
 
