@@ -60,3 +60,24 @@ def _char_fold(s: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(FP_MOD),
     )
+
+def shingles(ws: Column, n: int = 3) -> Column:
+    """n-word shingles of a token array; empty when the doc is shorter
+    than n (guarded: sequence(1, 0) would DESCEND, not produce empty).
+
+    Mirrors queries/llm._SHINGLES, as a reusable Column form. Note the
+    optimizer trap documented there: never feed this through
+    array_distinct under a later explode — InferFiltersFromGenerate
+    inlines the whole expression into a derived filter, re-evaluating
+    the split per element reference (measured 14× slower). Explode
+    first, dedup after.
+    """
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

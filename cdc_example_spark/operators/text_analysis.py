@@ -142,3 +142,68 @@ def quality_score(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Order-sensitive rolling-hash fingerprint (functions.text)."""
     return T.rolling_fingerprint(text)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: total vs distinct 3-word shingles.
+
+    The Gopher-style repetition quality signal — a doc whose shingle
+    stream is mostly duplicates is boilerplate/spam. rep_frac =
+    1 − distinct/total ∈ [0, 1); docs shorter than one shingle get no
+    row (nothing to measure).
+
+    Scale: explode → ONE map-side-combined hash agg per doc; one
+    distinct column next to plain counts takes Catalyst's two-level
+    no-Expand path (same note as q38). The text column never crosses
+    the shuffle — only (id, shingle) pairs.
+    """
+    sh = df.select(
+        id_col,
+        F.explode(T.shingles(T.words(F.lower(F.col(text_col))))).alias("s"),
+    )
+    return sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.countDistinct("s").alias("distinct_shingles"),
+        (
+            1 - F.countDistinct("s") / F.count(F.lit(1))
+        ).alias("rep_frac"),
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    bench_max_id: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its
+    distinct 3-word shingles appear in ANY benchmark doc (the GPT-3 /
+    Llama eval-overlap check, with ``doc_id < bench_max_id`` standing
+    in for the benchmark suite).
+
+    Output (only docs with ≥1 shared shingle): n_shingles, n_shared,
+    overlap_frac = n_shared / n_shingles.
+
+    Scale: the benchmark shingle SET is small by construction (eval
+    suites are MBs, the corpus is the 100 TB side) → broadcast; the
+    corpus side is one explode → distinct → two aggs; the join ships
+    no text, only shingle strings (swap in 8-byte fingerprints at
+    scale, same shape as q24's posting lists).
+    """
+    sh = df.select(
+        id_col,
+        F.explode(T.shingles(T.words(F.lower(F.col(text_col))))).alias("s"),
+    ).distinct()
+    bench = sh.filter(F.col(id_col) < bench_max_id).select("s").distinct()
+    corpus = sh.filter(F.col(id_col) >= bench_max_id)
+    sizes = corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return sizes.join(shared, id_col).withColumn(
+        "overlap_frac", F.col("n_shared") / F.col("n_shingles")
+    )

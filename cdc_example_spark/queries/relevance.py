@@ -1,12 +1,13 @@
-"""Q51–Q54 — corpus relevance + deterministic sampling queries.
+"""Q51–Q56 — corpus relevance, sampling, and curation queries.
 
 The retrieval/curation layer of the LLM-data-pipeline surface
 (BASELINE.json:6): term weighting (TF-IDF), query relevance (BM25 —
 the standard crawl-vs-quality-prompt curation ranker), reproducible
-stratified sampling, and n-gram vocabulary building. Operators live in
-operators/relevance.py and operators/sampling.py; this module binds
-them to the driver tables with DuckDB oracles under the registry's
-determinism contract.
+stratified sampling, n-gram vocabulary building, benchmark
+decontamination, and repetition/boilerplate scoring. Operators live
+in operators/relevance.py, operators/sampling.py and
+operators/text_analysis.py; this module binds them to the driver
+tables with DuckDB oracles under the registry's determinism contract.
 """
 
 from __future__ import annotations
@@ -196,4 +197,120 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.top_ngrams(docs, n=2, k=5)
         .select("lang", "rnk", "ngram", "n_occurrences")
         .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — benchmark decontamination: distinct-3-shingle overlap of every
+# corpus doc (doc_id ≥ 10) against the "benchmark" docs (doc_id < 10).
+# overlap_frac is an exact integer ratio — identical double on both
+# engines — so the contaminated flag (≥ 0.5) cannot waver.
+# ---------------------------------------------------------------------------
+
+_Q55_ORACLE = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(GREATEST(len(w) - 2, 0)),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM ws
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 10
+), corpus AS (
+  SELECT doc_id, s FROM sh WHERE doc_id >= 10
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+), shared AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN bench b USING (s)
+  GROUP BY c.doc_id
+)
+SELECT s1.doc_id,
+       CAST(s1.n_shingles AS BIGINT) AS n_shingles,
+       CAST(s2.n_shared AS BIGINT) AS n_shared,
+       CAST(ROUND(CAST(CAST(s2.n_shared AS DOUBLE) / s1.n_shingles AS DECIMAL(28,10)), 2) AS DOUBLE) AS overlap_frac,
+       CAST(s2.n_shared AS DOUBLE) / s1.n_shingles >= 0.5 AS contaminated
+FROM sizes s1 JOIN shared s2 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("q55_decontamination", oracle=_Q55_ORACLE)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap check: corpus docs sharing 3-shingles with the
+    benchmark stand-in (doc_id < 10)."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.contamination_overlap(docs, bench_max_id=10)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        dec2(F.col("overlap_frac")).alias("overlap_frac"),
+        (F.col("overlap_frac") >= 0.5).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q56 — within-document repetition (Gopher-style boilerplate signal):
+# total vs distinct 3-shingles per doc, aggregated per language band.
+# rep_frac is an exact integer ratio; the band CASE cuts on it exactly.
+# ---------------------------------------------------------------------------
+
+_Q56_ORACLE = r"""
+WITH ws AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(range(GREATEST(len(w) - 2, 0)),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM ws
+), per_doc AS (
+  SELECT doc_id, lang,
+         COUNT(*) AS total_shingles,
+         COUNT(DISTINCT s) AS n_distinct,
+         1 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS rep_frac
+  FROM sh GROUP BY doc_id, lang
+)
+SELECT lang,
+       CASE WHEN rep_frac >= 0.5 THEN 'high'
+            WHEN rep_frac >= 0.2 THEN 'mid'
+            ELSE 'low' END AS rep_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(AVG(rep_frac) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_rep_frac,
+       CAST(SUM(total_shingles) AS BIGINT) AS total_shingles
+FROM per_doc
+GROUP BY lang, rep_band
+ORDER BY lang, rep_band
+"""
+
+
+@query("q56_repetition_bands", oracle=_Q56_ORACLE)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-band histogram per language (boilerplate detector)."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = TA.repetition_stats(docs.select("doc_id", "lang", "text"),
+                                  id_col="doc_id")
+    per_doc = per_doc.join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    band = (
+        F.when(F.col("rep_frac") >= 0.5, "high")
+        .when(F.col("rep_frac") >= 0.2, "mid")
+        .otherwise("low")
+    )
+    return (
+        per_doc.groupBy("lang", band.alias("rep_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec2(F.avg("rep_frac")).alias("avg_rep_frac"),
+            F.sum("total_shingles").alias("total_shingles"),
+        )
+        .orderBy("lang", "rep_band")
     )

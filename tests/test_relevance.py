@@ -91,3 +91,37 @@ def test_rank_windows_plan_a_group_limit(spark, sf_dir):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from cdc_example_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam ham eggs spam ham eggs spam ham eggs"),  # 7 shingles, 3 distinct
+            (1, "all distinct words in this one sentence"),
+            (2, "too short"),  # < 3 tokens → no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].total_shingles == 7 and rows[0].distinct_shingles == 3
+    assert rows[0].rep_frac == 1 - 3 / 7
+    assert rows[1].rep_frac == 0.0
+
+
+def test_contamination_overlap_counts_shared_shingles(spark):
+    from cdc_example_spark.operators.text_analysis import contamination_overlap
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # benchmark
+            (10, "alpha beta gamma something else"),  # shares 'alpha beta gamma'
+            (11, "totally unrelated text content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_overlap(df, bench_max_id=10).collect()}
+    assert set(rows) == {10}  # doc 11 shares nothing → excluded
+    assert rows[10].n_shared == 1 and rows[10].n_shingles == 3
