@@ -65,12 +65,20 @@ def shingles(ws: Column, n: int = 3) -> Column:
     """n-word shingles of a token array; empty when the doc is shorter
     than n (guarded: sequence(1, 0) would DESCEND, not produce empty).
 
-    Mirrors queries/llm._SHINGLES, as a reusable Column form. Note the
-    optimizer trap documented there: never feed this through
-    array_distinct under a later explode — InferFiltersFromGenerate
-    inlines the whole expression into a derived filter, re-evaluating
-    the split per element reference (measured 14× slower). Explode
-    first, dedup after.
+    Mirrors queries/llm._SHINGLES, as a reusable Column form. Two
+    performance contracts for callers:
+
+    - ``ws`` MUST be a NAMED column (``.alias`` the split in a prior
+      select), never the inline ``split()`` expression: this function
+      references its input 4× (size + n element_at), and an inline
+      expression tree is copied into every reference site — the split
+      then re-runs per transform element, O(words²) per doc (measured
+      20× at sf0.1). A named column survives because CollapseProject
+      refuses to duplicate expensive multiply-referenced expressions.
+    - never feed the result through array_distinct under a later
+      explode — InferFiltersFromGenerate inlines the whole expression
+      into a derived filter (measured 14× slower, see queries/llm.py).
+      Explode first, dedup after.
     """
     return F.when(
         F.size(ws) >= n,

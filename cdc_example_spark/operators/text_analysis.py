@@ -159,10 +159,15 @@ def repetition_stats(
     no-Expand path (same note as q38). The text column never crosses
     the shuffle — only (id, shingle) pairs.
     """
-    sh = df.select(
-        id_col,
-        F.explode(T.shingles(T.words(F.lower(F.col(text_col))))).alias("s"),
-    )
+    # Materialize the token array as a NAMED column before building
+    # shingles over it: T.shingles references its input 4× (size +
+    # 3 element_at), and passing the split() expression inline would
+    # copy it into every reference site — re-evaluated per transform
+    # element, O(words²) per doc (measured 20× at sf0.1). With a named
+    # column CollapseProject refuses to duplicate the expensive split,
+    # so it runs once per row (same shape as q24).
+    toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+    sh = toks.select(id_col, F.explode(T.shingles(F.col("ws"))).alias("s"))
     return sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("total_shingles"),
         F.countDistinct("s").alias("distinct_shingles"),
@@ -192,18 +197,31 @@ def contamination_overlap(
     no text, only shingle strings (swap in 8-byte fingerprints at
     scale, same shape as q24's posting lists).
     """
-    sh = df.select(
-        id_col,
-        F.explode(T.shingles(T.words(F.lower(F.col(text_col))))).alias("s"),
+    # named-column indirection for the same O(words²) reason as
+    # repetition_stats above
+    toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+    sh = toks.select(
+        id_col, F.explode(T.shingles(F.col("ws"))).alias("s")
     ).distinct()
-    bench = sh.filter(F.col(id_col) < bench_max_id).select("s").distinct()
-    corpus = sh.filter(F.col(id_col) >= bench_max_id)
-    sizes = corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    shared = (
-        corpus.join(F.broadcast(bench), "s")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # the doc_id predicates push below the generate+distinct to the
+    # scan, so the bench subtree reads only the benchmark partition.
+    bench = (
+        sh.filter(F.col(id_col) < bench_max_id)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    return sizes.join(shared, id_col).withColumn(
-        "overlap_frac", F.col("n_shared") / F.col("n_shingles")
+    # ONE corpus pass: broadcast-left-join the marker, then count rows
+    # and hits in the same aggregate (two passes — sizes + shared —
+    # would re-execute the explode+distinct pipeline per branch).
+    return (
+        sh.filter(F.col(id_col) >= bench_max_id)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .withColumn("overlap_frac", F.col("n_shared") / F.col("n_shingles"))
     )
