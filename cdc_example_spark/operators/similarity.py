@@ -258,3 +258,54 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.k").alias(f"{id_col}_1"), F.col("b.k").alias(f"{id_col}_2"), "cos_sim")
     )
+
+
+def quantize_int8_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization + reconstruction-error audit.
+
+    The storage/serving compression step for an embedding store:
+    q_i = round(x_i · 127 / scale) with scale = max|x| per vector
+    (symmetric per-tensor quantization — 4× smaller than float32, and
+    the dot-product kernels stay integer). Returns one row per vector:
+    ``scale``, ``rms_err`` (RMS of x − dequant(q), the metric that
+    bounds cosine drift), and ``n_saturated`` (elements at ±127; >1
+    hints at outlier dimensions that want per-channel scales).
+
+    All JVM array expressions; ``scale`` is materialized as a NAMED
+    column before the lambdas reference it (see functions/text.shingles
+    for the O(n²) expression-copy trap this avoids). Per-row only — no
+    shuffle; callers aggregate as needed.
+    """
+    v = F.col("v")
+    scale = F.col("scale")
+    dequant_err2 = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.pow(x - F.round(x * 127 / scale) * scale / 127, F.lit(2)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    rms = F.when(
+        scale > 0, F.sqrt(dequant_err2 / F.size(v))
+    ).otherwise(F.lit(0.0))
+    nsat = F.when(
+        scale > 0,
+        F.size(F.filter(v, lambda x: F.abs(F.round(x * 127 / scale)) == 127)),
+    ).otherwise(F.lit(0))
+    return (
+        emb.select(id_col, label_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("scale", F.array_max(F.transform(v, F.abs)))
+        .select(
+            id_col,
+            label_col,
+            "scale",
+            rms.alias("rms_err"),
+            nsat.cast("long").alias("n_saturated"),
+        )
+    )

@@ -1,13 +1,15 @@
-"""Q51–Q56 — corpus relevance, sampling, and curation queries.
+"""Q51–Q57 — corpus relevance, sampling, and curation queries.
 
 The retrieval/curation layer of the LLM-data-pipeline surface
 (BASELINE.json:6): term weighting (TF-IDF), query relevance (BM25 —
 the standard crawl-vs-quality-prompt curation ranker), reproducible
 stratified sampling, n-gram vocabulary building, benchmark
-decontamination, and repetition/boilerplate scoring. Operators live
-in operators/relevance.py, operators/sampling.py and
-operators/text_analysis.py; this module binds them to the driver
-tables with DuckDB oracles under the registry's determinism contract.
+decontamination, repetition/boilerplate scoring, and the int8
+embedding-quantization audit. Operators live in
+operators/relevance.py, operators/sampling.py,
+operators/text_analysis.py and operators/similarity.py; this module
+binds them to the driver tables with DuckDB oracles under the
+registry's determinism contract.
 """
 
 from __future__ import annotations
@@ -313,4 +315,60 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_shingles").alias("total_shingles"),
         )
         .orderBy("lang", "rep_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — int8 embedding quantization audit per label: the compression
+# step of an embedding store (4× smaller, integer kernels), with the
+# reconstruction-error metrics that gate it. rms is scaled ×1000 before
+# the 2-decimal round (raw values are ~0.5% of scale — they'd round to
+# 0.00 and measure nothing).
+# ---------------------------------------------------------------------------
+
+_Q57_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM e
+), err AS (
+  SELECT vec_id, label, scale,
+         CASE WHEN scale > 0 THEN
+           sqrt(list_sum(list_transform(v,
+                x -> pow(x - round(x * 127 / scale) * scale / 127, 2))) / len(v))
+         ELSE 0.0 END AS rms_err,
+         CASE WHEN scale > 0 THEN
+           len(list_filter(v, x -> abs(round(x * 127 / scale)) = 127))
+         ELSE 0 END AS n_saturated
+  FROM s
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(ROUND(CAST(AVG(scale) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_scale,
+       CAST(ROUND(CAST(AVG(rms_err) * 1000 AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_rms_err_x1000,
+       CAST(SUM(n_saturated) AS BIGINT) AS n_saturated
+FROM err
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("q57_quantization_audit", oracle=_Q57_ORACLE)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization reconstruction-error audit per label."""
+    from cdc_example_spark.operators.similarity import quantize_int8_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        quantize_int8_stats(emb)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            dec2(F.avg("scale")).alias("avg_scale"),
+            dec2(F.avg("rms_err") * 1000).alias("avg_rms_err_x1000"),
+            F.sum("n_saturated").alias("n_saturated"),
+        )
+        .orderBy("label")
     )

@@ -125,3 +125,22 @@ def test_contamination_overlap_counts_shared_shingles(spark):
     rows = {r.doc_id: r for r in contamination_overlap(df, bench_max_id=10).collect()}
     assert set(rows) == {10}  # doc 11 shares nothing → excluded
     assert rows[10].n_shared == 1 and rows[10].n_shingles == 3
+
+
+def test_quantize_int8_roundtrip_properties(spark):
+    from cdc_example_spark.operators.similarity import quantize_int8_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0], 0),
+            (1, [0.0, 0.0, 0.0, 0.0], 1),   # zero vector: scale 0 guard
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.vec_id: r for r in quantize_int8_stats(df).collect()}
+    assert rows[0].scale == 1.0
+    # max element always saturates; no other element of this vector does
+    assert rows[0].n_saturated == 1
+    # per-element error bounded by half a quantization step
+    assert rows[0].rms_err <= (rows[0].scale / 127) / 2 + 1e-12
+    assert rows[1].scale == 0.0 and rows[1].rms_err == 0.0 and rows[1].n_saturated == 0
