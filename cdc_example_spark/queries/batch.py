@@ -10,7 +10,7 @@ Scale notes are attached per query where the plan shape matters at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -910,31 +910,38 @@ def _within_3sigma(approx, exact):
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct error contract vs exact, per returnflag.
 
-    One pass per distinct column, joined on the 3-row group key: two
-    exact distincts over DIFFERENT columns in one aggregate trigger
+    Shape history, all interleaved-A/B-measured at sf0.1: two exact
+    distincts over DIFFERENT columns in one aggregate trigger
     RewriteDistinctAggregates' Expand (3× the rows through a double
-    shuffle); a single distinct per aggregate takes Catalyst's
-    two-level no-Expand path, and column pruning gives each pass a
-    2-column scan — measured 16% faster at sf0.1 (interleaved A/B),
-    and the advantage widens with row count.
+    shuffle) — 16% slower than one pass per column joined on the
+    group key; the current union-tag form stacks (flag, partkey, 0)
+    on (flag, suppkey, 1) so ONE aggregate with a single distinct
+    column covers both — no Expand, one job instead of two plus a
+    join — another 17% faster (median 0.67 s vs 0.81 s). The union
+    doubles the skinny 2-column scan, which the map-side partial
+    distinct immediately collapses.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    parts = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("ap"),
+    u = li.select(
+        "l_returnflag", F.col("l_partkey").alias("v"), F.lit(0).alias("t")
+    ).unionAll(
+        li.select("l_returnflag", F.col("l_suppkey").alias("v"), F.lit(1).alias("t"))
     )
-    supps = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("exact_supps"),
-        F.approx_count_distinct("l_suppkey", rsd=_HLL_RSD).alias("asup"),
+    per = u.groupBy("l_returnflag", "t").agg(
+        F.countDistinct("v").alias("ex"),
+        F.approx_count_distinct("v", rsd=_HLL_RSD).alias("ap"),
     )
+
+    def side(tag: int, col: str) -> Column:
+        return F.max(F.when(F.col("t") == tag, F.col(col)))
+
     return (
-        parts.join(supps, "l_returnflag")
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            "exact_supps",
-            _within_3sigma(F.col("ap"), F.col("exact_parts")).alias("parts_within_3sigma"),
-            _within_3sigma(F.col("asup"), F.col("exact_supps")).alias("supps_within_3sigma"),
+        per.groupBy("l_returnflag")
+        .agg(
+            side(0, "ex").alias("exact_parts"),
+            side(1, "ex").alias("exact_supps"),
+            _within_3sigma(side(0, "ap"), side(0, "ex")).alias("parts_within_3sigma"),
+            _within_3sigma(side(1, "ap"), side(1, "ex")).alias("supps_within_3sigma"),
         )
         .orderBy("l_returnflag")
     )
