@@ -47,3 +47,15 @@ def test_invalidate_tables_sees_in_place_rewrite(spark, sf_dir, tmp_path):
     invalidate_tables(spark, work)
     after = load_table(spark, work, "region")
     assert after.count() == 1
+
+
+def test_time_columns_load_as_timestamp_ltz(spark, sf_dir):
+    # The driver's parquet carries NAIVE timestamp[us] columns, which
+    # Spark 4 would infer as TIMESTAMP_NTZ — a type unix_micros/window/
+    # watermark all reject. load_table pins inferTimestampNTZ off (at
+    # the SESSION CONF level so the driver's vanilla session gets it
+    # too); under the UTC session the scan then yields TimestampType
+    # wall-clock-identical to DuckDB's naive read.
+    for table, col in (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        dt = dict(load_table(spark, sf_dir, table).dtypes)[col]
+        assert dt == "timestamp", (table, col, dt)
