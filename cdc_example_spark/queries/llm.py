@@ -883,3 +883,109 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — dedup clusters: connected components of the shingle-overlap
+# graph (docs sharing ≥ MIN_SHARED distinct 3-shingles within a lang),
+# via min-label propagation unrolled a FIXED number of rounds — the
+# same relational dataflow on both engines, so cluster ids are
+# hash-checkable (a data-dependent fixpoint would not be). Convergence
+# at this diameter is asserted in pytest against a union-find model.
+# ---------------------------------------------------------------------------
+
+_Q58_MIN_SHARED = 6
+_Q58_ROUNDS = 6
+
+
+def _cc_rounds_sql(rounds: int) -> str:
+    # AS MATERIALIZED: each round references the previous one twice;
+    # inlined CTEs would re-derive the edge pipeline 2^rounds times
+    # (measured 383 s at sf0.1 vs ~1 s materialized). The Spark twin
+    # materializes the edge list once for the same reason
+    # (operators/graph.connected_components).
+    ctes = []
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.v, LEAST(l.lbl, COALESCE(m.nm, l.lbl)) AS lbl
+  FROM l{i-1} l LEFT JOIN (
+    SELECT s.u, MIN(p.lbl) AS nm FROM sym s JOIN l{i-1} p ON s.w = p.v GROUP BY s.u
+  ) m ON l.v = m.u
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+_Q58_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, lang, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS w
+  FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, lang,
+         UNNEST(list_transform(range(GREATEST(len(w) - 2, 0)),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM ws
+), edges AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM tok a JOIN tok b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_Q58_MIN_SHARED}
+), sym AS MATERIALIZED (
+  SELECT d1 AS u, d2 AS w FROM edges UNION ALL SELECT d2, d1 FROM edges
+), l0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (SELECT DISTINCT u AS v FROM sym)
+),
+{_cc_rounds_sql(_Q58_ROUNDS)}
+SELECT lbl AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(v) AS max_doc_id
+FROM l{_Q58_ROUNDS}
+GROUP BY lbl
+ORDER BY component_id
+"""
+
+
+@query("q58_dedup_components", oracle=_Q58_ORACLE)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: CC over the ≥6-shared-shingle graph.
+
+    Edge generation is the q24 posting-list shape (in-bucket pairs from
+    one corpus pass, 8-byte hashes, ReuseExchange-shared sides); the
+    component loop is operators/graph.connected_components.
+    """
+    from cdc_example_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
+        .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
+        .groupBy("doc_id", "lang")
+        .agg(F.collect_set(F.xxhash64("s")).alias("set"))
+        .select("doc_id", "lang", F.explode("set").alias("w"))
+    )
+    a, b = tok.alias("a").hint("merge"), tok.alias("b").hint("merge")
+    edges = (
+        a.join(
+            b,
+            [
+                F.col("a.w") == F.col("b.w"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _Q58_MIN_SHARED)
+        .select("d1", "d2")
+    )
+    comp = connected_components(edges, src="d1", dst="d2", rounds=_Q58_ROUNDS)
+    return (
+        comp.groupBy(F.col("component").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("v").alias("max_doc_id"),
+        )
+        .orderBy("component_id")
+    )

@@ -1,0 +1,107 @@
+"""Connected-components operator: convergence vs a union-find model.
+
+q58's hash check proves Spark ≡ DuckDB under the SAME fixed unroll;
+this proves the unroll is ENOUGH — the fixed-round labels equal true
+components (union-find) on random graphs and on the driver corpus
+edge sets, i.e. rounds ≥ diameter holds where we claim it.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cdc_example_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _assert_matches_model(spark, edges, rounds=6):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.v: r.component
+        for r in connected_components(df, rounds=rounds).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_cc_on_random_graphs(spark):
+    # sparse random graphs can have diameter ≫ 6 — honor the operator's
+    # rounds ≥ diameter precondition with the trivially safe bound n
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (a, b)
+            for a, b in {
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(25)
+            }
+        ]
+        _assert_matches_model(spark, edges, rounds=n)
+
+
+def test_cc_path_graph_needs_rounds_geq_radius(spark):
+    # a 7-vertex path: min-label reaches the far end via doubling-free
+    # propagation in 6 rounds (worst case the docstring promises)
+    edges = [(i, i + 1) for i in range(6)]
+    _assert_matches_model(spark, edges, rounds=6)
+
+
+def test_q58_unroll_converges_on_driver_corpus(spark, sf_dir):
+    # the claim behind q58's fixed unroll: 6 rounds ≥ diameter of the
+    # shingle-overlap graph on the actual test corpus
+    from cdc_example_spark.queries.llm import _Q58_MIN_SHARED, q58
+
+    out = q58(spark, sf_dir)
+    # rebuild the edge set with the same threshold and compare against
+    # union-find on the collected pairs (small by construction)
+    from cdc_example_spark.functions import text as T
+    from cdc_example_spark.queries.llm import _SHINGLES
+    from cdc_example_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
+        .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
+        .groupBy("doc_id", "lang")
+        .agg(F.collect_set(F.xxhash64("s")).alias("set"))
+        .select("doc_id", "lang", F.explode("set").alias("w"))
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(b, [F.col("a.w") == F.col("b.w"), F.col("a.lang") == F.col("b.lang"),
+                   F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _Q58_MIN_SHARED)
+        .select("d1", "d2")
+        .collect()
+    )
+    model = _union_find([(r.d1, r.d2) for r in pairs])
+    expected = {}
+    for v, c in model.items():
+        expected.setdefault(c, []).append(v)
+    expected_rows = sorted(
+        (c, len(vs), max(vs)) for c, vs in expected.items()
+    )
+    got_rows = sorted(
+        (r.component_id, r.n_docs, r.max_doc_id) for r in out.collect()
+    )
+    assert got_rows == expected_rows
