@@ -120,13 +120,26 @@ LIMIT 10
 
 @query("q03_shipping_priority", oracle=_Q3_ORACLE)
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer ⋈ orders ⋈ lineitem, revenue per order, top-10."""
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top-10.
+
+    Build-side discipline: LINEITEM is the fact and must be the streamed
+    probe side of every join. Left to size stats alone, Catalyst
+    broadcast lineitem itself at sf0.1 (40 MB < the 64 MB threshold) —
+    a 600k-entry hash build per run, and exactly the plan that breaks
+    at 100 TB where lineitem no longer fits. Broadcasting the filtered
+    customer set into orders and that (small) join result into lineitem
+    is both the scale-correct shape and 1.9× faster here (interleaved
+    A/B, median 0.28 s vs 0.52 s).
+    """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    order_dim = F.broadcast(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(order_dim, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("o_orderkey", day_str(F.col("o_orderdate")).alias("order_date"))
         .agg(dec2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
