@@ -137,3 +137,54 @@ def sample_frames_stub(df: DataFrame, n_frames: int = 4, frame_bytes: int = 32) 
         "frame_idx",
         F.expr(f"substring(payload, cast(frame_idx * greatest((n_bytes - {frame_bytes}) / {max(n_frames - 1, 1)}, 0) as int) + 1, {frame_bytes})").alias("frame"),
     )
+
+
+def resize_stub(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Deterministic fake resize over binary payloads.
+
+    mapInPandas with the exact contract of a real image resize stage:
+    payload in → smaller payload + recorded output size out, per-row,
+    no shuffle, Arrow-batched. The fake semantics are byte-level
+    nearest-neighbor downsampling — every payload shrinks to exactly
+    ``target_bytes`` by evenly-spaced byte picks (shorter payloads are
+    zero-padded), so output sizes are schema-checkable and the
+    "resized" bytes are reproducible on any engine. A real deployment
+    swaps the NumPy body for PIL/libvips; the plumbing (schema, batch
+    iteration, vectorized slicing) stays.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("resized", BinaryType()),
+            StructField("out_bytes", LongType()),
+        ]
+    )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
+                if arr.size == 0:
+                    out.append(bytes(target_bytes))
+                    continue
+                # nearest-neighbor sampling at evenly spaced positions
+                idx = np.minimum(
+                    (np.arange(target_bytes) * arr.size // target_bytes),
+                    arr.size - 1,
+                )
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "resized": out,
+                    "out_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.mapInPandas(_resize, schema)

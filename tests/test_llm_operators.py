@@ -401,3 +401,20 @@ def test_salted_join_equals_plain_join_under_skew(spark, sf_dir):
         .count()
     )
     assert salts >= 4
+
+
+def test_resize_stub_contract(spark):
+    from cdc_example_spark.operators.multimodal import resize_stub, to_media
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"abc"), (3, b"")],
+        "media_id long, payload binary",
+    ).withColumn("media_type", __import__("pyspark").sql.functions.lit("image"))
+    rows = {r.media_id: r for r in resize_stub(df, target_bytes=16).collect()}
+    # every output is exactly target_bytes, regardless of input size
+    assert all(r.out_bytes == 16 and len(r.resized) == 16 for r in rows.values())
+    # deterministic nearest-neighbor picks: first byte preserved
+    assert rows[1].resized[0] == 0 and rows[2].resized[0] == ord("a")
+    # repeat run → identical bytes (reproducibility)
+    again = {r.media_id: r.resized for r in resize_stub(df, target_bytes=16).collect()}
+    assert {k: v.resized for k, v in rows.items()} == again
