@@ -50,3 +50,16 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet(path)`` would see only files and lose the
     co-location guarantee)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Write ``df`` as a directory-partitioned parquet dataset
+    (``path/partition_col=value/...``) — the lake layout that turns
+    partition-key predicates into directory pruning: a filter on the
+    partition column never opens non-matching files at all
+    (PartitionFilters in the scan node, distinct from parquet
+    row-group PushedFilters). At 100 TB the partition column is the
+    ingest date; every time-bounded query then scans only its days."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -69,3 +69,21 @@ def test_bucketed_join_equals_plain_join(spark, sf_dir, bucketed):
         .collect()[0]
     )
     assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    from cdc_example_spark.sources.lake import write_partitioned
+
+    base = str(tmp_path_factory.mktemp("part") / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders", cache=False)
+    write_partitioned(orders, base, "o_orderstatus")
+
+    back = spark.read.parquet(base)
+    pruned = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the predicate must land in PartitionFilters (directory pruning),
+    # not merely PushedFilters (row-group skipping)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200], plan[:1500]
+    n = pruned.count()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert n == want > 0
