@@ -9,7 +9,7 @@ combine into an exactly-once effect.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -62,6 +62,7 @@ def materialize(
     on_batch: Callable[[DataFrame, int], None] | None = None,
     trigger_once: bool = False,
     processing_time: str = "500 milliseconds",
+    agg_sinks: "Sequence[object] | None" = None,
 ) -> StreamingQuery:
     """Start the decode→route→apply query against ``sink``.
 
@@ -69,12 +70,24 @@ def materialize(
     listeners (websocket fan-out, metrics) observe each routed
     micro-batch after the state merge, like the reference's
     ``@EventListener`` twins.
+
+    ``agg_sinks`` — IncrementalAggSink instances (operators/
+    incremental_agg) maintained from the SAME micro-batch. They fold
+    BEFORE the base merge (their old-image lookup is against the
+    pre-batch snapshot) and are individually exactly-once via their
+    versioned state, so a crash between an agg commit and the base
+    merge re-delivers the batch as a metadata no-op on the committed
+    agg and a normal apply on the rest.
     """
     routed = route_changes(decode_envelope(raw_stream))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
+            if agg_sinks:
+                snap = sink.snapshot(batch_df.sparkSession)
+                for agg in agg_sinks:
+                    agg.apply_changes(batch_df, snap, batch_id=batch_id)
             sink.apply_changes(batch_df, batch_id)
             if on_batch is not None:
                 on_batch(batch_df, batch_id)

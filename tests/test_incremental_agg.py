@@ -132,3 +132,46 @@ def test_s8_crash_before_marker_flip_recomputes_cleanly(spark, sinks):
     state.apply_changes(routed, batch_id=2)
     assert incremental(spark, agg) == recompute(spark, state)
     assert incremental(spark, agg) == {"alice": (1, 5), "bob": (1, 6)}
+
+
+def test_s8_streaming_wiring_maintains_agg(spark, tmp_path):
+    """End-to-end: file CDC source → materialize(agg_sinks=[...]) keeps
+    the aggregate current through the real Structured Streaming path,
+    including checkpoint resume (batch 1 must not re-fold)."""
+    import json
+
+    from cdc_example_spark.streaming.materialize import file_cdc_source, materialize
+
+    src = tmp_path / "cdc-in"
+    src.mkdir()
+    state = KeyedStateSink(path=str(tmp_path / "state"), num_buckets=8)
+    agg = IncrementalAggSink(path=str(tmp_path / "agg"))
+    ckpt = tmp_path / "ckpt"
+    a, b = str(uuid.uuid4()), str(uuid.uuid4())
+
+    def run():
+        stream = file_cdc_source(spark, str(src), max_files_per_trigger=1)
+        q = materialize(stream, state, str(ckpt), trigger_once=True, agg_sinks=[agg])
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    def write(n, records):
+        with open(src / f"batch-{n:04d}.json", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    write(1, [
+        envelope("i", a, after=row_image(a, T0, T0, "hello", "alice"), lsn=100),
+        envelope("i", b, after=row_image(b, T0, T0, "hi", "bob"), lsn=110),
+    ])
+    run()
+    assert incremental(spark, agg) == recompute(spark, state) == {
+        "alice": (1, 5), "bob": (1, 2),
+    }
+
+    write(2, [
+        envelope("u", a, after=row_image(a, T0, T1, "hello again", "alice"), lsn=200),
+        envelope("d", b, after=None, lsn=210),
+    ])
+    run()  # NEW query, same checkpoint: batch 1 not re-folded
+    assert incremental(spark, agg) == recompute(spark, state) == {"alice": (1, 11)}
