@@ -44,13 +44,15 @@ def _assert_matches_model(spark, edges, rounds=6):
 def test_cc_on_random_graphs(spark):
     # sparse random graphs can have diameter ≫ 6 — honor the operator's
     # rounds ≥ diameter precondition with the trivially safe bound n
+    # (kept small: each extra round adds a join to the plan and the
+    # point here is correctness of the fold, not plan depth)
     rng = random.Random(42)
-    for trial in range(3):
-        n = 30
+    for trial in range(2):
+        n = 16
         edges = [
             (a, b)
             for a, b in {
-                tuple(sorted(rng.sample(range(n), 2))) for _ in range(25)
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(13)
             }
         ]
         _assert_matches_model(spark, edges, rounds=n)
