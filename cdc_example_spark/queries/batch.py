@@ -1436,3 +1436,64 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "err_id", F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"))
         .orderBy("user_id", "err_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q59 — FULL OUTER join (the one outer-join shape Q5's left/anti pair
+# doesn't exercise): per-nation rich-customer counts vs cheap-supplier
+# counts, with both sides filtered so each has nations the other lacks
+# — the null-filled rows on BOTH sides are the point. COALESCE
+# completes the key; the side CASE classifies matched/unmatched.
+# Scale: two partial-agg'd 25-row sides; the outer join itself is a
+# dim-sized hash join, never fact-sized.
+# ---------------------------------------------------------------------------
+
+_Q59_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_cheap_suppliers
+  FROM supplier WHERE s_acctbal < 1000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       CAST(COALESCE(c.n_rich_customers, 0) AS BIGINT) AS n_rich_customers,
+       CAST(COALESCE(s.n_cheap_suppliers, 0) AS BIGINT) AS n_cheap_suppliers,
+       CASE WHEN c.nk IS NULL THEN 'supplier_only'
+            WHEN s.nk IS NULL THEN 'customer_only'
+            ELSE 'both' END AS side
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+"""
+
+
+@query("q59_full_outer_join", oracle=_Q59_ORACLE)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer vs supplier counts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cheap_suppliers"))
+    )
+    side = (
+        F.when(F.col("c_nk").isNull(), "supplier_only")
+        .when(F.col("s_nk").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        cust.join(supp, cust.c_nk == supp.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+            F.coalesce("n_cheap_suppliers", F.lit(0)).alias("n_cheap_suppliers"),
+            side.alias("side"),
+        )
+        .orderBy("nationkey")
+    )
