@@ -1497,3 +1497,52 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q60 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL), the
+# multiplicity-preserving twins Q13's distinct variants don't cover:
+# EXCEPT ALL subtracts per-occurrence, INTERSECT ALL keeps
+# min(multiplicity). Exercised over nation keys of orders placed by
+# high- vs low-balance customers (both bags carry real duplicates).
+# Scale: Catalyst plans both as aggregate+join on counted keys — the
+# bags never materialize row-per-duplicate through a shuffle.
+# ---------------------------------------------------------------------------
+
+_Q60_ORACLE = """
+WITH rich AS (
+  SELECT c_nationkey AS k FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE c_acctbal > 5000
+), poor AS (
+  SELECT c_nationkey AS k FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE c_acctbal < 0
+)
+SELECT 'except_all' AS tag, COUNT(*) AS cnt
+  FROM (SELECT k FROM rich EXCEPT ALL SELECT k FROM poor)
+UNION ALL
+SELECT 'intersect_all', COUNT(*)
+  FROM (SELECT k FROM rich INTERSECT ALL SELECT k FROM poor)
+ORDER BY tag
+"""
+
+
+@query("q60_set_ops_all", oracle=_Q60_ORACLE)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL multiplicity accounting."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, orders.o_custkey == cust.c_custkey)
+    rich = joined.filter(F.col("c_acctbal") > 5000).select(F.col("c_nationkey").alias("k"))
+    poor = joined.filter(F.col("c_acctbal") < 0).select(F.col("c_nationkey").alias("k"))
+    counts = [
+        rich.exceptAll(poor).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("except_all").alias("tag"), "cnt"
+        ),
+        rich.intersectAll(poor).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("intersect_all").alias("tag"), "cnt"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("tag")
