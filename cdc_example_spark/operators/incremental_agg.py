@@ -124,6 +124,7 @@ class IncrementalAggSink:
         cur = self.current_version()
         if cur is not None and batch_id <= cur:
             return
+        bootstrap = cur is None
         # intra-batch collapse, same (lsn, ts_ms) order as the base sink
         w = Window.partitionBy("key_id").orderBy(
             F.col("lsn").desc_nulls_last(), F.col("ts_ms").desc_nulls_last()
@@ -146,13 +147,38 @@ class IncrementalAggSink:
             .groupBy("group_key")
             .agg(F.sum("n").alias("dn"), F.sum("val").alias("dv"))
         )
-        state = self.snapshot(latest.sparkSession)
+        if bootstrap:
+            # First apply with no committed version: aggregate the FULL
+            # pre-batch base snapshot as the starting state (ADVICE r2).
+            # A sink attached after the base table already holds history
+            # would otherwise fold only future deltas and permanently
+            # omit every pre-attachment row. When the base is empty
+            # (attached before batch 0) this groupBy is a zero-row
+            # no-op, so bootstrap cost is only paid when there is
+            # history to recover.
+            all_imgs = base_snapshot.select(
+                F.struct(*base_snapshot.columns).alias("img")
+            )
+            state = (
+                self._contrib(all_imgs, +1)
+                .groupBy("group_key")
+                .agg(F.sum("n").alias("n_rows"), F.sum("val").alias("sum_val"))
+            )
+        else:
+            state = self.snapshot(latest.sparkSession)
+        # eqNullSafe: the group field is nullable (MESSAGES.username), and
+        # a null-unsafe USING join would never match the NULL-keyed state
+        # row against a NULL-keyed delta — every batch touching the NULL
+        # group would append another duplicate state row (ADVICE r2).
+        # coalesce(s.key, d.key) is NULL-correct in all three match cases:
+        # when the true key is NULL both columns are NULL.
+        s, d = state.alias("s"), delta.alias("d")
         merged = (
-            state.join(delta, "group_key", "full")
+            s.join(d, F.col("s.group_key").eqNullSafe(F.col("d.group_key")), "full")
             .select(
-                "group_key",
-                (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_rows"),
-                (F.coalesce(F.col("sum_val"), F.lit(0)) + F.coalesce(F.col("dv"), F.lit(0))).alias("sum_val"),
+                F.coalesce(F.col("s.group_key"), F.col("d.group_key")).alias("group_key"),
+                (F.coalesce(F.col("s.n_rows"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0))).alias("n_rows"),
+                (F.coalesce(F.col("s.sum_val"), F.lit(0)) + F.coalesce(F.col("d.dv"), F.lit(0))).alias("sum_val"),
             )
             .filter(F.col("n_rows") > 0)
         )

@@ -62,11 +62,21 @@ def tfidf_top_terms(
     the corpus partition and df = docs containing the term (smoothed so
     a corpus-universal term scores 0 instead of exploding).
 
+    The rank orders by the 2-decimal-rounded score (term tie-break):
+    tf/df are integers so equal inputs give the identical double, and
+    the round absorbs the ≤1-ulp cross-engine ln() skew between
+    near-equal scores from *different* (tf, df) — same discipline as
+    bm25_rank's top-k cut. Emitted ``tfidf`` is the rounded value.
+
     Plan: token stream → (corpus, doc, term) hash agg (map-side
     combine; the ONLY pass over raw text) → df via a count window over
     (corpus, term) on the already-aggregated tf rows → N per corpus as
     a broadcast dim → per-doc rank window, WindowGroupLimit-pruned.
     """
+    # function-level import: queries/__init__ imports back into this
+    # module (same cycle-avoidance as bm25_rank below).
+    from cdc_example_spark.queries.util import dec2
+
     tf = (
         _tokens(docs, text_col, (corpus_col, id_col))
         .groupBy(corpus_col, id_col, "term")
@@ -79,7 +89,10 @@ def tfidf_top_terms(
         .join(F.broadcast(n_docs), corpus_col)
         .withColumn(
             "tfidf",
-            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1)),
+            dec2(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1))
+            ),
         )
     )
     rank_w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")

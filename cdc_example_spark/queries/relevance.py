@@ -25,11 +25,13 @@ from cdc_example_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
 # q51 — top-3 TF-IDF terms per document (IDF scoped per language).
-# Cross-engine determinism of the rank: tf and df are integers, so two
-# terms tie in score only with identical (tf, df) — and then BOTH
-# engines compute the identical double and break the tie on the term
-# string. The smoothed idf ln((N+1)/(df+1)) keeps corpus-universal
-# terms at exactly 0.0 on both engines.
+# Cross-engine determinism of the rank: BOTH engines rank on the
+# 2-decimal-rounded score (ADVICE r2) — tf and df are integers, so
+# equal inputs give the identical double, and the round absorbs the
+# ≤1-ulp cross-engine LN() skew between near-equal scores from
+# *different* (tf, df); remaining ties break on the term string. The
+# smoothed idf ln((N+1)/(df+1)) keeps corpus-universal terms at
+# exactly 0.0 on both engines.
 # ---------------------------------------------------------------------------
 
 _Q51_ORACLE = r"""
@@ -44,15 +46,16 @@ WITH toks AS (
   SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
 ), scored AS (
   SELECT tf.doc_id, tf.term,
-         tf.tf * LN((n.n_docs + 1.0) / (COUNT(*) OVER (PARTITION BY tf.lang, tf.term) + 1)) AS score
+         CAST(ROUND(CAST(
+           tf.tf * LN((n.n_docs + 1.0) / (COUNT(*) OVER (PARTITION BY tf.lang, tf.term) + 1))
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS tfidf
   FROM tf JOIN n USING (lang)
 ), ranked AS (
-  SELECT doc_id, term, score,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
   FROM scored
 )
-SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk,
-       CAST(ROUND(CAST(score AS DECIMAL(28,10)), 2) AS DOUBLE) AS tfidf
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, tfidf
 FROM ranked
 WHERE rnk <= 3
 ORDER BY doc_id, rnk
@@ -63,10 +66,12 @@ ORDER BY doc_id, rnk
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document, language-scoped IDF."""
     docs = load_table(spark, sf_dir, "documents")
-    out = R.tfidf_top_terms(docs, k=3)
-    return out.select(
-        "doc_id", "term", "rnk", dec2(F.col("tfidf")).alias("tfidf")
-    ).orderBy("doc_id", "rnk")
+    # operator emits the already-rounded tfidf it ranked on
+    return (
+        R.tfidf_top_terms(docs, k=3)
+        .select("doc_id", "term", "rnk", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
 
 
 # ---------------------------------------------------------------------------

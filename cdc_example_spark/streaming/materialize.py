@@ -77,7 +77,9 @@ def materialize(
     pre-batch snapshot) and are individually exactly-once via their
     versioned state, so a crash between an agg commit and the base
     merge re-delivers the batch as a metadata no-op on the committed
-    agg and a normal apply on the rest.
+    agg and a normal apply on the rest. A sink attached after the base
+    table already holds history bootstraps its first version from the
+    pre-batch base snapshot, so attachment time doesn't matter.
     """
     routed = route_changes(decode_envelope(raw_stream))
 

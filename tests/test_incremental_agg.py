@@ -134,6 +134,82 @@ def test_s8_crash_before_marker_flip_recomputes_cleanly(spark, sinks):
     assert incremental(spark, agg) == {"alice": (1, 5), "bob": (1, 6)}
 
 
+def test_s8_null_group_key_converges(spark, sinks):
+    """NULL usernames form ONE group that the state⟗delta merge must
+    keep matching across batches (eqNullSafe; ADVICE r2 — a null-unsafe
+    join appended a duplicate NULL-keyed state row per touching batch)."""
+    state, agg = sinks
+    a, b, c = (str(uuid.uuid4()) for _ in range(3))
+
+    apply(spark, state, agg, [
+        envelope("i", a, after=row_image(a, T0, T0, "anon one", None)),
+        envelope("i", b, after=row_image(b, T0, T0, "named", "alice")),
+    ], batch_id=1)
+    assert incremental(spark, agg) == recompute(spark, state)
+
+    # second batch touches the NULL group again: must MERGE into the
+    # existing NULL state row, not append a second one
+    apply(spark, state, agg, [
+        envelope("i", c, after=row_image(c, T0, T0, "anon two", None)),
+    ], batch_id=2)
+    got = incremental(spark, agg)
+    assert got == recompute(spark, state)
+    assert got[None] == (2, 16)
+    null_rows = agg.snapshot(spark).filter(F.col("group_key").isNull()).count()
+    assert null_rows == 1
+
+    # update moving a row OUT of the NULL group, and a delete within it
+    apply(spark, state, agg, [
+        envelope("u", a,
+                 before=row_image(a, T0, T0, "anon one", None),
+                 after=row_image(a, T0, T1, "claimed", "carol")),
+        envelope("d", c, before=row_image(c, T0, T0, "anon two", None), after=None),
+    ], batch_id=3)
+    got = incremental(spark, agg)
+    assert got == recompute(spark, state)
+    assert None not in got  # zero-count NULL group dropped like any other
+
+
+def test_s8_late_attachment_bootstraps_from_base_snapshot(spark, tmp_path):
+    """An agg sink attached AFTER the base table already holds history
+    must bootstrap its first version from the pre-batch base snapshot
+    (ADVICE r2 — it previously folded only future deltas and silently
+    omitted every pre-attachment row)."""
+    state = KeyedStateSink(path=str(tmp_path / "state"), num_buckets=8)
+    a, b, c = (str(uuid.uuid4()) for _ in range(3))
+
+    # history the agg sink never saw: two batches straight to the base
+    for bid, recs in [
+        (1, [envelope("i", a, after=row_image(a, T0, T0, "hello", "alice")),
+             envelope("i", b, after=row_image(b, T0, T0, "hi", "bob"))]),
+        (2, [envelope("u", a,
+                      before=row_image(a, T0, T0, "hello", "alice"),
+                      after=row_image(a, T0, T1, "hello again", "alice"))]),
+    ]:
+        raw = spark.createDataFrame(recs, "key STRING, value STRING")
+        state.apply_changes(route_changes(decode_envelope(raw)), batch_id=bid)
+
+    # attach the agg sink at batch 3 — first apply must bootstrap, and
+    # the batch's own delta (update of a pre-attachment row + insert)
+    # must fold against that bootstrapped state
+    agg = IncrementalAggSink(path=str(tmp_path / "agg"))
+    apply(spark, state, agg, [
+        envelope("u", b,
+                 before=row_image(b, T0, T0, "hi", "bob"),
+                 after=row_image(b, T0, T1, "hi there", "bob")),
+        envelope("i", c, after=row_image(c, T1, T1, "new", "carol")),
+    ], batch_id=3)
+    assert incremental(spark, agg) == recompute(spark, state) == {
+        "alice": (1, 11), "bob": (1, 8), "carol": (1, 3),
+    }
+
+    # and stays convergent on the next ordinary batch
+    apply(spark, state, agg, [
+        envelope("d", a, before=row_image(a, T0, T1, "hello again", "alice"), after=None),
+    ], batch_id=4)
+    assert incremental(spark, agg) == recompute(spark, state)
+
+
 def test_s8_streaming_wiring_maintains_agg(spark, tmp_path):
     """End-to-end: file CDC source → materialize(agg_sinks=[...]) keeps
     the aggregate current through the real Structured Streaming path,
