@@ -6,9 +6,9 @@ per query. Exact; scan-bound at 100 TB.
 
 Scale path: IVF — partition candidates by nearest centroid; a query
 probes only ``n_probe`` centroid partitions, cutting the scan by
-|centroids|/n_probe. Centroids are provided (deterministic); training
-them is a kmeans loop the caller runs offline (e.g. on a sample via
-pandas — out of the query path by design).
+|centroids|/n_probe. Centroids come from :func:`train_ivf_centroids`
+(deterministic sampled spherical k-means, run offline — out of the
+query path by design) or are provided by the caller.
 
 Both paths share the same output schema, so callers swap exactness for
 cost without rewriting.
@@ -136,6 +136,81 @@ def ivf_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Deterministic sampled spherical k-means → an IVF centroid table.
+
+    The offline trainer :func:`ivf_topk` was missing (VERDICT r2 item
+    4): it consumes centroids it couldn't produce. Training runs on a
+    bounded deterministic sample — rows with the ``sample_size``
+    smallest ``xxhash64(id)`` values, a seed-free uniform draw that is
+    reproducible on any cluster layout — then a driver-side NumPy
+    spherical k-means (k-means++ init, cosine assignment, renormalized
+    mean update; empty cells reseed to the worst-assigned point). The
+    ``.collect()`` is capped at ``sample_size`` rows BY CONSTRUCTION —
+    this is the documented offline path, never a query path; at 100 TB
+    the sample read is a TakeOrdered over a column-pruned scan of
+    (id, vector) and everything after is O(sample · k · dim) on the
+    driver.
+
+    Returns (``id_col`` = 0..n-1, ``vec_col`` = unit-norm centroid),
+    directly consumable by :func:`ivf_topk`/:func:`assign_to_centroids`.
+    """
+    rows = (
+        _as_double(vectors, vec_col)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("vid")))
+        .orderBy("_h", "vid")
+        .limit(int(sample_size))
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"train_ivf_centroids: sample has {len(rows)} vectors < "
+            f"n_centroids={n_centroids}"
+        )
+    rows.sort(key=lambda r: r.vid)  # collect order is not a contract
+    X = np.vstack([r.v for r in rows]).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding on cosine distance (1 - sim on unit vectors)
+    C = np.empty((n_centroids, X.shape[1]))
+    C[0] = X[rng.integers(len(X))]
+    d = 1.0 - X @ C[0]
+    for j in range(1, n_centroids):
+        p = np.maximum(d, 0)
+        p = p / p.sum() if p.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        C[j] = X[rng.choice(len(X), p=p)]
+        d = np.minimum(d, 1.0 - X @ C[j])
+
+    for _ in range(n_iters):
+        sims = X @ C.T
+        a = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = X[a == j]
+            if len(members) == 0:
+                # reseed the empty cell to the point its current best
+                # centroid serves worst
+                C[j] = X[sims.max(axis=1).argmin()]
+            else:
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(int(j), [float(x) for x in C[j]]) for j in range(n_centroids)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
 def srp_buckets(n_bits: int, n_tables: int, seed: int = 0x5EED):
     """Signed-random-projection LSH signatures for cosine similarity.
 
@@ -177,6 +252,7 @@ def embedding_neardup_pairs(
     lsh_bits: int | None = None,
     lsh_tables: int = 4,
     max_group: int | None = None,
+    allow_bruteforce: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2) within groups.
 
@@ -190,7 +266,19 @@ def embedding_neardup_pairs(
     tables). ``max_group`` is the memory guard: blocks still larger
     than the cap are dropped, like lsh_candidate_pairs' max_bucket —
     raise ``lsh_bits`` if the guard fires on real data.
+
+    With NO blocking at all (empty ``group_cols`` and no ``lsh_bits``)
+    the plan is an all-pairs O(n²) self-join — a 100 TB footgun, so it
+    must be requested explicitly with ``allow_bruteforce=True`` (same
+    discipline as the plan audit's BNLJ_INTENTIONAL allowlist).
     """
+    if not group_cols and lsh_bits is None and not allow_bruteforce:
+        raise ValueError(
+            "embedding_neardup_pairs: no blocking given (group_cols=() and "
+            "lsh_bits=None) — this is an all-pairs O(n²) self-join. Pass "
+            "group_cols/lsh_bits, or allow_bruteforce=True to run it "
+            "intentionally on a bounded input."
+        )
     if use_pandas_udf and (group_cols or lsh_bits):
         # Grouped-matmul path: one applyInPandas group per blocking key —
         # Arrow ships each vector ONCE (not once per pair) and a single

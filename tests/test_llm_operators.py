@@ -116,11 +116,45 @@ def test_multimodal_features_match_numpy(spark, sf_dir):
         np.testing.assert_array_equal(got, expect)
 
 
-def test_decode_media_is_explicit_stub(spark, sf_dir):
+def _has_pillow() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_has_pillow(), reason="Pillow installed: real decode path active")
+def test_decode_media_is_explicit_stub_without_pillow(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     media = M.to_media(docs, id_col="doc_id", payload_col="text")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         M.decode_media(media)
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="optional Pillow dependency absent")
+def test_decode_media_real_path_with_pillow(spark, sf_dir):
+    """Real decode contract (runs wherever Pillow is installed): a valid
+    PNG yields ok=True with exact (width, height, mode, grayscale
+    bytes); a corrupt payload yields ok=False NULL row — never an
+    exception (per-row tolerance is the 100 TB contract)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (4, 3))
+    img.putdata([(x * 20, y * 30, 7) for y in range(3) for x in range(4)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    rows = [(1, "image", bytearray(buf.getvalue()), len(buf.getvalue())),
+            (2, "image", bytearray(b"not an image"), 12)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    got = {r["media_id"]: r for r in M.decode_media(media).collect()}
+    good, bad = got[1], got[2]
+    assert good["ok"] and (good["width"], good["height"]) == (4, 3)
+    assert good["mode"] == "RGB"
+    assert bytes(good["pixels"]) == img.convert("L").tobytes()
+    assert bad["ok"] is False
+    assert bad["width"] is None and bad["pixels"] is None
 
 
 def test_frame_sampler_shapes(spark, sf_dir):
@@ -147,6 +181,61 @@ def test_ivf_topk_approximates_bruteforce(spark, sf_dir):
     assert len(a) == len(e) == 30
     assert len(e & a) >= len(e) // 2
     assert all(q != v for q, v in a)
+
+
+def test_train_ivf_centroids_beats_arbitrary_and_is_deterministic(spark, sf_dir):
+    """The IVF trainer (VERDICT r2 item 4): sampled spherical k-means
+    centroids must (a) be bit-reproducible run-to-run and (b) give
+    better recall@k than the arbitrary pick-8-rows centroids the IVF
+    tests used before, at the same n_probe budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["vec_id"]) for r in S.cosine_topk(emb, queries, k=3).collect()}
+
+    trained = S.train_ivf_centroids(emb, n_centroids=8, sample_size=512, n_iters=10)
+    again = S.train_ivf_centroids(emb, n_centroids=8, sample_size=512, n_iters=10)
+    as_set = lambda df: sorted((r["vec_id"], tuple(r["embedding"])) for r in df.collect())
+    assert as_set(trained) == as_set(again)  # deterministic
+
+    arbitrary = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        "vec_id", "embedding"
+    )
+
+    def recall(cen, n_probe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_topk(emb, queries, cen, k=3, n_probe=n_probe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    # measured on the fixture: trained 0.37/0.63 vs arbitrary 0.30/0.50
+    assert recall(trained, 2) > recall(arbitrary, 2)
+    assert recall(trained, 2) >= 0.6
+    assert recall(trained, 1) > recall(arbitrary, 1)
+
+
+def test_train_ivf_centroids_rejects_tiny_sample(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="n_centroids"):
+        S.train_ivf_centroids(emb.limit(3), n_centroids=8)
+
+
+def test_neardup_unblocked_requires_explicit_bruteforce(spark, sf_dir):
+    """100 TB footgun guard (VERDICT r2 item 7): with no blocking at
+    all, embedding_neardup_pairs must refuse the silent O(n²)
+    self-join unless explicitly opted in."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="all-pairs"):
+        S.embedding_neardup_pairs(emb, 0.35, group_cols=())
+    with pytest.raises(ValueError, match="all-pairs"):
+        S.embedding_neardup_pairs(emb, 0.35, group_cols=(), use_pandas_udf=False)
+
+    # explicit opt-in still runs, and cross-label pairs now appear
+    opted = S.embedding_neardup_pairs(
+        emb.limit(60), 0.35, group_cols=(), allow_bruteforce=True
+    ).collect()
+    blocked = S.embedding_neardup_pairs(emb.limit(60), 0.35).collect()
+    assert len(opted) >= len(blocked)
 
 
 def test_pandas_and_jvm_cosine_agree(spark, sf_dir):
