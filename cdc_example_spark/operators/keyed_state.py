@@ -199,9 +199,13 @@ class KeyedStateSink:
             nonempty = set(obs.get["nonempty"])
         except Exception:
             # PropagateEmptyRelation elides the CollectMetrics node when
-            # `out` is statically empty (e.g. deletes against empty
-            # state), so the metric never fires. Re-evaluating the (then
-            # trivially local-empty) plan is safe and yields no buckets.
+            # `out` is statically empty (write-path deletes against
+            # empty state), and AQE's runtime empty-relation propagation
+            # does the same for plans that turn out empty mid-query
+            # (streaming deletes-only batch on empty state) — either
+            # way the metric never fires. Re-evaluating the (empty)
+            # plan is safe and yields no buckets; both branches are
+            # pinned by test_merge_metric_fallback_on_statically_empty_plan.
             nonempty = {
                 r["bucket"]
                 for r in out.groupBy("bucket").count().filter("count > 0").collect()

@@ -35,6 +35,8 @@ DRIVER_PRIORITY = [
     "q56_repetition_bands",
     "q57_quantization_audit",
     "q58_dedup_components",
+    # new in round 3
+    "q61_salted_skew_join",
 ]
 set_driver_order(DRIVER_PRIORITY)
 

@@ -1546,3 +1546,54 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out.orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# Q61 — skew-resistant salted equi-join (operators/skew.salted_join),
+# the one §2.2 join that had no driver-checked oracle row (VERDICT r2
+# item 6). Events (the skewed fact: every user_id is a hot key relative
+# to the 150-customer dim) join the customer dim through an explicit
+# salt: the fact side fans out over salt_factor reducers, the dim is
+# replicated once per salt value. The result is identical to the plain
+# join for ANY salt draw — which is exactly what the DuckDB oracle
+# states. Scale: at 100 TB this is the shape for a big-and-skewed fact
+# against a too-big-to-broadcast dim; the salt bounds every reducer's
+# share of a hot key at 1/salt_factor.
+# ---------------------------------------------------------------------------
+
+_Q61_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(CAST(SUM(e.value) AS DECIMAL(28,10)), 2) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type IN ('click', 'purchase')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q61_salted_skew_join", oracle=_Q61_ORACLE)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: events fact × customer dim, salt_factor=8."""
+    from cdc_example_spark.operators.skew import salted_join
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("user_id").alias("k"), F.col("user_id"), F.col("value"))
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return (
+        salted_join(events, dim, on=["k"], salt_factor=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec2(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

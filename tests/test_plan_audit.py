@@ -185,3 +185,15 @@ def test_q37_windows_share_one_exchange(spark, sf_dir):
     # exchange per window function.
     s = plan_summary(q("q37_ranking_family", spark, sf_dir))
     assert s["exchanges"] <= 2, s
+
+
+def test_q61_salt_fans_out_and_replicates_dim(spark, sf_dir):
+    """The salted join must actually salt: the physical join keys
+    include _salt (hot keys spread over salt_factor reducers) and the
+    dim side carries a Generate/explode (one replica per salt value).
+    Without these the operator silently degenerated to a plain join."""
+    df = q("q61_salted_skew_join", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert_no_cartesian(df)

@@ -354,3 +354,39 @@ def test_s7_stream_stream_interval_join_equals_batch_q50(spark, sf_dir, tmp_path
         ).collect()
     }
     assert pairs == batch_pairs and len(pairs) > 0
+
+
+def test_state_store_is_rocksdb(spark, tmp_path):
+    """SCALE.md §4 claims the streaming state store is RocksDB — pin it
+    (VERDICT r2 item 8): the session config must name the RocksDB
+    provider, and a stateful query's checkpoint must contain RocksDB
+    snapshot artifacts (.zip/.changelog), not the HDFSBackedStateStore
+    .delta files the default provider writes."""
+    import os
+
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    assert provider.endswith("RocksDBStateStoreProvider"), provider
+
+    rows = [(dt.datetime(2025, 1, 1, 0, 0, i), f"u{i % 3}") for i in range(30)]
+    src = tmp_path / "rocks-src"
+    spark.createDataFrame(rows, "ts TIMESTAMP, user STRING").write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema("ts TIMESTAMP, user STRING").parquet(str(src / "*"))
+    counted = stream.withWatermark("ts", "1 hour").groupBy("user").count()
+    ckpt = tmp_path / "rocks-ckpt"
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rocks_pin")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert spark.sql("SELECT sum(count) FROM rocks_pin").collect()[0][0] == 30
+
+    exts = set()
+    for root, _dirs, files in os.walk(ckpt / "state"):
+        exts.update(os.path.splitext(f)[1] for f in files)
+    assert ".delta" not in exts, exts  # default-provider artifact
+    assert {".zip", ".changelog"} & exts, exts  # RocksDB artifacts
