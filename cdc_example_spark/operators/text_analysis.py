@@ -154,26 +154,41 @@ def repetition_stats(
     1 − distinct/total ∈ [0, 1); docs shorter than one shingle get no
     row (nothing to measure).
 
-    Scale: explode → ONE map-side-combined hash agg per doc; one
-    distinct column next to plain counts takes Catalyst's two-level
-    no-Expand path (same note as q38). The text column never crosses
-    the shuffle — only (id, shingle) pairs.
+    Scale: MAP-ONLY. The stats are per-document, so they never need a
+    shuffle at all: the shingle array stays a row-local value and
+    total/distinct are ``size`` / ``size(array_distinct)`` — Spark's
+    array_distinct is a linear-time hash-set pass. (The previous
+    explode → groupBy(doc) shape shuffled every (id, shingle) pair to
+    recount what each row already knew — measured 3× slower at sf0.1,
+    and at 100 TB it's a full-corpus shuffle vs none.) The text column
+    never leaves the scan projection.
     """
-    # Materialize the token array as a NAMED column before building
-    # shingles over it: T.shingles references its input 4× (size +
-    # 3 element_at), and passing the split() expression inline would
-    # copy it into every reference site — re-evaluated per transform
-    # element, O(words²) per doc (measured 20× at sf0.1). With a named
-    # column CollapseProject refuses to duplicate the expensive split,
-    # so it runs once per row (same shape as q24).
-    toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
-    sh = toks.select(id_col, F.explode(T.shingles(F.col("ws"))).alias("s"))
-    return sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("total_shingles"),
-        F.countDistinct("s").alias("distinct_shingles"),
-        (
-            1 - F.countDistinct("s") / F.count(F.lit(1))
-        ).alias("rep_frac"),
+    # Materialize the token array, then the shingle array, as NAMED
+    # columns before anything references them: T.shingles references
+    # its input 4× and size/array_distinct reference the shingle array
+    # 2× — inline expressions would be copied into every reference
+    # site and re-evaluated (O(words²) per doc, measured 20× at
+    # sf0.1). Named columns survive because CollapseProject refuses to
+    # duplicate expensive multiply-referenced expressions.
+    # The sub-shingle-doc filter runs at TOKEN level (word count < 3 ⇔
+    # zero shingles), never on the shingle array: a later
+    # filter(size(sh) > 0) gets predicate-pushed below the projections
+    # with the whole shingle pipeline substituted inline — the split
+    # then re-runs per element_at reference inside the copied filter
+    # expression (measured 10× at sf0.1).
+    toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    arr = toks.select(id_col, T.shingles(F.col("ws")).alias("sh"))
+    return (
+        arr.select(
+            F.col(id_col),
+            F.size("sh").cast("long").alias("total_shingles"),
+            F.size(F.array_distinct("sh")).cast("long").alias("distinct_shingles"),
+        )
+        .withColumn(
+            "rep_frac", 1 - F.col("distinct_shingles") / F.col("total_shingles")
+        )
     )
 
 
@@ -192,35 +207,50 @@ def contamination_overlap(
     overlap_frac = n_shared / n_shingles.
 
     Scale: the benchmark shingle SET is small by construction (eval
-    suites are MBs, the corpus is the 100 TB side) → broadcast; the
-    corpus side is one explode → distinct → two aggs; the join ships
-    no text, only shingle strings (swap in 8-byte fingerprints at
-    scale, same shape as q24's posting lists).
+    suites are MBs, the corpus is the 100 TB side) → it collapses to
+    ONE broadcast row (collect_set of the bench docs' shingles) and
+    the corpus side is MAP-ONLY: per-row ``array_distinct`` +
+    ``array_intersect`` against the broadcast set — no corpus explode,
+    no (id, shingle) shuffle, no join exchange. (The previous
+    explode → distinct → broadcast-join shape shuffled every distinct
+    corpus (id, shingle) pair; measured 2× slower at sf0.1, and at
+    100 TB that shuffle is the whole corpus's token stream. Swap
+    shingle strings for 8-byte fingerprints at scale to shrink the
+    broadcast + per-row set further.)
     """
     # named-column indirection for the same O(words²) reason as
-    # repetition_stats above
-    toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
-    sh = toks.select(
-        id_col, F.explode(T.shingles(F.col("ws"))).alias("s")
-    ).distinct()
-    # the doc_id predicates push below the generate+distinct to the
-    # scan, so the bench subtree reads only the benchmark partition.
+    # repetition_stats above: ws, then the raw shingle array, then its
+    # distinct form each get a projection of their own.
+    # Branch on doc_id BEFORE tokenizing: writing one tokenized frame
+    # and filtering it twice leaves the cheap doc_id predicates BEHIND
+    # the word-count filter in the combined conjunction, so the bench
+    # branch re-splits every corpus row just to discard it.
+    def _dist_shingles(d: DataFrame) -> DataFrame:
+        # token-level short-doc filter, NOT filter(size(sh) > 0) — see
+        # repetition_stats for the predicate-pushdown duplication trap
+        toks = d.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws")).filter(
+            F.size("ws") >= 3
+        )
+        arr = toks.select(id_col, T.shingles(F.col("ws")).alias("sh0"))
+        return arr.select(id_col, F.array_distinct("sh0").alias("sh"))
+
+    # bench side: ≤ bench_max_id docs exploded into one global
+    # distinct-shingle set
     bench = (
-        sh.filter(F.col(id_col) < bench_max_id)
-        .select("s")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+        _dist_shingles(df.filter(F.col(id_col) < bench_max_id))
+        .select(F.explode("sh").alias("s"))
+        .agg(F.collect_set("s").alias("bench_sh"))
     )
-    # ONE corpus pass: broadcast-left-join the marker, then count rows
-    # and hits in the same aggregate (two passes — sizes + shared —
-    # would re-execute the explode+distinct pipeline per branch).
+    # single-row broadcast into a nested-loop join — the intentional
+    # tiny-build-side pattern (BNLJ_INTENTIONAL, same as q52's corpus
+    # stats); the corpus side then computes everything row-locally.
     return (
-        sh.filter(F.col(id_col) >= bench_max_id)
-        .join(F.broadcast(bench), "s", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("hit").alias("n_shared"),
+        _dist_shingles(df.filter(F.col(id_col) >= bench_max_id))
+        .crossJoin(F.broadcast(bench))
+        .select(
+            F.col(id_col),
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.size(F.array_intersect("sh", "bench_sh")).cast("long").alias("n_shared"),
         )
         .filter(F.col("n_shared") > 0)
         .withColumn("overlap_frac", F.col("n_shared") / F.col("n_shingles"))

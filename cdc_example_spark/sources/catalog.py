@@ -67,6 +67,11 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+#: tables whose downstream cost is per-row CPU (tokenization, shingle
+#: construction, vector math), not scan bytes — their cache partitioning
+#: gets a parallelism floor (see load_table).
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
 
 def _cache_policy() -> tuple[bool, int]:
     enabled = os.environ.get("SPARK_GRAFT_TABLE_CACHE", "1") != "0"
@@ -162,6 +167,14 @@ def load_table(
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if cache:
         n_parts = max(1, min(spark.sparkContext.defaultParallelism, size_mb))
+        if name in _COMPUTE_HEAVY:
+            # Payload tables (text blobs, embedding arrays) are CPU-
+            # bound downstream — tokenize/shingle/BLAS per row — so
+            # bytes under-state the right parallelism: a 0.6 MB
+            # documents table at 1 partition serializes every map-only
+            # text stage onto one core. Floor their cache partitioning
+            # at 8-way (a real engine keys this on column types/stats).
+            n_parts = max(n_parts, min(spark.sparkContext.defaultParallelism, 8))
         if n_parts > 1:
             df = df.repartition(n_parts)
         df = df.persist()

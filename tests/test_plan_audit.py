@@ -171,6 +171,8 @@ BNLJ_INTENTIONAL = {
     "q36_ivf_topk",
     # BM25 broadcasts its 1-row corpus-stats frame (N, avgdl)
     "q52_bm25_search",
+    # decontamination broadcasts its 1-row benchmark shingle-set frame
+    "q55_decontamination",
 }
 
 
