@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import day_str, dec2, hour_str
+from cdc_example_spark.queries.util import day_str, dec2, hour_str, small_result_order
 from cdc_example_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -58,7 +58,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(small_result_order, "l_returnflag", "l_linestatus")
     )
 
 
@@ -182,7 +182,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg("c_acctbal")).alias("avg_acctbal"),
             dec2(F.sum("c_acctbal")).alias("sum_acctbal"),
         )
-        .orderBy("r_name")
+        .transform(small_result_order, "r_name")
     )
 
 
@@ -240,7 +240,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("num_customers"))
         .filter(F.col("num_customers") > 1)
-        .orderBy("c_nationkey")
+        .transform(small_result_order, "c_nationkey")
     )
 
 
@@ -277,7 +277,8 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("num_customers"),
             dec2(F.sum("c_acctbal")).alias("sum_acctbal"),
         )
-        .orderBy(
+        .transform(
+            small_result_order,
             "g_nation",
             "g_segment",
             F.col("n_name").asc_nulls_first(),
@@ -316,7 +317,8 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("num_orders"),
             dec2(F.sum("o_totalprice")).alias("total_price"),
         )
-        .orderBy(
+        .transform(
+            small_result_order,
             "g_status",
             "g_priority",
             F.col("o_orderstatus").asc_nulls_first(),
@@ -360,7 +362,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.col("c_acctbal")).alias("acctbal"),
             F.col("rn").cast("long").alias("rn"),
         )
-        .orderBy("c_nationkey", "rn")
+        .transform(small_result_order, "c_nationkey", "rn")
     )
 
 
@@ -508,7 +510,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tagged("intersect", allc.intersect(ordering)))
         .unionAll(tagged("union_all", allc.unionAll(ordering)))
         .unionAll(tagged("union_distinct", allc.union(ordering).distinct()))
-        .orderBy("tag")
+        .transform(small_result_order, "tag")
     )
 
 
@@ -542,7 +544,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("nd_supp"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .orderBy("g_flag", F.col("l_returnflag").asc_nulls_first())
+        .transform(small_result_order, "g_flag", F.col("l_returnflag").asc_nulls_first())
     )
 
 
@@ -619,7 +621,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("num_orders"),
             dec2(F.sum("o_totalprice")).alias("total_price"),
         )
-        .orderBy("order_year", "order_month")
+        .transform(small_result_order, "order_year", "order_month")
     )
 
 
@@ -671,7 +673,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg(F.col("o_orderkey").cast("bigint") % 7)).alias("avg_mod7"),
             dec2(F.sum(F.pow(F.col("o_totalprice") / 100000, F.lit(2)))).alias("sum_sq_lakh"),
         )
-        .orderBy("band", "bucket_100k")
+        .transform(small_result_order, "band", "bucket_100k")
     )
 
 
@@ -712,7 +714,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
             "sum_value",
         )
-        .orderBy("hour_start", "event_type")
+        .transform(small_result_order, "hour_start", "event_type")
     )
 
 
@@ -816,7 +818,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("num_events"),
             dec2(F.sum("value")).alias("sum_value"),
         )
-        .orderBy("k_bucket", "event_type")
+        .transform(small_result_order, "k_bucket", "event_type")
     )
 
 
@@ -882,7 +884,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("c_custkey").over(w2_full).alias("poorest_cust"),
         )
         .filter(F.col("rn") <= 5)
-        .orderBy("c_nationkey", "rn")
+        .transform(small_result_order, "c_nationkey", "rn")
     )
 
 
@@ -956,7 +958,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
             _within_3sigma(side(0, "ap"), side(0, "ex")).alias("parts_within_3sigma"),
             _within_3sigma(side(1, "ap"), side(1, "ex")).alias("supps_within_3sigma"),
         )
-        .orderBy("l_returnflag")
+        .transform(small_result_order, "l_returnflag")
     )
 
 
@@ -993,7 +995,8 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dec2(F.sum("o_totalprice")).alias("sum_price"),
         )
-        .orderBy(
+        .transform(
+            small_result_order,
             "gid",
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -1060,7 +1063,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2(F.col("median_price")).alias("median_price"),
         dec2(F.col("p95_price")).alias("p95_price"),
         dec2(F.col("median_qty")).alias("median_qty"),
-    ).orderBy("l_returnflag")
+    ).transform(small_result_order, "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -1095,7 +1098,7 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
             dec2(F.covar_samp("l_discount", "l_extendedprice")).alias("cov_disc_price"),
         )
-        .orderBy("l_returnflag")
+        .transform(small_result_order, "l_returnflag")
     )
 
 
@@ -1148,7 +1151,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", split.alias("split"))
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "split")
+        .transform(small_result_order, "lang", "split")
     )
 
 
@@ -1184,7 +1187,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
-        .orderBy("day")
+        .transform(small_result_order, "day")
     )
 
 
@@ -1495,7 +1498,7 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cheap_suppliers", F.lit(0)).alias("n_cheap_suppliers"),
             side.alias("side"),
         )
-        .orderBy("nationkey")
+        .transform(small_result_order, "nationkey")
     )
 
 
@@ -1545,7 +1548,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = counts[0]
     for c in counts[1:]:
         out = out.unionAll(c)
-    return out.orderBy("tag")
+    return out.transform(small_result_order, "tag")
 
 
 # ---------------------------------------------------------------------------
@@ -1595,5 +1598,5 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             dec2(F.sum("value")).alias("total_value"),
         )
-        .orderBy("c_mktsegment")
+        .transform(small_result_order, "c_mktsegment")
     )

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 from cdc_example_spark.functions import text as T
 from cdc_example_spark.functions import vector as V
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import dec2
+from cdc_example_spark.queries.util import dec2, small_result_order
 from cdc_example_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -53,7 +53,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg(n_words)).alias("avg_words"),
             dec2(F.avg("n_chars")).alias("avg_chars"),
         )
-        .orderBy("lang")
+        .transform(small_result_order, "lang")
     )
 
 
@@ -313,7 +313,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe").alias("bpe_tokens"),
             dec2(F.avg("bpe")).alias("avg_bpe_tokens"),
         )
-        .orderBy("lang")
+        .transform(small_result_order, "lang")
     )
 
 
@@ -363,7 +363,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("actual_lang"), "predicted_lang")
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("actual_lang", "predicted_lang")
+        .transform(small_result_order, "actual_lang", "predicted_lang")
     )
 
 
@@ -427,7 +427,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg("punct_ratio")).alias("avg_punct_ratio"),
             dec2(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
         )
-        .orderBy("source")
+        .transform(small_result_order, "source")
     )
 
 
@@ -506,7 +506,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
-    ).orderBy("query_id", "rn")
+    ).transform(small_result_order, "query_id", "rn")
 
 
 # ---------------------------------------------------------------------------
@@ -708,7 +708,7 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, use_pandas_udf=True)
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
-    ).orderBy("query_id", "rn")
+    ).transform(small_result_order, "query_id", "rn")
 
 
 # ---------------------------------------------------------------------------
@@ -773,7 +773,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
-    ).orderBy("query_id", "rn")
+    ).transform(small_result_order, "query_id", "rn")
 
 
 # ---------------------------------------------------------------------------
@@ -822,7 +822,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("first_w").alias("n_first_words"),
             F.countDistinct("last_w").alias("n_last_words"),
         )
-        .orderBy("lang")
+        .transform(small_result_order, "lang")
     )
 
 
@@ -881,7 +881,7 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("hamming")
+        .transform(small_result_order, "hamming")
     )
 
 

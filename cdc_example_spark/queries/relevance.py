@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from cdc_example_spark.operators import relevance as R
 from cdc_example_spark.operators import sampling as S
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import dec2
+from cdc_example_spark.queries.util import dec2, small_result_order
 from cdc_example_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -159,7 +159,7 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         S.stratified_sample_k(docs, k=7, stratum_col="lang", key_col="doc_id")
         .select("lang", "rnk", "doc_id")
-        .orderBy("lang", "rnk")
+        .transform(small_result_order, "lang", "rnk")
     )
 
 
@@ -203,7 +203,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         R.top_ngrams(docs, n=2, k=5)
         .select("lang", "rnk", "ngram", "n_occurrences")
-        .orderBy("lang", "rnk")
+        .transform(small_result_order, "lang", "rnk")
     )
 
 
@@ -319,7 +319,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg("rep_frac")).alias("avg_rep_frac"),
             F.sum("total_shingles").alias("total_shingles"),
         )
-        .orderBy("lang", "rep_band")
+        .transform(small_result_order, "lang", "rep_band")
     )
 
 
@@ -375,5 +375,5 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg("rms_err") * 1000).alias("avg_rms_err_x1000"),
             F.sum("n_saturated").alias("n_saturated"),
         )
-        .orderBy("label")
+        .transform(small_result_order, "label")
     )

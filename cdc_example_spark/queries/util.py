@@ -24,6 +24,26 @@ def dec2(col: Column) -> Column:
     return F.round(col.cast("decimal(28,10)"), 2).cast("double")
 
 
+def small_result_order(df, *cols):
+    """Total-order a KNOWN-SMALL final result: one partition, one
+    in-partition sort.
+
+    A global ``orderBy`` plans a range exchange, which costs a separate
+    range-boundary SAMPLING job plus a multi-partition shuffle + fetch
+    — measured ~60-80 ms of the per-query floor at sf0.1 for results
+    of a few hundred rows. When the result cardinality is bounded by
+    DIMENSIONS (groups over region/nation/lang/band, pivots, explicit
+    top-k) rather than by fact cardinality, a single output partition
+    is the right plan at ANY scale — the result is small at 100 TB too,
+    and the single-partition sort doubles as the total-order guarantee
+    the determinism contract needs. Unbounded outputs (per-customer,
+    per-doc rows) must keep global orderBy; queries ending in
+    orderBy().limit() already plan as TakeOrderedAndProject and should
+    stay as written.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def day_str(col: Column) -> Column:
     """Timestamp → 'yyyy-MM-dd' string (matches DuckDB strftime '%Y-%m-%d')."""
     return F.date_format(col, "yyyy-MM-dd")

@@ -51,6 +51,15 @@ def scale_profile(sf_dir: str) -> dict[str, str]:
             # bytes it saves (measured ~10-20 ms/query at sf0.1)
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
+            # Constraint propagation is an optimizer-TIME cost paid per
+            # plan (quadratic-ish in predicate count); its payoff —
+            # inferred filters enabling extra pushdown/join pruning —
+            # only materializes when scans are big enough to care. At
+            # sf0.1 it is ~35 ms of the ~100 ms per-query planning
+            # floor (measured −19% on floor-bound queries, no change
+            # on mid-weight ones); at cluster scale the default stays
+            # on, where inferred IsNotNulls prune real IO.
+            "spark.sql.constraintPropagation.enabled": "false",
         }
     return {}
 
