@@ -1058,12 +1058,15 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag string, median_price double, p95_price double, median_qty double",
         )
     )
+    # plain global orderBy, NOT small_result_order: coalesce(1) would
+    # merge the applyInPandas reduce stage to one task and serialize
+    # the per-group np.percentile work (measured +0.2 s at sf0.1)
     return raw.select(
         "l_returnflag",
         dec2(F.col("median_price")).alias("median_price"),
         dec2(F.col("p95_price")).alias("p95_price"),
         dec2(F.col("median_qty")).alias("median_qty"),
-    ).transform(small_result_order, "l_returnflag")
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

@@ -68,9 +68,22 @@ TABLE_NAMES = (
 )
 
 #: tables whose downstream cost is per-row CPU (tokenization, shingle
-#: construction, vector math), not scan bytes — their cache partitioning
-#: gets a parallelism floor (see load_table).
-_COMPUTE_HEAVY = {"documents", "embeddings"}
+#: construction, vector math, JSON parsing), not scan bytes — their
+#: cache partitioning gets a parallelism floor (see load_table).
+_COMPUTE_HEAVY = {"documents", "embeddings", "events"}
+
+#: cache LAYOUT: hash-partition these tables on their dominant access
+#: key instead of round-robin. An InMemoryRelation advertises its
+#: child's outputPartitioning, so every window/groupBy/join clustered
+#: on the key reads the cache WITHOUT an exchange — the in-memory twin
+#: of the lake layer's bucketed tables (sources/lake.py). Per-customer
+#: order analytics and per-user event sessionization are the repo's
+#: dominant patterns (SURVEY §2.3: q10/q11/q46 windows on o_custkey;
+#: q19/q25/q48/q50 windows on user_id).
+_CACHE_LAYOUT: dict[str, tuple[str, ...]] = {
+    "orders": ("o_custkey",),
+    "events": ("user_id",),
+}
 
 
 def _cache_policy() -> tuple[bool, int]:
@@ -167,7 +180,7 @@ def load_table(
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if cache:
         n_parts = max(1, min(spark.sparkContext.defaultParallelism, size_mb))
-        if name in _COMPUTE_HEAVY:
+        if name in _COMPUTE_HEAVY or name in _CACHE_LAYOUT:
             # Payload tables (text blobs, embedding arrays) are CPU-
             # bound downstream — tokenize/shingle/BLAS per row — so
             # bytes under-state the right parallelism: a 0.6 MB
@@ -175,7 +188,10 @@ def load_table(
             # text stage onto one core. Floor their cache partitioning
             # at 8-way (a real engine keys this on column types/stats).
             n_parts = max(n_parts, min(spark.sparkContext.defaultParallelism, 8))
-        if n_parts > 1:
+        layout = _CACHE_LAYOUT.get(name)
+        if layout:
+            df = df.repartition(n_parts, *[F.col(c) for c in layout])
+        elif n_parts > 1:
             df = df.repartition(n_parts)
         df = df.persist()
     plans[key] = df
