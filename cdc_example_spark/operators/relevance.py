@@ -40,13 +40,19 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _tokens(df: DataFrame, text_col: str, keep: Sequence[str]) -> DataFrame:
+def _tokens(
+    df: DataFrame,
+    text_col: str,
+    keep: Sequence[str],
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Lower-cased whitespace tokens of ``text_col``, one row per token,
     carrying ``keep``. The explode happens after column pruning, so the
-    only wide value in flight is the token itself."""
-    return df.select(
-        *keep, F.explode(T.words(F.lower(F.col(text_col)))).alias("term")
-    )
+    only wide value in flight is the token itself. With ``tokens_col``
+    the input already carries the token array (the catalog's shared
+    ``load_doc_tokens`` view) and tokenization is skipped."""
+    src = F.col(tokens_col) if tokens_col else T.words(F.lower(F.col(text_col)))
+    return df.select(*keep, F.explode(src).alias("term"))
 
 
 def tfidf_top_terms(
@@ -55,6 +61,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_col: str = "lang",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document, IDF scoped per ``corpus_col``.
 
@@ -78,7 +85,7 @@ def tfidf_top_terms(
     from cdc_example_spark.queries.util import dec2
 
     tf = (
-        _tokens(docs, text_col, (corpus_col, id_col))
+        _tokens(docs, text_col, (corpus_col, id_col), tokens_col)
         .groupBy(corpus_col, id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -111,6 +118,7 @@ def bm25_rank(
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score against a bag of query terms.
 
@@ -130,9 +138,11 @@ def bm25_rank(
     """
     from cdc_example_spark.queries.util import dec2
 
-    lens = docs.select(
-        id_col, T.words(F.lower(F.col(text_col))).alias("ws")
-    ).withColumn("dl", F.size("ws"))
+    if tokens_col:
+        lens = docs.select(id_col, F.col(tokens_col).alias("ws"))
+    else:
+        lens = docs.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+    lens = lens.withColumn("dl", F.size("ws"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
@@ -175,6 +185,7 @@ def top_ngrams(
     k: int = 5,
     text_col: str = "text",
     group_col: str = "lang",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` most frequent word ``n``-grams per ``group_col`` —
     the vocabulary/statistics table a tokenizer trainer starts from.
@@ -185,7 +196,10 @@ def top_ngrams(
     n-gram string, so the output is a total order — integer counts make
     it reproducible bit-for-bit on any engine.
     """
-    toks = docs.select(group_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+    if tokens_col:
+        toks = docs.select(group_col, F.col(tokens_col).alias("ws"))
+    else:
+        toks = docs.select(group_col, T.words(F.lower(F.col(text_col))).alias("ws"))
     # sequence(0, size-n) is DESCENDING when size < n (Spark extends
     # sequences both ways) — guard short docs to an empty n-gram list.
     grams = F.when(

@@ -145,7 +145,10 @@ def fingerprint(text: Column) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Within-document repetition: total vs distinct 3-word shingles.
 
@@ -176,9 +179,11 @@ def repetition_stats(
     # with the whole shingle pipeline substituted inline — the split
     # then re-runs per element_at reference inside the copied filter
     # expression (measured 10× at sf0.1).
-    toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws")).filter(
-        F.size("ws") >= 3
-    )
+    if tokens_col:
+        toks = df.select(id_col, F.col(tokens_col).alias("ws"))
+    else:
+        toks = df.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+    toks = toks.filter(F.size("ws") >= 3)
     arr = toks.select(id_col, T.shingles(F.col("ws")).alias("sh"))
     return (
         arr.select(
@@ -197,6 +202,7 @@ def contamination_overlap(
     bench_max_id: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per corpus doc, how many of its
     distinct 3-word shingles appear in ANY benchmark doc (the GPT-3 /
@@ -228,9 +234,11 @@ def contamination_overlap(
     def _dist_shingles(d: DataFrame) -> DataFrame:
         # token-level short-doc filter, NOT filter(size(sh) > 0) — see
         # repetition_stats for the predicate-pushdown duplication trap
-        toks = d.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws")).filter(
-            F.size("ws") >= 3
-        )
+        if tokens_col:
+            toks = d.select(id_col, F.col(tokens_col).alias("ws"))
+        else:
+            toks = d.select(id_col, T.words(F.lower(F.col(text_col))).alias("ws"))
+        toks = toks.filter(F.size("ws") >= 3)
         arr = toks.select(id_col, T.shingles(F.col("ws")).alias("sh0"))
         return arr.select(id_col, F.array_distinct("sh0").alias("sh"))
 

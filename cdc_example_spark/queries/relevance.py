@@ -21,7 +21,7 @@ from cdc_example_spark.operators import relevance as R
 from cdc_example_spark.operators import sampling as S
 from cdc_example_spark.queries.registry import query
 from cdc_example_spark.queries.util import dec2, small_result_order
-from cdc_example_spark.sources.catalog import load_table
+from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
 
 # ---------------------------------------------------------------------------
 # q51 — top-3 TF-IDF terms per document (IDF scoped per language).
@@ -65,10 +65,11 @@ ORDER BY doc_id, rnk
 @query("q51_tfidf_top_terms", oracle=_Q51_ORACLE)
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document, language-scoped IDF."""
-    docs = load_table(spark, sf_dir, "documents")
-    # operator emits the already-rounded tfidf it ranked on
+    toks = load_doc_tokens(spark, sf_dir)
+    # operator emits the already-rounded tfidf it ranked on; tokens come
+    # from the catalog's shared tokenized view (one pass for q51/52/54/55/56)
     return (
-        R.tfidf_top_terms(docs, k=3)
+        R.tfidf_top_terms(toks, k=3, tokens_col="ws")
         .select("doc_id", "term", "rnk", "tfidf")
         .orderBy("doc_id", "rnk")
     )
@@ -122,8 +123,8 @@ LIMIT 10
 @query("q52_bm25_search", oracle=_Q52_ORACLE)
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for the probe query (hash, merge, scan)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return R.bm25_rank(docs, _QUERY_TERMS, k=10).select(
+    toks = load_doc_tokens(spark, sf_dir)
+    return R.bm25_rank(toks, _QUERY_TERMS, k=10, tokens_col="ws").select(
         "doc_id", "n_terms_matched", "bm25"
     )
 
@@ -199,9 +200,9 @@ ORDER BY lang, rnk
 @query("q54_bigram_vocab", oracle=_Q54_ORACLE)
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 word bigrams per language (tokenizer-training vocabulary)."""
-    docs = load_table(spark, sf_dir, "documents")
+    toks = load_doc_tokens(spark, sf_dir)
     return (
-        R.top_ngrams(docs, n=2, k=5)
+        R.top_ngrams(toks, n=2, k=5, tokens_col="ws")
         .select("lang", "rnk", "ngram", "n_occurrences")
         .transform(small_result_order, "lang", "rnk")
     )
@@ -250,8 +251,8 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark stand-in (doc_id < 10)."""
     from cdc_example_spark.operators import text_analysis as TA
 
-    docs = load_table(spark, sf_dir, "documents")
-    out = TA.contamination_overlap(docs, bench_max_id=10)
+    toks = load_doc_tokens(spark, sf_dir)
+    out = TA.contamination_overlap(toks, bench_max_id=10, tokens_col="ws")
     return out.select(
         "doc_id",
         "n_shingles",
@@ -301,11 +302,10 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-band histogram per language (boilerplate detector)."""
     from cdc_example_spark.operators import text_analysis as TA
 
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = TA.repetition_stats(docs.select("doc_id", "lang", "text"),
-                                  id_col="doc_id")
+    toks = load_doc_tokens(spark, sf_dir)
+    per_doc = TA.repetition_stats(toks, id_col="doc_id", tokens_col="ws")
     per_doc = per_doc.join(
-        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+        F.broadcast(toks.select("doc_id", "lang")), "doc_id"
     )
     band = (
         F.when(F.col("rep_frac") >= 0.5, "high")

@@ -198,6 +198,35 @@ def load_table(
     return df
 
 
+def load_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tokenized view of ``documents``: (doc_id, lang, ws).
+
+    The relevance/curation stack (TF-IDF, BM25, n-gram vocab,
+    shingle scoring — q51/q52/q54/q55/q56) all start from the same
+    lower→trim→split token arrays; materializing them once in the
+    columnar cache turns five tokenization passes into one. Governed
+    by the same hot-table-cache policy as ``load_table`` (disabled →
+    plain derived plan, no persist). At 100 TB this is the classic
+    "tokens" silver table a curation pipeline materializes next to the
+    raw corpus.
+    """
+    from cdc_example_spark.functions import text as T
+
+    enabled, _ = _cache_policy()
+    plans = _plan_cache.setdefault(spark, {})
+    key = (os.path.normpath(sf_dir), "__doc_tokens", enabled)
+    if key in plans:
+        return plans[key]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws")
+    )
+    if enabled:
+        toks = toks.persist()
+    plans[key] = toks
+    return toks
+
+
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register every driver table as a temp view (for spark.sql queries)."""
     for name in TABLE_NAMES:
