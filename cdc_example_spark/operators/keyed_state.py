@@ -218,8 +218,14 @@ class KeyedStateSink:
     # write-path operators (A12/A13): service-level upsert/delete
     # ------------------------------------------------------------------
 
-    def upsert_requests(self, requests: DataFrame, now) -> None:
+    def upsert_requests(self, requests: DataFrame, now) -> DataFrame:
         """Batch twin of MessageService.upsertMessage (MessageService.kt:18-34).
+
+        Returns the saved row images (generated ids included) — the
+        analog of the reference's read-back-and-return
+        (MessageService.kt:33, "read back to return the correct time
+        stamps"); here the materialized ``new_rows`` ARE the written
+        values, so no second read is needed.
 
         ``requests``: columns (id nullable, username, message). Semantics:
         - id NULL → insert with generated uuid, create_time = update_time = now
@@ -270,6 +276,7 @@ class KeyedStateSink:
         new_rows = inserts.unionByName(updates).localCheckpoint(eager=True)
         touched = new_rows.select(F.col("id").alias(self.key)).distinct()
         self._merge(spark, touched, new_rows)
+        return new_rows
 
     def delete_keys(self, keys: DataFrame) -> None:
         """Batch twin of MessageService.deleteMessage (MessageService.kt:36-39)."""
