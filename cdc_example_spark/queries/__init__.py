@@ -37,6 +37,7 @@ DRIVER_PRIORITY = [
     "q58_dedup_components",
     # new in round 3
     "q61_salted_skew_join",
+    "q62_ivf_trained_topk",
 ]
 set_driver_order(DRIVER_PRIORITY)
 

@@ -989,3 +989,47 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — trained-IVF recall audit: the self-serve ANN path. Centroids
+# come from the deterministic sampled spherical k-means trainer
+# (operators/similarity.train_ivf_centroids) instead of q36's pinned
+# rows; the query reports, per probe vector, how much of the exact
+# cosine top-k the trained index recovers at n_probe=2. k-means is an
+# iterative non-SQL-expressible algorithm, so this entry has no DuckDB
+# oracle (rows-only driver check); the trainer's quality and
+# determinism are pinned in pytest
+# (test_train_ivf_centroids_beats_arbitrary_and_is_deterministic).
+# ---------------------------------------------------------------------------
+
+
+@query("q62_ivf_trained_topk", oracle=None)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF over trained k-means centroids vs exact top-3."""
+    from cdc_example_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    centroids = S.train_ivf_centroids(emb, n_centroids=8, sample_size=512, n_iters=10)
+    approx = S.ivf_topk(emb, probes, centroids, k=3, n_probe=2).select(
+        "query_id", "vec_id"
+    )
+    exact = S.cosine_topk(emb, probes, k=3).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            dec2(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+        .transform(small_result_order, "query_id")
+    )

@@ -507,3 +507,18 @@ def test_resize_stub_contract(spark):
     # repeat run → identical bytes (reproducibility)
     again = {r.media_id: r.resized for r in resize_stub(df, target_bytes=16).collect()}
     assert {k: v.resized for k, v in rows.items()} == again
+
+
+def test_q62_trained_ivf_recall_quality(spark, sf_dir):
+    """q62 (rows-only driver check) gets its value assertion here: the
+    trained index must recover most of the exact top-3 at n_probe=2,
+    and the recall arithmetic must be internally consistent."""
+    from cdc_example_spark.queries import all_queries
+
+    rows = all_queries()["q62_ivf_trained_topk"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 3 and 0 <= r["n_hit"] <= 3
+        assert abs(r["recall"] - round(r["n_hit"] / 3, 2)) < 1e-9
+    total = sum(r["n_hit"] for r in rows) / sum(r["n_exact"] for r in rows)
+    assert total >= 0.6, total  # measured 0.63 at sf0.001 fixture
