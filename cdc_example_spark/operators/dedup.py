@@ -90,6 +90,7 @@ def token_fp_rows(
     text_col: str = "text",
     key_col: str = "doc_id",
     extra_cols: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exploded distinct token fingerprints: one (key, fp) row per token.
 
@@ -99,10 +100,15 @@ def token_fp_rows(
     instead would make Catalyst's project-collapse duplicate the whole
     tokenize+fold tree N times — 30× slower measured at sf0.1.)
     """
+    fps = (
+        F.array_distinct(F.transform(F.col(tokens_col), T.word_fingerprint))
+        if tokens_col  # pre-tokenized view (catalog.load_doc_tokens)
+        else word_fp_set(F.col(text_col))
+    )
     return df.select(
         F.col(key_col),
         *[F.col(c) for c in extra_cols],
-        F.explode(word_fp_set(F.col(text_col))).alias("fp"),
+        F.explode(fps).alias("fp"),
     )
 
 
@@ -112,6 +118,7 @@ def shingle_fp_rows(
     key_col: str = "doc_id",
     shingle: int = 3,
     extra_cols: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exploded distinct ``shingle``-word fingerprints per document.
 
@@ -131,10 +138,11 @@ def shingle_fp_rows(
     Docs with fewer than ``shingle`` words yield no rows (mirrors the
     exact-Jaccard oracle, whose shingle set is empty for them).
     """
+    ws = F.col(tokens_col) if tokens_col else T.words(F.lower(F.col(text_col)))
     wfps = df.select(
         F.col(key_col),
         *[F.col(c) for c in extra_cols],
-        F.transform(T.words(F.lower(F.col(text_col))), T.word_fingerprint).alias("_wfps"),
+        F.transform(ws, T.word_fingerprint).alias("_wfps"),
     )
     arr = F.col("_wfps")
 
@@ -161,13 +169,14 @@ def minhash_signature_table(
     key_col: str = "doc_id",
     num_hashes: int = 8,
     extra_cols: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature as wide columns s0..s{k-1}, one row per doc.
 
     Shape for scale: explode → groupBy(key) runs as partial (map-side)
     min + one shuffle of k longs per doc; nothing quadratic, no Python.
     """
-    fps = token_fp_rows(df, text_col, key_col, extra_cols)
+    fps = token_fp_rows(df, text_col, key_col, extra_cols, tokens_col)
     aggs = [
         F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -184,6 +193,7 @@ def lsh_candidate_pairs(
     shingle: int = 3,
     group_cols: tuple[str, ...] = (),
     max_bucket: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (key_1 < key_2, distinct).
 
@@ -207,7 +217,7 @@ def lsh_candidate_pairs(
     ``group_cols`` (e.g. lang) further partition the buckets.
     """
     rows_per_band = num_hashes // bands
-    fps = shingle_fp_rows(df, text_col, key_col, shingle, extra_cols=group_cols)
+    fps = shingle_fp_rows(df, text_col, key_col, shingle, extra_cols=group_cols, tokens_col=tokens_col)
     # F.expr strings, one parse call per expression: building these
     # loops column-op-by-column-op costs ~0.25 s of py4j round trips
     # per query build (measured; identical plans either way).
@@ -279,6 +289,7 @@ def simhash_table(
     key_col: str = "doc_id",
     extra_cols: tuple[str, ...] = (),
     bits: int = 32,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc SimHash as a DataFrame — the scale path for :func:`simhash32`.
 
@@ -289,7 +300,7 @@ def simhash_table(
     Docs whose text is NULL produce no row (same as the SQL oracle's
     UNNEST semantics).
     """
-    fps = token_fp_rows(df, text_col, key_col, extra_cols)
+    fps = token_fp_rows(df, text_col, key_col, extra_cols, tokens_col)
     # F.expr strings: one parse call per vote instead of ~6 py4j round
     # trips of Column ops — ~0.4 s less build time per query (measured;
     # identical plans either way).
@@ -311,6 +322,7 @@ def simhash_near_pairs(
     group_cols: tuple[str, ...] = ("lang",),
     bits: int = 32,
     max_bucket: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """All pairs whose SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -352,7 +364,10 @@ def simhash_near_pairs(
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
-    s = simhash_table(df, text_col, key_col, extra_cols=tuple(group_cols), bits=bits).select(
+    s = simhash_table(
+        df, text_col, key_col, extra_cols=tuple(group_cols), bits=bits,
+        tokens_col=tokens_col,
+    ).select(
         F.col(key_col).alias("k"), *(F.col(c) for c in group_cols), F.col("simhash").alias("sh")
     )
 

@@ -16,7 +16,7 @@ from cdc_example_spark.functions import text as T
 from cdc_example_spark.functions import vector as V
 from cdc_example_spark.queries.registry import query
 from cdc_example_spark.queries.util import dec2, small_result_order
-from cdc_example_spark.sources.catalog import load_table
+from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
 
 # ---------------------------------------------------------------------------
 # Q21 — exact dedup stats per language.
@@ -192,7 +192,6 @@ END
 @query("q24_jaccard_neardup_pairs", oracle=_Q24_ORACLE)
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard ≥ 0.8 pairs (shared-scan self-join)."""
-    docs = load_table(spark, sf_dir, "documents")
     # One pass builds each doc's deduped shingle-hash set AND its size;
     # the exploded rows carry n, so no post-hoc size lookups.
     #
@@ -216,8 +215,8 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision is ~1e-8 per corpus — irrelevant next to the 2-decimal
     # rounding of the output.
     sets = (
-        docs.filter(F.col("lang").isNotNull())
-        .select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
+        load_doc_tokens(spark, sf_dir)
+        .filter(F.col("lang").isNotNull())
         .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
         .groupBy("doc_id", "lang")
         .agg(F.collect_set(F.xxhash64("s")).alias("set"))
@@ -468,8 +467,8 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per doc (majority vote over token fingerprints)."""
     from cdc_example_spark.operators import dedup as D
 
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_table(docs, text_col="text", key_col="doc_id").orderBy("doc_id")
+    toks = load_doc_tokens(spark, sf_dir)
+    return D.simhash_table(toks, key_col="doc_id", tokens_col="ws").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -597,9 +596,9 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL langs can't pair in the oracle (a.lang = b.lang), but the
     # operator's groupBy-bucketing would pair them — filter for parity.
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("lang").isNotNull())
     return D.lsh_candidate_pairs(
-        docs, num_hashes=12, bands=4, group_cols=("lang",)
+        toks, num_hashes=12, bands=4, group_cols=("lang",), tokens_col="ws"
     ).orderBy("doc_id_1", "doc_id_2")
 
 
@@ -874,9 +873,9 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pair histogram (Hamming ≤ 3, per lang)."""
     from cdc_example_spark.operators import dedup as D
 
-    docs = load_table(spark, sf_dir, "documents")
+    toks = load_doc_tokens(spark, sf_dir)
     pairs = D.simhash_near_pairs(
-        docs, text_col="text", key_col="doc_id", max_hamming=3, group_cols=("lang",)
+        toks, key_col="doc_id", max_hamming=3, group_cols=("lang",), tokens_col="ws"
     )
     return (
         pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
@@ -956,10 +955,9 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cdc_example_spark.operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = (
-        docs.filter(F.col("lang").isNotNull())
-        .select("doc_id", "lang", T.words(F.lower(F.col("text"))).alias("ws"))
+        load_doc_tokens(spark, sf_dir)
+        .filter(F.col("lang").isNotNull())
         .select("doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("s"))
         .groupBy("doc_id", "lang")
         .agg(F.collect_set(F.xxhash64("s")).alias("set"))

@@ -169,6 +169,9 @@ BNLJ_INTENTIONAL = {
     "q30_cosine_topk_multi",
     "q35_pandas_cosine_topk",
     "q36_ivf_topk",
+    # trained-IVF recall audit composes ivf_topk + cosine_topk, both of
+    # which broadcast their tiny query/centroid sides into theta-joins
+    "q62_ivf_trained_topk",
     # BM25 broadcasts its 1-row corpus-stats frame (N, avgdl)
     "q52_bm25_search",
     # decontamination broadcasts its 1-row benchmark shingle-set frame
