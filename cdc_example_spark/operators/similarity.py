@@ -162,7 +162,32 @@ def train_ivf_centroids(
 
     Returns (``id_col`` = 0..n-1, ``vec_col`` = unit-norm centroid),
     directly consumable by :func:`ivf_topk`/:func:`assign_to_centroids`.
+    ``train_ivf_centroids_local`` returns the same centroids as a plain
+    ``list[list[float]]`` for callers that inline them as plan literals
+    (broadcast-by-construction; q62 compiles them into a single-scan
+    assignment expression).
     """
+    C = train_ivf_centroids_local(
+        vectors, n_centroids, sample_size, n_iters, id_col, vec_col, seed
+    )
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(int(j), row) for j, row in enumerate(C)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
+def train_ivf_centroids_local(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> list[list[float]]:
+    """Driver-side twin of :func:`train_ivf_centroids` — identical
+    sampling, seeding and updates; returns centroid j at index j."""
     rows = (
         _as_double(vectors, vec_col)
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
@@ -204,11 +229,32 @@ def train_ivf_centroids(
                 m = members.sum(axis=0)
                 C[j] = m / max(np.linalg.norm(m), 1e-12)
 
-    spark = vectors.sparkSession
-    return spark.createDataFrame(
-        [(int(j), [float(x) for x in C[j]]) for j in range(n_centroids)],
-        f"{id_col} long, {vec_col} array<double>",
-    )
+    return [[float(x) for x in C[j]] for j in range(n_centroids)]
+
+
+def centroid_cells_expr(centroids: "list[list[float]]", vec_col: str) -> "F.Column":
+    """Nearest-centroid cells as ONE codegen expression over inlined
+    centroid literals: array<struct<nd double, cid long>> sorted by
+    (cosine desc, centroid_id asc) — ``element_at(.., 1).cid`` is the
+    :func:`assign_to_centroids` n_assign=1 cell, ``slice(.., 1, p)`` the
+    n_probe probe set, with the identical tie-break.
+
+    Requires unit-norm centroids (the trainer's output): then cosine
+    ordering equals dot-product ordering (norm(v) divides out), so the
+    per-row cost is k·dim multiply-adds inside whole-stage codegen —
+    no join, no shuffle, no Python. This is the 100 TB assignment path:
+    the centroid table is kilobytes, inlining it into the scan beats
+    broadcasting it into a theta-join by one whole stage.
+    """
+    structs = []
+    for j, c in enumerate(centroids):
+        arr = "array({})".format(",".join(f"CAST({x!r} AS DOUBLE)" for x in c))
+        dotj = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+        structs.append(f"struct(-({dotj}) AS nd, CAST({j} AS LONG) AS cid)")
+    return F.expr("array_sort(array({}))".format(",".join(structs)))
 
 
 def srp_buckets(n_bits: int, n_tables: int, seed: int = 0x5EED):

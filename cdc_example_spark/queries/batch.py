@@ -928,22 +928,25 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape history, all interleaved-A/B-measured at sf0.1: two exact
     distincts over DIFFERENT columns in one aggregate trigger
     RewriteDistinctAggregates' Expand (3× the rows through a double
-    shuffle) — 16% slower than one pass per column joined on the
-    group key; the current union-tag form stacks (flag, partkey, 0)
-    on (flag, suppkey, 1) so ONE aggregate with a single distinct
-    column covers both — no Expand, one job instead of two plus a
-    join — another 17% faster (median 0.67 s vs 0.81 s). The union
-    doubles the skinny 2-column scan, which the map-side partial
-    distinct immediately collapses.
+    shuffle) — 1.14 s. Mixing countDistinct with the HLL in ONE
+    aggregate ALSO triggers the Expand rewrite (distinct + non-distinct
+    aggregate mix), which is why the round-2 union-tag form still paid
+    0.80 s. Current form: ONE scan posexplodes (partkey, suppkey) into
+    tagged rows, an explicit ``distinct()`` deduplicates (map-side
+    partial + 1 shuffle), and THEN one plain aggregate computes
+    ``count(v)`` (= exact distinct, input is already distinct) and the
+    HLL — which is duplicate-insensitive, so sketching the distinct set
+    yields the identical estimate as sketching the raw stream. No
+    Expand anywhere, 0.37 s median. At 100 TB the same shape holds:
+    the partial distinct collapses each map task's duplicates before
+    the only shuffle, and the sketch stays mergeable.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    u = li.select(
-        "l_returnflag", F.col("l_partkey").alias("v"), F.lit(0).alias("t")
-    ).unionAll(
-        li.select("l_returnflag", F.col("l_suppkey").alias("v"), F.lit(1).alias("t"))
-    )
-    per = u.groupBy("l_returnflag", "t").agg(
-        F.countDistinct("v").alias("ex"),
+    dis = li.select(
+        "l_returnflag", F.posexplode(F.array("l_partkey", "l_suppkey")).alias("t", "v")
+    ).distinct()
+    per = dis.groupBy("l_returnflag", "t").agg(
+        F.count("v").alias("ex"),
         F.approx_count_distinct("v", rsd=_HLL_RSD).alias("ap"),
     )
 
@@ -1058,15 +1061,22 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag string, median_price double, p95_price double, median_qty double",
         )
     )
-    # plain global orderBy, NOT small_result_order: coalesce(1) would
-    # merge the applyInPandas reduce stage to one task and serialize
-    # the per-group np.percentile work (measured +0.2 s at sf0.1)
-    return raw.select(
-        "l_returnflag",
-        dec2(F.col("median_price")).alias("median_price"),
-        dec2(F.col("p95_price")).alias("p95_price"),
-        dec2(F.col("median_qty")).alias("median_qty"),
-    ).orderBy("l_returnflag")
+    # NOT small_result_order: coalesce(1) would merge the applyInPandas
+    # reduce stage to one task and serialize the per-group np.percentile
+    # work (measured +0.2 s at sf0.1). repartition(1) keeps the pandas
+    # stage parallel (the exchange is a stage boundary) while the final
+    # 3-row sort runs as one task — and unlike a global orderBy it
+    # skips the range-boundary sampling job (0.79 s → 0.42 s median).
+    return (
+        raw.select(
+            "l_returnflag",
+            dec2(F.col("median_price")).alias("median_price"),
+            dec2(F.col("p95_price")).alias("p95_price"),
+            dec2(F.col("median_qty")).alias("median_qty"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
+    )
 
 
 # ---------------------------------------------------------------------------

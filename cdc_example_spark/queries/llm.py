@@ -1004,30 +1004,68 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q62_ivf_trained_topk", oracle=None)
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of IVF over trained k-means centroids vs exact top-3."""
+    """Recall@3 of IVF over trained k-means centroids vs exact top-3.
+
+    Single-pass form: instead of running ivf_topk and cosine_topk as two
+    separate corpus scans and semi-joining their top-k sets (round-2
+    shape, ~10 stages, 0.86 s median at sf0.1), ONE scan assigns every
+    vector its centroid cell via inlined literals
+    (similarity.centroid_cells_expr — same tie-break as
+    assign_to_centroids), broadcasts the 10 probes with their n_probe=2
+    cells, and ONE window (partitioned by query, ordered cos desc,
+    vec_id) yields both ranks: ``rn_all`` (exact rank over all
+    candidates) and ``probed_rank`` (running count of in-probe rows =
+    rank within the IVF-visible subset). exact top-3 = rn_all ≤ 3; an
+    exact hit is IVF-recovered iff it is in-probe with probed_rank ≤ 3
+    — identical semantics, one shuffle, 4 stages (~0.3 s). At 100 TB
+    the audit is one corpus pass instead of three.
+    """
     from cdc_example_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
-    centroids = S.train_ivf_centroids(emb, n_centroids=8, sample_size=512, n_iters=10)
-    approx = S.ivf_topk(emb, probes, centroids, k=3, n_probe=2).select(
-        "query_id", "vec_id"
+    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("cs", S.centroid_cells_expr(C, "v"))
+    cand = base.select(
+        "vec_id", "v", F.element_at("cs", 1)["cid"].alias("cell")
     )
-    exact = S.cosine_topk(emb, probes, k=3).select("query_id", "vec_id")
-    hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    probes = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.transform(F.slice("cs", 1, 2), lambda s: s["cid"]).alias("probe_cells"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    scored = (
+        cand.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", V.cosine("v", "qv"))
+        .withColumn("in_probe", F.array_contains("probe_cells", F.col("cell")))
+        .withColumn("rn_all", F.row_number().over(w))
+        .withColumn(
+            "probed_rank",
+            F.sum(F.when(F.col("in_probe"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     )
     return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "query_id", "left")
+        scored.groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("rn_all") <= 3, 1)).alias("n_exact"),
+            F.count(
+                F.when(
+                    (F.col("rn_all") <= 3)
+                    & F.col("in_probe")
+                    & (F.col("probed_rank") <= 3),
+                    1,
+                )
+            ).alias("n_hit"),
+        )
         .select(
             "query_id",
             "n_exact",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            dec2(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+            "n_hit",
+            dec2(F.col("n_hit") / F.col("n_exact")).alias("recall"),
         )
         .transform(small_result_order, "query_id")
     )
