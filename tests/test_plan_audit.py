@@ -169,8 +169,8 @@ BNLJ_INTENTIONAL = {
     "q30_cosine_topk_multi",
     "q35_pandas_cosine_topk",
     "q36_ivf_topk",
-    # trained-IVF recall audit composes ivf_topk + cosine_topk, both of
-    # which broadcast their tiny query/centroid sides into theta-joins
+    # trained-IVF recall audit broadcasts its 10-probe side into one
+    # theta-join (centroids are inlined literals, not a join at all)
     "q62_ivf_trained_topk",
     # BM25 broadcasts its 1-row corpus-stats frame (N, avgdl)
     "q52_bm25_search",
@@ -190,6 +190,21 @@ def test_q37_windows_share_one_exchange(spark, sf_dir):
     # exchange per window function.
     s = plan_summary(q("q37_ranking_family", spark, sf_dir))
     assert s["exchanges"] <= 2, s
+
+
+def test_q62_recall_audit_is_two_scans_one_window(spark, sf_dir):
+    """The single-pass recall audit (queries/llm.q62): centroid
+    assignment is inlined codegen literals — NO join against a centroid
+    table — and both ranks come from one window, so the plan is exactly
+    the corpus scan plus the broadcast 10-probe subscan, with no
+    sort-merge join anywhere. The round-2 composition of
+    ivf_topk + cosine_topk planned three corpus passes."""
+    df = q("q62_ivf_trained_topk", spark, sf_dir)
+    # the 10-probe side rides a BNLJ by design (BNLJ_INTENTIONAL)
+    assert_no_cartesian(df, allow_bnlj=True)
+    s = plan_summary(df)
+    assert s["scans"] == 2, s
+    assert s["sort_merge_joins"] == 0, s
 
 
 def test_q61_salt_fans_out_and_replicates_dim(spark, sf_dir):
