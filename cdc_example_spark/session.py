@@ -87,6 +87,15 @@ def get_spark(
         # multi-hundred-stage session and slows job scheduling; an
         # embedded engine has no use for the web UI.
         .config("spark.ui.enabled", "false")
+        # a 60-plan-shape workload overflows the JVM's default 240 MB
+        # JIT code cache: whole-stage-codegen classes evict each other
+        # and hot queries keep re-compiling (measured −9% on the full
+        # declared-set bench with 1g). Executors JIT the same generated
+        # classes, so the cluster deployment sets both sides.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
