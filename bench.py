@@ -31,7 +31,7 @@ nothing hides:
   sf0.1 total). Set SPARK_GRAFT_TABLE_CACHE=0 to bench the pure-scan
   path.
 - ``construct_total_sec`` — the Python-client cost the headline tier
-  excludes: building the 46 DataFrames through the PySpark API (py4j
+  excludes: building the registered DataFrames through the PySpark API (py4j
   round trips). Paid once per session per query — the registry
   memoizes it like a prepared statement (queries/registry.py) — and
   measured once here, inside ``cold``.
@@ -95,7 +95,7 @@ def main() -> None:
     # fresh runs right after the same query's cold run measure with that
     # plan shape's generated code hot in the JIT/code cache — a phased
     # all-colds-then-all-fresh ordering was measured 70% SLOWER on the
-    # fresh tier (47 plan shapes evict each other between passes).
+    # fresh tier (the 60+ plan shapes evict each other between passes).
     # The reported fresh number is the per-query MEDIAN of three runs:
     # single samples on a shared host swing ±15% (BASELINE.md), and the
     # median keeps one noisy sample from repainting the whole headline.
