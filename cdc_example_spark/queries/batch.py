@@ -516,7 +516,15 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q14 — exact COUNT(DISTINCT), global row via ROLLUP.
-# Scale: two distinct aggregates → Catalyst expands; for 100 TB an
+# Scale: rollup + two distinct columns + a plain count through ONE
+# aggregate stacks Catalyst's Expand twice (rollup ×2 grouping sets,
+# RewriteDistinctAggregates ×3 aggregate groups — 6× the input through
+# a double shuffle): measured 6.1 s on the 6M-row scaling shard
+# (scripts/bench_scaling.py k=10) vs 0.7 s for this shape. Structure:
+# dedupe (flag, tag, value) ONCE (map-side partial distinct), derive
+# both rollup levels from that small distinct set — the total level
+# re-dedupes (tag, value) only, input already ~|distinct| — and join
+# the plain counts computed Expand-free on the raw rows. For 100 TB an
 # approx_count_distinct variant is registered in llm.py benches.
 # ---------------------------------------------------------------------------
 
@@ -534,17 +542,37 @@ ORDER BY g_flag, l_returnflag NULLS FIRST
 
 @query("q14_count_distinct", oracle=_Q14_ORACLE)
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts per flag + grand total (ROLLUP)."""
+    """Exact distinct counts per flag + grand total (ROLLUP), Expand-free."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag")
-        .agg(
-            F.grouping("l_returnflag").cast("int").alias("g_flag"),
-            F.countDistinct("l_partkey").alias("nd_part"),
-            F.countDistinct("l_suppkey").alias("nd_supp"),
-            F.count(F.lit(1)).alias("cnt"),
+    dis = li.select(
+        "l_returnflag", F.posexplode(F.array("l_partkey", "l_suppkey")).alias("t", "v")
+    ).distinct()
+    cnts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def level(nd_rows: DataFrame, cnt_rows: DataFrame, keys: list[str]) -> DataFrame:
+        # union the distinct-value rows (tags 0/1) with the plain-count
+        # rows (tag 2) and fold both in ONE aggregate — join-free, so no
+        # BNLJ/cartesian ever appears in the assembly of the total level
+        u = nd_rows.select(*keys, "t", F.lit(None).cast("long").alias("c")).unionByName(
+            cnt_rows.select(*keys, F.lit(2).alias("t"), F.col("cnt").alias("c"))
         )
-        .transform(small_result_order, "g_flag", F.col("l_returnflag").asc_nulls_first())
+        return u.groupBy(*keys).agg(
+            F.count(F.when(F.col("t") == 0, 1)).alias("nd_part"),
+            F.count(F.when(F.col("t") == 1, 1)).alias("nd_supp"),
+            F.max(F.when(F.col("t") == 2, F.col("c"))).alias("cnt"),
+        )
+
+    null_flag = F.lit(None).cast(li.schema["l_returnflag"].dataType).alias("l_returnflag")
+    per_flag = level(dis, cnts, ["l_returnflag"]).select(
+        "l_returnflag", F.lit(0).alias("g_flag"), "nd_part", "nd_supp", "cnt"
+    )
+    total = level(
+        dis.select("t", "v").distinct().select(null_flag, "t"),
+        cnts.agg(F.sum("cnt").alias("cnt")).select(null_flag, "cnt"),
+        ["l_returnflag"],
+    ).select("l_returnflag", F.lit(1).alias("g_flag"), "nd_part", "nd_supp", "cnt")
+    return per_flag.unionByName(total).transform(
+        small_result_order, "g_flag", F.col("l_returnflag").asc_nulls_first()
     )
 
 

@@ -38,14 +38,22 @@ def scale_profile(sf_dir: str) -> dict[str, str]:
     its parallelism to the data (DuckDB sizes to the machine; Spark's
     AQE re-sizes per stage). Statically picking the small profile for
     sub-GiB inputs avoids paying AQE's re-planning latency to discover
-    what the input size already told us."""
+    what the input size already told us.
+
+    Shuffle width is GRADUATED within the small profile (~one reducer
+    per 8 MB of input, floor 4, cap at the core count): a flat 4 was
+    measured right at sf0.1 (~17 MB — 32 reducers are pure dispatch
+    overhead) but starves 32 cores once the same profile serves a
+    ~200 MB input (scripts/bench_scaling.py k=10: q14's final distinct
+    and q41's window sorts ran 4-wide on 6 M rows)."""
     try:
         total = sum(f.stat().st_size for f in Path(sf_dir).glob("*.parquet"))
     except OSError:
         total = SMALL_INPUT_BYTES
     if total and total < SMALL_INPUT_BYTES:
+        width = max(4, min(DEFAULT_SHUFFLE_PARTITIONS, total // (8 * 1024**2)))
         return {
-            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.shuffle.partitions": str(width),
             "spark.sql.adaptive.enabled": "false",
             # sub-GiB shuffle blocks: LZ4 framing costs more than the
             # bytes it saves (measured ~10-20 ms/query at sf0.1)

@@ -1,0 +1,190 @@
+"""Scaling evidence: the Spark-vs-DuckDB gap vs input size.
+
+The per-query floor decomposition in BASELINE.md claims the sf0.1 gap
+is fixed job-scheduling cost that amortizes as data grows. This script
+MEASURES that claim instead of asserting it: it replicates the driver's
+sf0.1 tables K× with key-space offsets (per-key fan-outs and join
+cardinalities are preserved exactly — every copy is a disjoint shard of
+the key space, the same shape a bigger TPC-H SF generates), runs a
+real-work query subset on both engines at each K, and prints per-K
+totals + ratio.
+
+Replication details:
+  - every join/window key gets `+ i * <stride>` per copy i, so group
+    counts scale K× while per-group sizes stay constant;
+  - `documents.text` gets a per-copy suffix and `embeddings.embedding`
+    a per-copy epsilon so the dedup/similarity workload doesn't gain
+    artificial cross-copy duplicate pairs (which would grow K²);
+  - generation is DuckDB → parquet under $SPARK_GRAFT_SCALE_ROOT
+    (default /tmp/sparkgraft_scale), idempotent per K.
+
+Usage: python scripts/bench_scaling.py [K ...]   (default: 1 10)
+Prints one JSON line per K:
+  {"k": 10, "rows_lineitem": 6000000, "spark": {...}, "duck": {...},
+   "spark_total": s, "duck_total": s, "ratio": r}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.environ.get("SPARK_GRAFT_SCALE_ROOT", "/tmp/sparkgraft_scale")
+
+# key-space strides (disjoint shards per copy)
+K_CUST, K_ORD, K_NAT = 10_000_000, 100_000_000, 100
+
+_REPLACE = {
+    "region": "r_regionkey + i*{nat} AS r_regionkey",
+    "nation": "n_nationkey + i*{nat} AS n_nationkey, n_regionkey + i*{nat} AS n_regionkey",
+    "customer": "c_custkey + i*{cust} AS c_custkey, c_nationkey + i*{nat} AS c_nationkey",
+    "supplier": "s_suppkey + i*{cust} AS s_suppkey, s_nationkey + i*{nat} AS s_nationkey",
+    "part": "p_partkey + i*{cust} AS p_partkey",
+    "orders": "o_orderkey + i*{ord} AS o_orderkey, o_custkey + i*{cust} AS o_custkey",
+    "lineitem": (
+        "l_orderkey + i*{ord} AS l_orderkey, l_partkey + i*{cust} AS l_partkey, "
+        "l_suppkey + i*{cust} AS l_suppkey"
+    ),
+    "events": "event_id + i*{ord} AS event_id, user_id + i*{cust} AS user_id",
+    "documents": (
+        # prefix EVERY token with the copy tag: a mere suffix would make
+        # the copies near-duplicates of each other (shared shingles →
+        # posting lists and dedup pair counts grow K², a data artifact,
+        # not an engine property). Token-disjoint copies keep the
+        # dedup/shingle workload scaling at K like the rest.
+        "doc_id + i*{cust} AS doc_id, "
+        "CASE WHEN i = 0 THEN text "
+        "ELSE regexp_replace(text, '(\\S+)', 'c' || i || '\\1', 'g') END AS text"
+    ),
+    "embeddings": (
+        "vec_id + i*{cust} AS vec_id, "
+        "CAST(list_transform(embedding, x -> x + 0.001 * i) AS FLOAT[]) AS embedding"
+    ),
+}
+
+# real-work subset: scan-agg, join, window, distinct, time-window,
+# shingle self-join, LSH, percentile, tf-idf, decontamination, CC
+QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q11_cumulative_spend",
+    "q14_count_distinct",
+    "q18_hourly_event_windows",
+    "q24_jaccard_neardup_pairs",
+    "q32_minhash_lsh_candidates",
+    "q41_percentiles",
+    "q51_tfidf_top_terms",
+    "q55_decontamination",
+    "q58_dedup_components",
+]
+
+TABLES = list(_REPLACE)
+
+
+def generate(k: int) -> str:
+    out = os.path.join(ROOT, f"k{k}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        repl = _REPLACE[t].format(cust=K_CUST, ord=K_ORD, nat=K_NAT)
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        con.execute(
+            f"COPY (SELECT {t}.* REPLACE ({repl}) "
+            f"FROM '{src}' AS {t}, range(0, {k}) AS copies(i)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+    con.close()
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 10]
+
+    from pyspark.sql import DataFrame
+
+    from cdc_example_spark.queries import all_queries
+    from cdc_example_spark.session import get_spark, scale_profile
+    from tests.oracle_harness import duckdb_con
+
+    qs = all_queries()
+
+    for k in ks:
+        sf_dir = generate(k)
+        # profile per input size, exactly as bench.py does
+        spark = get_spark(f"bench-scale-k{k}", extra_conf=scale_profile(sf_dir))
+        spark.sparkContext.setLogLevel("ERROR")
+        _Dataset = spark._jvm.org.apache.spark.sql.classic.Dataset
+
+        def replan(df):
+            jdf = df._jdf
+            return DataFrame(
+                _Dataset.ofRows(jdf.sparkSession(), jdf.queryExecution().logical()),
+                spark,
+            )
+
+        def collect(df):
+            try:
+                df.toArrow()
+            except Exception:
+                df.collect()
+
+        s_times, d_times = {}, {}
+        for name in QUERIES:
+            prepared = qs[name].spark(spark, sf_dir)
+            collect(prepared)  # cold: plan + JIT + cache warm
+            samples = []
+            for _ in range(3):
+                fresh = replan(prepared)
+                t0 = time.perf_counter()
+                collect(fresh)
+                samples.append(time.perf_counter() - t0)
+            s_times[name] = round(sorted(samples)[1], 3)
+
+        con = duckdb_con(sf_dir)
+        for name in QUERIES:
+            sql = qs[name].oracle
+            con.execute(sql).fetchdf()  # warm OS cache / catalog
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                samples.append(time.perf_counter() - t0)
+            d_times[name] = round(sorted(samples)[1], 3)
+        con.close()
+
+        n_li = duckdb.sql(
+            f"SELECT count(*) FROM '{os.path.join(sf_dir, 'lineitem.parquet')}'"
+        ).fetchone()[0]
+        st, dtt = round(sum(s_times.values()), 3), round(sum(d_times.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "rows_lineitem": n_li,
+                    "spark": s_times,
+                    "duck": d_times,
+                    "spark_total": st,
+                    "duck_total": dtt,
+                    "ratio": round(st / dtt, 3) if dtt else None,
+                }
+            ),
+            flush=True,
+        )
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
