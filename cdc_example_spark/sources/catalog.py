@@ -34,6 +34,16 @@ fit the cluster's memory tier:
   their pushdown-into-scan plans, while dims (region/nation/customer)
   are cached — exactly the hot/cold split a warehouse serving layer
   uses;
+- ``SPARK_GRAFT_TABLE_CACHE_SCAN_MB`` (default 64) is the ceiling for
+  SCAN-ONLY tables — ones in neither ``_COMPUTE_HEAVY`` nor
+  ``_CACHE_LAYOUT``. Measured on the k=50 scaling shard (687 MB
+  lineitem, 246 row groups): the full-width columnar cache LOSES to the
+  vectorized parquet scan once the file has real row groups, because
+  the scan prunes columns and pushes filters while the cache
+  decompresses every column (q01 0.55 s scan vs 2.6 s cached, q14 3.6
+  vs 5.1). Compute-heavy / key-layout tables keep the big ceiling: their
+  cache carries value beyond IO (materialized tokenization, exchange-
+  eliding partitioning — q24 7.3 s cached vs 26.8 s scan at k=50);
 - per-call override: ``load_table(..., cache=False)`` for plan audits
   and one-shot ETL reads.
 """
@@ -90,6 +100,16 @@ def _cache_policy() -> tuple[bool, int]:
     enabled = os.environ.get("SPARK_GRAFT_TABLE_CACHE", "1") != "0"
     max_mb = int(os.environ.get("SPARK_GRAFT_TABLE_CACHE_MAX_MB", "2048"))
     return enabled, max_mb
+
+
+def _cache_ceiling_mb(name: str) -> int:
+    """Per-table cache ceiling: scan-only tables flip to the pure
+    pushdown scan far earlier than compute-heavy / key-layout tables
+    (see module docstring — measured crossover on the k=50 shard)."""
+    _, max_mb = _cache_policy()
+    if name in _COMPUTE_HEAVY or name in _CACHE_LAYOUT:
+        return max_mb
+    return min(max_mb, int(os.environ.get("SPARK_GRAFT_TABLE_CACHE_SCAN_MB", "64")))
 
 
 def _dataset_mb(path: str, stop_after_mb: int) -> int:
@@ -155,9 +175,10 @@ def load_table(
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     enabled, max_mb = _cache_policy()
+    ceiling = _cache_ceiling_mb(name)
     size_mb = _dataset_mb(path, stop_after_mb=max_mb)
     if cache is None:
-        cache = enabled and size_mb <= max_mb
+        cache = enabled and size_mb <= ceiling
     plans = _plan_cache.setdefault(spark, {})
     key = (os.path.normpath(sf_dir), name, cache)
     if key in plans:
