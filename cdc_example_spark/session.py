@@ -23,13 +23,13 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Below this many input bytes the runtime profile flips to "small":
-# 8-way shuffles and no AQE. Rationale (measured, BASELINE.md): at
-# sf0.1 (~60 MB) a 32-partition shuffle is 32 tasks of ~3 ms — pure
-# dispatch overhead — and AQE's per-stage re-planning rounds cost
-# ~60 ms/query against ~40 ms of real work. At cluster scale both
-# defaults are right: AQE coalescing IS the dynamic version of this
-# profile, but its savings only materialize when stages are big enough
-# to amortize the re-plan.
+# graduated shuffle width and no AQE. Rationale (measured,
+# BASELINE.md): at sf0.1 (~17 MB) a 32-partition shuffle is 32 tasks
+# of ~3 ms — pure dispatch overhead — and AQE's per-stage re-planning
+# rounds cost ~60 ms/query against ~40 ms of real work. At cluster
+# scale both defaults are right: AQE coalescing IS the dynamic version
+# of this profile, but its savings only materialize when stages are
+# big enough to amortize the re-plan.
 SMALL_INPUT_BYTES = 2 * 1024**3
 
 
