@@ -50,6 +50,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from cdc_example_spark.operators.keyed_state import microbatch_conf
+
 #: keep this many superseded version dirs for post-crash inspection
 _KEEP_VERSIONS = 2
 
@@ -124,7 +126,12 @@ class IncrementalAggSink:
         cur = self.current_version()
         if cur is not None and batch_id <= cur:
             return
-        bootstrap = cur is None
+        with microbatch_conf(changes.sparkSession):
+            self._apply_scoped(changes, base_snapshot, batch_id, bootstrap=cur is None)
+
+    def _apply_scoped(
+        self, changes: DataFrame, base_snapshot: DataFrame, batch_id: int, bootstrap: bool
+    ) -> None:
         # intra-batch collapse, same (lsn, ts_ms) order as the base sink
         w = Window.partitionBy("key_id").orderBy(
             F.col("lsn").desc_nulls_last(), F.col("ts_ms").desc_nulls_last()
