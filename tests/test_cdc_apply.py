@@ -268,3 +268,32 @@ def test_merge_metric_fallback_on_statically_empty_plan(spark, sink, monkeypatch
     apply_batch(spark, sink, [envelope("d", key, after=None)])
     assert outcome in ({"ok": True}, {"raised": True}), outcome
     assert rows_by_id(spark, sink) == {}
+
+
+def test_microbatch_conf_scopes_and_restores(spark):
+    """microbatch_conf must set AQE off + narrow shuffles inside the
+    scope and restore the session's values on BOTH exit paths — a
+    leaked conf would silently re-profile every later batch query on
+    the shared session."""
+    from cdc_example_spark.operators.keyed_state import (
+        MICROBATCH_SHUFFLE_PARTITIONS,
+        microbatch_conf,
+    )
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    with microbatch_conf(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            MICROBATCH_SHUFFLE_PARTITIONS
+        )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+    try:
+        with microbatch_conf(spark):
+            raise RuntimeError("merge blew up")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
