@@ -3,13 +3,15 @@
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
 The Spark-side plumbing — schemas, batch shapes, partitioning — is
-real and tested; the actual codec step is stubbed because this
-container ships no image/audio libraries:
+real and tested:
 
-- :func:`decode_media` is REAL when Pillow is importable (optional
-  dependency): Arrow-batched image decode with per-row corruption
-  tolerance; without Pillow it raises ``NotImplementedError`` (clearly
-  marked — audio/video codecs still do);
+- :func:`decode_media` is REAL everywhere: full PIL format coverage
+  when Pillow is importable (optional dependency), and a stdlib+NumPy
+  builtin for binary PPM / uncompressed 24-bpp BMP otherwise — both
+  with per-row corruption tolerance (undecodable → ``ok=False`` row,
+  never a dead stage) and bit-identical grayscale output on the
+  shared formats. Audio/video codecs remain out of scope
+  (:func:`sample_frames_stub` models that stage's shape);
 - :func:`extract_features_stub` is the deterministic fake: a byte-level
   feature extractor with the exact shape a real embedding stage has
   (bytes in → fixed-dim float vector out), so downstream similarity /
@@ -83,28 +85,125 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _decode_builtin(payload: bytes) -> tuple[int, int, str, bytes]:
+    """Stdlib+NumPy image decode: binary PPM (P5/P6) and uncompressed
+    24-bpp BI_RGB BMP. Returns (width, height, source mode, grayscale
+    bytes); raises ``ValueError`` on anything else.
+
+    Grayscale uses Pillow's exact "L" fixed-point ITU-R 601-2 rounding
+    — ``(R·19595 + G·38470 + B·7471 + 0x8000) >> 16`` — so the two
+    decode paths are bit-identical on the formats both support (pinned
+    by the skipif-marked parity test wherever Pillow IS installed).
+    """
+    import numpy as np
+
+    if payload[:2] in (b"P5", b"P6"):
+        # header tokens: magic, width, height, maxval ('#' comments legal)
+        toks, i = [], 2
+        while len(toks) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+        if maxval != 255 or w <= 0 or h <= 0:
+            raise ValueError("unsupported PPM")
+        if payload[:2] == b"P5":
+            px = np.frombuffer(payload, np.uint8, count=w * h, offset=i)
+            return w, h, "L", px.tobytes()
+        rgb = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i
+                            ).reshape(h, w, 3).astype(np.uint32)
+        gray = (rgb[..., 0] * 19595 + rgb[..., 1] * 38470 + rgb[..., 2] * 7471 + 0x8000) >> 16
+        return w, h, "RGB", gray.astype(np.uint8).tobytes()
+
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise ValueError("unsupported BMP")
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=off
+                             ).reshape(abs(h), stride)
+        bgr = rows[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:
+            bgr = bgr[::-1]  # bottom-up storage
+        bgr = bgr.astype(np.uint32)
+        gray = (bgr[..., 2] * 19595 + bgr[..., 1] * 38470 + bgr[..., 0] * 7471 + 0x8000) >> 16
+        return w, abs(h), "RGB", gray.astype(np.uint8).tobytes()
+
+    raise ValueError("unsupported format for builtin decoder")
+
+
 def decode_media(df: DataFrame) -> DataFrame:
-    """Image decode stage — real when Pillow is importable.
+    """Image decode stage — real everywhere.
 
-    mapInPandas over ``MEDIA_SCHEMA`` rows: each payload is opened with
-    PIL, converted to 8-bit grayscale ("L" — deterministic across
-    sources, one byte per pixel), and emitted as (width, height,
-    original mode, raw pixel bytes) with ``ok=True``. Undecodable
-    payloads yield ``ok=False`` and NULL fields — per-row tolerance,
-    same batch shape. Audio/video payloads need codecs this container
-    doesn't ship; images are the real path, the rest still raises.
+    mapInPandas over ``MEDIA_SCHEMA`` rows: each payload is decoded,
+    converted to 8-bit grayscale ("L" — deterministic across sources,
+    one byte per pixel), and emitted as (width, height, original mode,
+    raw pixel bytes) with ``ok=True``. Undecodable payloads yield
+    ``ok=False`` and NULL fields — per-row tolerance, same batch shape:
+    at 100 TB a fraction of payloads is always undecodable with the
+    available codecs and must degrade to a flagged row, never kill the
+    stage.
 
-    Without Pillow installed this raises ``NotImplementedError`` at
-    plan-build time (honest optional-dependency gate; use
-    :func:`extract_features_stub` for the deterministic fake path).
+    Codec coverage: with Pillow importable (optional dependency) every
+    PIL-supported format decodes; without it, the stdlib+NumPy builtin
+    (:func:`_decode_builtin`) handles binary PPM and uncompressed
+    24-bpp BMP with bit-identical grayscale output, and other formats
+    degrade to ``ok=False``. Audio/video still need codecs this
+    container doesn't ship (see :func:`sample_frames_stub`).
     """
     try:
         import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decoding requires the optional Pillow dependency; "
-            "use extract_features_stub() for the deterministic fake path"
-        ) from exc
+
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+
+    if not have_pillow:
+        def _decode(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                ok, w, h, mode, px = [], [], [], [], []
+                for payload in pdf["payload"]:
+                    try:
+                        dw, dh, dmode, dpx = _decode_builtin(bytes(payload))
+                        ok.append(True)
+                        w.append(dw)
+                        h.append(dh)
+                        mode.append(dmode)
+                        px.append(dpx)
+                    except Exception:
+                        ok.append(False)
+                        w.append(None)
+                        h.append(None)
+                        mode.append(None)
+                        px.append(None)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "ok": ok,
+                        "width": pd.array(w, dtype="Int64"),
+                        "height": pd.array(h, dtype="Int64"),
+                        "mode": mode,
+                        "pixels": px,
+                    }
+                )
+
+        return df.mapInPandas(_decode, DECODED_SCHEMA)
 
     def _decode(batches: Iterator) -> Iterator:
         import io

@@ -122,12 +122,82 @@ def _has_pillow() -> bool:
     return importlib.util.find_spec("PIL") is not None
 
 
-@pytest.mark.skipif(_has_pillow(), reason="Pillow installed: real decode path active")
-def test_decode_media_is_explicit_stub_without_pillow(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(1)
-    media = M.to_media(docs, id_col="doc_id", payload_col="text")
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        M.decode_media(media)
+def _ppm_p6(w, h, rgb):
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + bytes(
+        c for px in rgb for c in px
+    )
+
+
+def _bmp24(w, h, rgb):
+    """Uncompressed bottom-up 24-bpp BI_RGB bitmap."""
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in reversed(range(h)):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[y * w + x]
+            row += bytes((b, g, r))
+        row += b"\0" * (stride - len(row))
+        body += row
+    header = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return bytes(header) + bytes(body)
+
+
+def _pil_gray(r, g, b):
+    # Pillow's "L" fixed-point ITU-R 601-2 rounding, the cross-decoder contract
+    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+
+def test_decode_media_builtin_formats(spark):
+    """The decode stage is REAL without Pillow: binary PPM (P6/P5) and
+    uncompressed 24-bpp BMP decode through the stdlib+NumPy builtin
+    (bit-identical grayscale to Pillow's "L"), unsupported/corrupt
+    payloads degrade to ok=False rows — never an exception."""
+    rgb = [(x * 20, y * 30, 7) for y in range(3) for x in range(4)]
+    p6 = _ppm_p6(4, 3, rgb)
+    bmp = _bmp24(4, 3, rgb)
+    p5 = b"P5\n4 3\n255\n" + bytes(range(12))
+    rows = [
+        (1, "image", bytearray(p6), len(p6)),
+        (2, "image", bytearray(bmp), len(bmp)),
+        (3, "image", bytearray(p5), 12 + len(p5) - 12),
+        (4, "image", bytearray(b"not an image"), 12),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.decode_media(media).collect()}
+
+    expect_gray = bytes(_pil_gray(r, g, b) for r, g, b in rgb)
+    for mid, mode in ((1, "RGB"), (2, "RGB")):
+        r = got[mid]
+        assert r["ok"] and (r["width"], r["height"], r["mode"]) == (4, 3, mode)
+        assert bytes(r["pixels"]) == expect_gray, mid
+    assert got[3]["ok"] and got[3]["mode"] == "L"
+    assert bytes(got[3]["pixels"]) == bytes(range(12))
+    assert got[4]["ok"] is False and got[4]["pixels"] is None
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="optional Pillow dependency absent")
+def test_decode_media_builtin_matches_pillow(spark):
+    """Parity pin (runs wherever Pillow IS installed): the builtin
+    decoder's grayscale equals PIL.convert('L') byte-for-byte on PPM."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    rgb = [(x * 37 % 256, y * 91 % 256, (x + y) * 13 % 256) for y in range(5) for x in range(7)]
+    payload = _ppm_p6(7, 5, rgb)
+    w, h, mode, px = M._decode_builtin(payload)
+    pil = Image.open(BytesIO(payload)).convert("L")
+    assert (w, h, mode) == (7, 5, "RGB")
+    assert px == pil.tobytes()
 
 
 @pytest.mark.skipif(not _has_pillow(), reason="optional Pillow dependency absent")
