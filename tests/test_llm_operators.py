@@ -183,6 +183,16 @@ def test_decode_media_builtin_formats(spark):
     assert bytes(got[3]["pixels"]) == bytes(range(12))
     assert got[4]["ok"] is False and got[4]["pixels"] is None
 
+    # odd width exercises BMP row padding (3*3=9 bytes -> 12-byte stride)
+    rgb2 = [(x * 11, y * 7, 200) for y in range(2) for x in range(3)]
+    bmp2 = _bmp24(3, 2, rgb2)
+    media2 = spark.createDataFrame(
+        [(9, "image", bytearray(bmp2), len(bmp2))], M.MEDIA_SCHEMA
+    )
+    r2 = M.decode_media(media2).collect()[0]
+    assert r2["ok"] and (r2["width"], r2["height"]) == (3, 2)
+    assert bytes(r2["pixels"]) == bytes(_pil_gray(r, g, b) for r, g, b in rgb2)
+
 
 @pytest.mark.skipif(not _has_pillow(), reason="optional Pillow dependency absent")
 def test_decode_media_builtin_matches_pillow(spark):
