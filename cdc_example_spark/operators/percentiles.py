@@ -1,0 +1,142 @@
+"""Distributed EXACT grouped percentiles: sketch-bracket + refinement.
+
+The naive exact algorithm materializes every value of every group in
+one place (a per-group sort, or an Arrow transfer into np.percentile —
+``queries/batch.q41``'s original shape). That is fine while groups fit
+a task, but the transfer grows linearly with the fact table: at the
+60 M-row scaling shard the pandas path spends ~20 s moving values.
+
+This operator computes the same exact linear-interpolation percentiles
+(np.percentile / SQL ``percentile_cont`` semantics) in two scan-bound
+distributed passes:
+
+1. **Bracket pass** — per group: row count + a Greenwald–Khanna sketch
+   (``percentile_approx``) evaluated at ``q ± margin``. GK's rank error
+   is DETERMINISTIC (≤ n/accuracy), so values at the widened quantiles
+   are guaranteed value-space brackets around the true percentile;
+   ``margin = 4/accuracy`` leaves 4× slack.
+2. **Refinement pass** — one scan classifies every value per
+   (column, quantile) pair: strictly-below-bracket counts fold into
+   ``n_lt`` (map-side sums), in-bracket values survive as a tiny
+   (value, count) histogram (≤ ~8·n/accuracy rows per pair, by GK's
+   bound). A window cumsum over that histogram locates the global
+   floor/ceil order statistics, and the standard interpolation
+   ``v_lo + frac·(v_hi − v_lo)`` finishes on a handful of rows.
+
+No value stream ever leaves the executors; both passes are partial-
+aggregated map-side. NULLs are excluded (SQL percentile semantics);
+rank arithmetic uses each column's non-null count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    specs: "list[tuple[str, list[float]]]",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group.
+
+    ``specs``: ``[(value_col, [q, ...]), ...]``. Returns one row per
+    group with a double column ``{col}_p{int(q*100)}`` per requested
+    quantile (np.percentile semantics, NULLs excluded).
+
+    ``accuracy`` bounds pass-2 state: each (col, q) pair keeps at most
+    ~8·n/accuracy in-bracket histogram rows.
+    """
+    pairs = [(c, q) for c, qs in specs for q in qs]
+    margin = 4.0 / accuracy
+    g = group_col
+
+    # ---- pass 1: per-group counts + GK value brackets ----------------
+    aggs = []
+    for t, (c, q) in enumerate(pairs):
+        qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
+        aggs.append(
+            F.percentile_approx(
+                F.col(c).cast("double"), F.array(F.lit(qlo), F.lit(qhi)), accuracy
+            ).alias(f"_b{t}")
+        )
+        aggs.append(F.count(F.col(c)).alias(f"_n{t}"))
+    stats = df.groupBy(g).agg(*aggs)
+
+    # ---- pass 2: classify every value once, explode per pair ---------
+    structs = []
+    for t, (c, q) in enumerate(pairs):
+        v = F.col(c).cast("double")
+        vlo = F.element_at(F.col(f"_b{t}"), 1)
+        vhi = F.element_at(F.col(f"_b{t}"), 2)
+        # Rank-slack proof: GK guarantees |rank − φ·n| ≤ n/accuracy, and
+        # its φ·n rank convention sits ≤ 1 off np.percentile's (n−1)·q.
+        # With margin = 4/accuracy the bracket's slack is 4n/acc −
+        # n/acc − 2 = 3n/acc − 2 ranks, which is ≥ 1 only when
+        # n ≥ accuracy — so SMALL groups (n ≤ accuracy) skip the
+        # bracket and keep their full histogram instead (≤ accuracy
+        # rows, the same state bound the bracket gives big groups).
+        small = F.col(f"_n{t}") <= accuracy
+        structs.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                v.alias("v"),
+                (~small & (v < vlo)).alias("lt"),
+                (small | ((v >= vlo) & (v <= vhi))).alias("inb"),
+                F.col(f"_n{t}").alias("n"),
+            )
+        )
+    ex = (
+        df.join(F.broadcast(stats), g)
+        .select(g, F.explode(F.array(*structs)).alias("s"))
+        .select(g, "s.*")
+        .filter(F.col("v").isNotNull())
+    )
+    # one partial-aggregated shuffle: in-bracket values keep their value
+    # as the key (tiny histogram); everything else collapses into the
+    # NULL-key row of its (group, pair), contributing only lt counts.
+    hist = ex.groupBy(g, "t", F.when(F.col("inb"), F.col("v")).alias("hv")).agg(
+        F.sum(F.when(F.col("inb"), 1).otherwise(0)).alias("cnt"),
+        F.sum(F.when(F.col("lt"), 1).otherwise(0)).alias("lt"),
+        F.first("n").alias("n"),
+    )
+    nlt = hist.groupBy(g, "t").agg(
+        F.sum("lt").alias("n_lt"), F.first("n").alias("n")
+    )
+
+    # ---- locate + interpolate on the tiny histogram ------------------
+    qcol = F.element_at(F.array(*[F.lit(float(q)) for _, q in pairs]), F.col("t") + 1)
+    p = (F.col("n") - 1).cast("double") * qcol
+    w = Window.partitionBy(g, "t").orderBy("hv")
+    cum = (
+        hist.filter(F.col("hv").isNotNull())
+        .select(g, "t", "hv", "cnt")
+        .join(F.broadcast(nlt), [g, "t"])
+        .withColumn("C", F.sum("cnt").over(w))
+    )
+    first_idx = F.col("n_lt") + F.col("C") - F.col("cnt")  # global index of run start
+    end_idx = F.col("n_lt") + F.col("C")  # one past run end
+    has_lo = (first_idx <= F.floor(p)) & (F.floor(p) < end_idx)
+    has_hi = (first_idx <= F.ceil(p)) & (F.ceil(p) < end_idx)
+    per = (
+        cum.filter(has_lo | has_hi)
+        .groupBy(g, "t")
+        .agg(
+            F.max(F.when(has_lo, F.col("hv"))).alias("lo"),
+            F.max(F.when(has_hi, F.col("hv"))).alias("hi"),
+            F.first(p - F.floor(p)).alias("frac"),
+        )
+        .select(
+            g,
+            "t",
+            (F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo"))).alias("val"),
+        )
+    )
+    out_aggs = [
+        F.max(F.when(F.col("t") == t, F.col("val"))).alias(f"{c}_p{int(q * 100)}")
+        for t, (c, q) in enumerate(pairs)
+    ]
+    return per.groupBy(g).agg(*out_aggs)

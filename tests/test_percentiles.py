@@ -1,0 +1,65 @@
+"""Distributed exact percentiles (operators/percentiles).
+
+The operator must reproduce np.percentile's linear interpolation
+EXACTLY — it is the beyond-task-memory twin of q41's Arrow+np path
+(which requires each group's full value stream to fit one task). Both
+the bracket regime (n > accuracy) and the small-group full-histogram
+regime (n ≤ accuracy) are exercised, plus the GK-vs-np rank-convention
+shift that motivated the small-group rule (a ±1-rank skew at the
+bracket edge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdc_example_spark.operators.percentiles import grouped_exact_percentiles
+
+
+def _check(spark, rows, specs, accuracy):
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in grouped_exact_percentiles(df, "g", specs, accuracy=accuracy).collect()
+    }
+    by_g: dict[str, tuple[list, list]] = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, ([], []))[0].append(x)
+        by_g.setdefault(g, ([], []))[1].append(y)
+    for g, (xs, ys) in by_g.items():
+        for c, qs in specs:
+            vals = xs if c == "x" else ys
+            for q in qs:
+                key = f"{c}_p{int(q * 100)}"
+                got = out[g][key]
+                expect = float(np.percentile(vals, q * 100))
+                assert got == pytest.approx(expect, abs=1e-9), (g, key, got, expect)
+
+
+def test_exactness_both_regimes_and_duplicates(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    # group sizes straddle the accuracy=1000 regime boundary; y is a
+    # heavy-duplication column (9 distinct values)
+    for g, n in (("small", 137), ("mid", 999), ("big", 5000), ("huge", 20000)):
+        xs = rng.normal(100, 25, n)
+        ys = rng.integers(1, 10, n).astype(float)
+        rows += [(g, float(x), float(y)) for x, y in zip(xs, ys)]
+    _check(spark, rows, [("x", [0.5, 0.95]), ("y", [0.5])], accuracy=1000)
+
+
+def test_rank_convention_edge(spark):
+    # n=1205 / q=0.95 reproduced a real miss during development: GK's
+    # φ·n rank convention sits one rank above np.percentile's (n−1)·q,
+    # outside a naive margin. With n ≤ accuracy the group takes the
+    # full-histogram path and must still be exact.
+    rng = np.random.default_rng(11)
+    xs = rng.normal(0, 1, 1205)
+    rows = [("b", float(x), 0.0) for x in xs]
+    _check(spark, rows, [("x", [0.5, 0.95])], accuracy=10_000)
+
+
+def test_single_row_and_constant_groups(spark):
+    rows = [("s", 5.0, 0.0)] + [("c", 1.0, 0.0)] * 3
+    _check(spark, rows, [("x", [0.5, 0.95])], accuracy=100)
