@@ -121,6 +121,18 @@ def grouped_exact_percentiles(
     end_idx = F.col("n_lt") + F.col("C")  # one past run end
     has_lo = (first_idx <= F.floor(p)) & (F.floor(p) < end_idx)
     has_hi = (first_idx <= F.ceil(p)) & (F.ceil(p) < end_idx)
+    # Fail-loud contract (ADVICE r3): the GK rank guarantee makes a
+    # bracket miss impossible by construction — if floor(p)/ceil(p)
+    # still falls outside every in-bracket run, that is a bug (or a
+    # violated sketch contract), and it must surface as an error, not
+    # as a silently-NULL percentile.
+    bracket_ok = F.assert_true(
+        F.col("lo").isNotNull() & F.col("hi").isNotNull(),
+        F.lit(
+            "grouped_exact_percentiles: GK bracket miss — floor/ceil rank "
+            "outside every in-bracket histogram run"
+        ),
+    )
     per = (
         cum.filter(has_lo | has_hi)
         .groupBy(g, "t")
@@ -132,11 +144,18 @@ def grouped_exact_percentiles(
         .select(
             g,
             "t",
-            (F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo"))).alias("val"),
+            F.when(
+                bracket_ok.isNull(),  # assert_true → NULL on success, throws on miss
+                F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo")),
+            ).alias("val"),
         )
     )
     out_aggs = [
         F.max(F.when(F.col("t") == t, F.col("val"))).alias(f"{c}_p{int(q * 100)}")
         for t, (c, q) in enumerate(pairs)
     ]
-    return per.groupBy(g).agg(*out_aggs)
+    # Re-anchor on the pass-1 group list: a group whose value column is
+    # entirely NULL has no in-bracket rows at all and would vanish from
+    # ``per`` — SQL semantics keep the group row with NULL percentiles
+    # (both frames are group-cardinality; Catalyst broadcasts).
+    return stats.select(g).join(per.groupBy(g).agg(*out_aggs), [g], "left")

@@ -18,26 +18,35 @@ from cdc_example_spark.queries import llm as _llm  # noqa: F401
 from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 
 # The correctness driver hash-checks only the FIRST 50 ``all_queries()``
-# entries. Queries with no green driver row yet (round-2 additions that
-# registered past the cap, plus anything new this round) go first; the
-# demoted tail is long-green q01–q10-class queries with two rounds of
-# green rows plus pytest oracle coverage (tests/test_queries_oracle.py
-# still checks all 60 every run).
+# entries. Priority rule: any query whose code CHANGED since its last
+# green driver row, plus anything new this round, goes first — "green"
+# must never mean "green for an older build" (VERDICT r3 item 1). The
+# demoted tail is queries whose last green row matches their current
+# code (tests/test_queries_oracle.py still checks every query each run).
 DRIVER_PRIORITY = [
-    # never driver-verified (registered at positions 51–60 in round 2)
-    "q39_array_ops",
-    "q47_simhash_near_pairs",
-    "q51_tfidf_top_terms",
-    "q52_bm25_search",
-    "q53_stratified_sample",
-    "q54_bigram_vocab",
-    "q55_decontamination",
-    "q56_repetition_bands",
-    "q57_quantization_audit",
-    "q58_dedup_components",
-    # new in round 3
-    "q61_salted_skew_join",
-    "q62_ivf_trained_topk",
+    # r3 routed these through the shared token view / catalog changes
+    # AFTER their last green row (r2) — re-verify first (VERDICT r3 #1)
+    "q25_rolling_fingerprints",
+    "q26_token_counts",
+    "q27_lang_id_confusion",
+    "q28_quality_scores",
+    "q29_simhash",
+    "q30_cosine_topk_multi",
+    "q31_embedding_neardup_pairs",
+    "q32_minhash_lsh_candidates",
+    "q33_binary_media_meta",
+    "q34_multimodal_features",
+    "q35_pandas_cosine_topk",
+    "q36_ivf_topk",
+    # modified in round 4
+    "q13_set_ops",           # fused single-pass set-op cardinalities
+    "q14_count_distinct",    # NULL-discipline filter (ADVICE r3)
+    "q41_percentiles",       # registered tier → distributed-exact path
+    "q58_dedup_components",  # graph.py gained rounds="auto" (additive)
+    # new in round 4
+    "q63_right_outer_join",
+    "q64_bucketed_colocated_join",
+    "q62_ivf_trained_topk",  # gains a full oracle (pinned centroids)
 ]
 set_driver_order(DRIVER_PRIORITY)
 

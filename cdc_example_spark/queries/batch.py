@@ -10,10 +10,16 @@ Scale notes are attached per query where the plan shape matters at
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_example_spark.operators.percentiles import grouped_exact_percentiles
 from cdc_example_spark.queries.registry import query
 from cdc_example_spark.queries.util import day_str, dec2, hour_str, small_result_order
 from cdc_example_spark.sources.catalog import load_table
@@ -498,20 +504,51 @@ ORDER BY tag
 
 @query("q13_set_ops", oracle=_Q13_ORACLE)
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT / INTERSECT / UNION ALL / UNION DISTINCT cardinalities."""
-    allc = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    ordering = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    """EXCEPT / INTERSECT / UNION ALL / UNION DISTINCT cardinalities.
 
-    def tagged(tag: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit(tag).alias("tag"), "cnt")
-
-    return (
-        tagged("except", allc.subtract(ordering))
-        .unionAll(tagged("intersect", allc.intersect(ordering)))
-        .unionAll(tagged("union_all", allc.unionAll(ordering)))
-        .unionAll(tagged("union_distinct", allc.union(ordering).distinct()))
-        .transform(small_result_order, "tag")
+    Fused single-pass form (r3→r4: 0.38 s → one shuffle): the round-3
+    shape built four independent subplans (subtract/intersect/union ×2),
+    each re-aggregating the same two inputs — six shuffles executed
+    serially. All four distinct-semantics cardinalities are derivable
+    from ONE per-key presence profile: union both key streams with a
+    side tag, aggregate once per key (map-side partial), then fold the
+    tiny per-key frame into the four counts and ``stack`` them back to
+    tagged rows. Same contract (the oracle still runs the genuine
+    EXCEPT/INTERSECT/UNION operators on DuckDB, and
+    tests/test_queries_oracle.py pins the native subtract/intersect
+    DataFrame operators to these counts); at 100 TB this is one
+    key-shuffle over the union instead of four joins.
+    """
+    allc = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit(0).alias("side")
     )
+    ordering = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.lit(1).alias("side")
+    )
+    per_key = (
+        allc.unionAll(ordering)
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("side") == 0, 1)).alias("n_c"),
+            F.count(F.when(F.col("side") == 1, 1)).alias("n_o"),
+        )
+    )
+    in_c, in_o = F.col("n_c") > 0, F.col("n_o") > 0
+    totals = per_key.agg(
+        F.count(F.when(in_c & ~in_o, 1)).alias("n_except"),
+        F.count(F.when(in_c & in_o, 1)).alias("n_intersect"),
+        # UNION ALL = customer bag + DISTINCT order-key bag (the round-1
+        # declared shape: the ordering side is deduped before the union)
+        (F.sum("n_c") + F.count(F.when(in_o, 1))).alias("n_union_all"),
+        F.count(F.lit(1)).alias("n_union_distinct"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(4, 'except', n_except, 'intersect', n_intersect, "
+            "'union_all', n_union_all, 'union_distinct', n_union_distinct) "
+            "AS (tag, cnt)"
+        )
+    ).transform(small_result_order, "tag")
 
 
 # ---------------------------------------------------------------------------
@@ -544,9 +581,18 @@ ORDER BY g_flag, l_returnflag NULLS FIRST
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct counts per flag + grand total (ROLLUP), Expand-free."""
     li = load_table(spark, sf_dir, "lineitem")
-    dis = li.select(
-        "l_returnflag", F.posexplode(F.array("l_partkey", "l_suppkey")).alias("t", "v")
-    ).distinct()
+    # NULL discipline (ADVICE r3): COUNT(DISTINCT col) excludes NULLs,
+    # but the tagged count below counts every surviving (t, v) row — a
+    # NULL key must drop BEFORE the distinct or it registers as one
+    # extra "value". TPC-H keys are NOT NULL; the filter keeps the
+    # rewrite generally equivalent (q38's count('v') already was).
+    dis = (
+        li.select(
+            "l_returnflag", F.posexplode(F.array("l_partkey", "l_suppkey")).alias("t", "v")
+        )
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
     cnts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
 
     def level(nd_rows: DataFrame, cnt_rows: DataFrame, keys: list[str]) -> DataFrame:
@@ -1037,19 +1083,21 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q41 — exact percentiles (median / p95, linear interpolation).
-# np.percentile's default linear interpolation computes exactly DuckDB's
-# quantile_cont, so the 2-decimal rounded values hash-match.
-# Implementation choice (measured): exact grouped percentile needs each
-# group's values in one place no matter what — Spark's JVM `percentile`
-# aggregate builds and merges a value→count OpenHashMap per group
-# (~memory O(distinct), here ~all 600k doubles), measured 1.19 s at
-# sf0.1; one Arrow hop + np.percentile (O(n) introselect) on the same
-# grouped data measures 0.55 s. Same memory contract, 2.2× faster — the
-# sanctioned pandas-UDF case (built-in genuinely loses).
-# Scale: exact percentile shuffles every value to its group — this is
-# the expensive-but-exact path; approx_percentile (t-digest sketch,
-# fixed memory, mergeable) is the 100 TB default and is asserted against
-# the exact value's neighborhood in tests rather than hash-checked.
+# Registered tier (r4, VERDICT r3 item 2): the DISTRIBUTED-exact path
+# (operators/percentiles.grouped_exact_percentiles — GK-bracket + one
+# classify scan + histogram refinement). No group's value stream ever
+# leaves the executors, so the same plan survives groups beyond task
+# memory — the 100 TB-correct shape for exact percentiles. Linear
+# interpolation matches DuckDB's quantile_cont exactly, so the
+# 2-decimal rounded values hash-match.
+# Tier history, all measured at sf0.1/60 M-shard: Spark's JVM
+# `percentile` aggregate 1.19 s (value→count OpenHashMap per group);
+# Arrow + np.percentile applyInPandas 0.55 s but ships every group's
+# values through Arrow (~20 s at the 60 M-row scaling shard — fast
+# small, wrong shape big; kept as the small-data tier and pinned
+# np-identical to this path in tests/test_percentiles.py);
+# approx_percentile (t-digest, fixed memory, mergeable) is the
+# cheap-sketch tier, asserted within ±1% of exact in tests.
 # ---------------------------------------------------------------------------
 
 _Q41_ORACLE = """
@@ -1079,32 +1127,26 @@ def _q41_percentiles_pdf(pdf):
 
 @query("q41_percentiles", oracle=_Q41_ORACLE)
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped percentiles (median, p95) with linear interpolation."""
+    """Exact grouped percentiles (median, p95), distributed two-pass.
+
+    No applyInPandas / full-value transfer anywhere in this plan: pass 1
+    brackets each quantile with a GK sketch, pass 2 classifies values in
+    one scan and refines on a tiny in-bracket histogram (see
+    operators/percentiles.py). The Arrow tier (``_q41_percentiles_pdf``)
+    stays registered for tests, which pin both tiers np-identical.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    raw = (
-        li.select("l_returnflag", "l_extendedprice", "l_quantity")
-        .groupBy("l_returnflag")
-        .applyInPandas(
-            _q41_percentiles_pdf,
-            "l_returnflag string, median_price double, p95_price double, median_qty double",
-        )
+    per = grouped_exact_percentiles(
+        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        "l_returnflag",
+        [("l_extendedprice", [0.5, 0.95]), ("l_quantity", [0.5])],
     )
-    # NOT small_result_order: coalesce(1) would merge the applyInPandas
-    # reduce stage to one task and serialize the per-group np.percentile
-    # work (measured +0.2 s at sf0.1). repartition(1) keeps the pandas
-    # stage parallel (the exchange is a stage boundary) while the final
-    # 3-row sort runs as one task — and unlike a global orderBy it
-    # skips the range-boundary sampling job (0.79 s → 0.42 s median).
-    return (
-        raw.select(
-            "l_returnflag",
-            dec2(F.col("median_price")).alias("median_price"),
-            dec2(F.col("p95_price")).alias("p95_price"),
-            dec2(F.col("median_qty")).alias("median_qty"),
-        )
-        .repartition(1)
-        .sortWithinPartitions("l_returnflag")
-    )
+    return per.select(
+        "l_returnflag",
+        dec2(F.col("l_extendedprice_p50")).alias("median_price"),
+        dec2(F.col("l_extendedprice_p95")).alias("p95_price"),
+        dec2(F.col("l_quantity_p50")).alias("median_qty"),
+    ).transform(small_result_order, "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -1640,4 +1682,130 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.sum("value")).alias("total_value"),
         )
         .transform(small_result_order, "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 — RIGHT OUTER join, exercised from the fact side (VERDICT r3 item
+# 4: §2.2 claimed left/right outer on Q5, but Q5 only ever ran
+# left/left-anti). orders RIGHT JOIN customer keeps every customer —
+# zero-order customers surface with n_orders = 0 — which is exactly the
+# asymmetry a right join adds over Q5's shapes. Scale: semantically
+# dim-preserving ⋈ fact; Catalyst is free to run it as the mirrored
+# LEFT join with sides swapped (same plan cost either way), and the
+# grouped agg shuffles only (custkey, segment) partial rows.
+# ---------------------------------------------------------------------------
+
+_Q63_ORACLE = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(ROUND(CAST(COALESCE(SUM(o.o_totalprice), 0) AS DECIMAL(28,10)), 2) AS DOUBLE) AS total_spend
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+"""
+
+
+@query("q63_right_outer_join", oracle=_Q63_ORACLE)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: per-customer order rollup keeping order-less
+    customers (COUNT over the null-extended side counts 0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q64 — bucketed-lake co-located join (VERDICT r3 item 8: bucketing was
+# pytest-only). The query reads orders/customer back through
+# sources/lake.write_bucketed tables (32 buckets on the custkey), so
+# the join AND the per-custkey aggregate run with ZERO shuffle
+# exchanges — the only Exchange in the whole plan is the final ORDER BY
+# (tests/test_plan_audit.py pins exactly that). This is the write-once-
+# shuffle-never layout that amortizes the single biggest recurring cost
+# at 100 TB: re-shuffling the same fact table on the same key for every
+# join. The bucketed copies are built once per (session, dataset) into
+# a scratch dir — the offline lake-prep step, not part of the measured
+# query — and the oracle states the bucketing-invariance contract: the
+# result equals the plain join.
+# ---------------------------------------------------------------------------
+
+_Q64_ORACLE = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(CAST(SUM(o.o_totalprice) AS DECIMAL(28,10)), 2) AS DOUBLE) AS total_spend
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+"""
+
+#: session → {normalized sf_dir → (orders_table, customer_table)}; the
+#: bucketed copies outlive the call but die with the session (weak key).
+_Q64_TABLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[str, str]]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _q64_bucketed_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
+    from cdc_example_spark.sources.lake import write_bucketed
+
+    per_session = _Q64_TABLES.setdefault(spark, {})
+    key = os.path.normpath(sf_dir)
+    if key not in per_session:
+        tag = hashlib.sha1(key.encode()).hexdigest()[:8]
+        base = tempfile.mkdtemp(prefix=f"cdc_lake_{tag}_")
+        names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
+        write_bucketed(
+            load_table(spark, sf_dir, "orders", cache=False),
+            names[0],
+            os.path.join(base, "orders"),
+            "o_custkey",
+            32,
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer", cache=False),
+            names[1],
+            os.path.join(base, "customer"),
+            "c_custkey",
+            32,
+        )
+        per_session[key] = names
+    return per_session[key]
+
+
+@query("q64_bucketed_colocated_join", oracle=_Q64_ORACLE)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-exchange join + agg over same-spec bucketed tables.
+
+    ``hint("merge")`` keeps the join sort-merge: a broadcast would be
+    locally fine but has no exchange to elide — the point is the
+    bucket-co-location proof. The per-custkey aggregate rides the same
+    partitioning (HashPartitioning(custkey, 32) satisfies the grouping
+    distribution), so partial == final agg with no shuffle between.
+    """
+    from cdc_example_spark.sources.lake import read_bucketed
+
+    ot, ct = _q64_bucketed_tables(spark, sf_dir)
+    orders = read_bucketed(spark, ot).hint("merge")
+    cust = read_bucketed(spark, ct).hint("merge")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec2(F.sum("o_totalprice")).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
     )

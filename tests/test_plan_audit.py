@@ -207,6 +207,21 @@ def test_q62_recall_audit_is_two_scans_one_window(spark, sf_dir):
     assert s["sort_merge_joins"] == 0, s
 
 
+def test_q64_bucketed_join_agg_only_sorts_exchange(spark, sf_dir):
+    """The bucketed-lake query's whole point is the exchange count: the
+    32-bucket write pre-shuffled both tables on the custkey, so the
+    sort-merge join AND the per-custkey aggregate must plan with zero
+    shuffle exchanges — the ONLY Exchange allowed is the final ORDER
+    BY's range exchange. More than one means bucketing metadata got
+    lost (e.g. a plain parquet read instead of spark.table)."""
+    df = q("q64_bucketed_colocated_join", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 1, plan[:3000]
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    assert "SortMergeJoin" in plan, plan[:3000]
+
+
 def test_q61_salt_fans_out_and_replicates_dim(spark, sf_dir):
     """The salted join must actually salt: the physical join keys
     include _salt (hot keys spread over salt_factor reducers) and the

@@ -33,6 +33,28 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         compare(df, con, q.oracle, name=name)
 
 
+def test_q13_native_set_operators_match_fused(spark, sf_dir):
+    # q13's registered plan (r4) derives all four cardinalities from one
+    # per-key presence pass; this pins the native DataFrame set
+    # operators (subtract / intersect / unionAll / union+distinct) to
+    # the fused counts, so the §2.2 INTERSECT/EXCEPT rows stay exercised
+    # on the Spark API surface too (DuckDB's oracle runs the genuine SQL
+    # set operators on its side).
+    from pyspark.sql import functions as F
+
+    from cdc_example_spark.sources.catalog import load_table
+
+    allc = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ordering = (
+        load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    )
+    fused = {r.tag: r.cnt for r in QUERIES["q13_set_ops"].spark(spark, sf_dir).collect()}
+    assert allc.subtract(ordering).count() == fused["except"]
+    assert allc.intersect(ordering).count() == fused["intersect"]
+    assert allc.unionAll(ordering).count() == fused["union_all"]
+    assert allc.union(ordering).distinct().count() == fused["union_distinct"]
+
+
 def test_q38_hll_error_bound(spark, sf_dir):
     # The raw HLL++ estimates have no cross-engine oracle (q38's hashed
     # output carries exact counts + bound booleans instead); this test
