@@ -83,6 +83,11 @@ class Query:
     doc: str
     spark: SparkQuery
     oracle: str | None
+    #: If set (e.g. "sf0.01"), the oracle SQL embeds data-derived
+    #: constants (q62's pinned trained centroids) and is only valid at
+    #: that scale factor — the driver's correctness tier. The local
+    #: harness falls back to a rows-only check at other sf dirs.
+    oracle_sf: str | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -108,7 +113,9 @@ def set_driver_order(first: list[str]) -> None:
     _DRIVER_FIRST.extend(first)
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+def query(
+    name: str, oracle: str | None = None, oracle_sf: str | None = None
+) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: register ``fn`` as the Spark side of query ``name``."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -119,6 +126,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
             doc=(fn.__doc__ or "").strip(),
             spark=_prepared(name, fn),
             oracle=oracle,
+            oracle_sf=oracle_sf,
         )
         return fn
 

@@ -294,6 +294,24 @@ def test_train_ivf_centroids_beats_arbitrary_and_is_deterministic(spark, sf_dir)
     assert recall(trained, 1) > recall(arbitrary, 1)
 
 
+def test_q62_pinned_oracle_centroids_match_trainer(spark):
+    """q62's DuckDB oracle embeds the sf0.01 trained centroids as
+    literals (queries/q62_centroids_sf001.py). The pin must track the
+    trainer bit-for-bit: retrain at the pinned tier and require exact
+    float equality — any drift (trainer change, testdata regeneration)
+    fails here with the regen command in hand
+    (scripts/gen_q62_oracle_centroids.py)."""
+    import os
+
+    from cdc_example_spark.queries.q62_centroids_sf001 import CENTROIDS_SF001, SF_DIR
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"pinned tier {SF_DIR} not present")
+    emb = load_table(spark, SF_DIR, "embeddings", cache=False)
+    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    assert C == CENTROIDS_SF001
+
+
 def test_train_ivf_centroids_rejects_tiny_sample(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="n_centroids"):

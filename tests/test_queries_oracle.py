@@ -24,10 +24,16 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
+    import os
+
     q = QUERIES[name]
     df = q.spark(spark, sf_dir)
-    if q.oracle is None:
-        assert df.count() >= 0  # rows-only smoke: runs and has a schema
+    sf_scoped = q.oracle_sf and os.path.basename(os.path.normpath(sf_dir)) != q.oracle_sf
+    if q.oracle is None or sf_scoped:
+        # rows-only smoke: runs and has a schema (sf-scoped oracles —
+        # q62's pinned-centroid SQL — only hold at the driver's tier;
+        # point CDC_SPARK_TEST_SF_DIR at it to exercise them here)
+        assert df.count() >= 0
         assert len(df.columns) > 0
     else:
         compare(df, con, q.oracle, name=name)
