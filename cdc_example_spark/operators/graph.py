@@ -36,7 +36,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    rounds: int = 6,
+    rounds: "int | str" = 6,
     materialize_edges: bool = True,
     checkpoint_every: int = 8,
 ) -> DataFrame:
@@ -44,6 +44,15 @@ def connected_components(
     minimum vertex id reachable within ``rounds`` hops (= its component
     id once ``rounds`` ≥ component diameter). Vertices are the edge
     endpoints — isolated rows never enter a dedup graph.
+
+    ``rounds="auto"`` (VERDICT r3 item 6) iterates to the FIXPOINT
+    instead: each round materializes its labels (eager localCheckpoint)
+    and counts strictly-decreased labels — labels only ever decrease,
+    so a zero-change round proves convergence for ANY diameter. This is
+    the real-deployment mode for long-diameter graphs; the fixed unroll
+    stays the default because a data-independent dataflow is what a
+    cross-engine oracle can replay (q58), and dup clusters are
+    near-cliques where 6 rounds is already 2–3× the diameter.
 
     ``materialize_edges`` (default) cuts the edge pipeline out of the
     round-loop lineage with a local checkpoint, exactly as GraphX/Pregel
@@ -66,11 +75,13 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("w")).unionAll(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("w"))
     )
-    if materialize_edges:
+    if materialize_edges or rounds == "auto":
         sym = sym.localCheckpoint(eager=False)
     labels = sym.select(F.col("u").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
+    if rounds == "auto":
+        return _cc_to_fixpoint(sym, labels)
     for rnd in range(rounds):
         if materialize_edges and rnd and rnd % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
@@ -91,3 +102,37 @@ def connected_components(
             .select(F.col("u").alias("v"), "lbl")
         )
     return labels.select("v", F.col("lbl").alias("component"))
+
+
+def _cc_to_fixpoint(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label propagation iterated until a round changes nothing.
+
+    Per round: the same one-join-one-agg superstep as the unrolled
+    loop, but the self rows carry an ``own`` marker so the aggregate
+    yields BOTH the new label (min over {self} ∪ neighbors) and the
+    previous one — the convergence probe is then a count on the already
+    materialized round output, not a second join. The eager
+    localCheckpoint per round is what Pregel/GraphX do between
+    supersteps: it bounds lineage AND makes the count() read the
+    computed round instead of re-deriving it. Labels are monotone
+    non-increasing, so changed == 0 is a true fixpoint for any
+    diameter (a path graph of n vertices takes n-1 rounds + 1 probe).
+    """
+    while True:
+        propagated = sym.join(labels, sym["w"] == labels["v"]).select(
+            F.col("u"), F.col("lbl"), F.lit(False).alias("own")
+        )
+        stamped = (
+            propagated.unionAll(
+                labels.select(F.col("v").alias("u"), "lbl", F.lit(True).alias("own"))
+            )
+            .groupBy("u")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = stamped.select(F.col("u").alias("v"), "lbl")
+        if stamped.filter(F.col("lbl") < F.col("prev")).count() == 0:
+            return labels.select("v", F.col("lbl").alias("component"))

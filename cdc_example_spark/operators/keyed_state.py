@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -44,6 +45,13 @@ MICROBATCH_SHUFFLE_PARTITIONS = int(
 )
 
 
+#: serializes microbatch_conf scopes: two streaming queries sharing one
+#: session would otherwise interleave set/restore and leak the
+#: micro-batch profile into each other (reentrant: the REST serving
+#: path may nest through _merge while a scope is held on its thread).
+_MICROBATCH_CONF_LOCK = threading.RLock()
+
+
 @contextmanager
 def microbatch_conf(spark: SparkSession):
     """Scope the session to micro-batch work: AQE off, narrow shuffles.
@@ -52,26 +60,28 @@ def microbatch_conf(spark: SparkSession):
     ``foreachBatch`` BODY runs plain batch jobs on the session — which
     re-enter AQE and pay its per-stage re-planning on every tiny stage
     of every micro-batch (A/B at 20k-event batches: p50 4.2 s with AQE
-    vs 1.6 s without; narrow shuffles take it to 1.3 s). The apply path
-    is serialized by construction (foreachBatch is sequential per
-    query; the REST ingress holds a lock), so scoping the two
-    runtime-settable confs around the merge is race-free there;
-    sessions running concurrent ad-hoc queries should prefer a
-    dedicated streaming session, as a real deployment would.
+    vs 1.6 s without; narrow shuffles take it to 1.3 s). A process-wide
+    lock serializes concurrent scopes (ADVICE r3: the docstring used to
+    merely *ask* for serialization), so two streaming queries on one
+    session can't interleave set/restore; ad-hoc BATCH queries running
+    concurrently on the same session are still re-profiled mid-flight —
+    that is inherent to runtime session confs, and such deployments
+    should use a dedicated streaming session, as a real one would.
     """
     conf = spark.conf
     keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    saved = {k: conf.get(k, None) for k in keys}
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", str(MICROBATCH_SHUFFLE_PARTITIONS))
-    try:
-        yield
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+    with _MICROBATCH_CONF_LOCK:
+        saved = {k: conf.get(k, None) for k in keys}
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(MICROBATCH_SHUFFLE_PARTITIONS))
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
 
 
 class KeyNotFoundError(Exception):
@@ -187,7 +197,11 @@ class KeyedStateSink:
                 #    reference's resurrection semantics
                 #    (MessageEventTestListener.kt:19-23).
                 touched = latest.select(F.col("key_id").alias(self.key)).distinct()
-                self._merge(spark, touched, upserts)
+                # already inside microbatch_conf — call the unscoped
+                # body, not _merge, so the context isn't re-entered
+                # (ADVICE r3: the nested wrap was redundant here; the
+                # wrap in _merge exists for the REST serving callers)
+                self._merge_scoped(spark, touched, upserts)
                 if batch_id is not None:
                     self._record_batch_id(batch_id)
             finally:
