@@ -65,20 +65,30 @@ _REPLACE = {
         "ELSE regexp_replace(text, '(\\S+)', 'c' || i || '\\1', 'g') END AS text"
     ),
     "embeddings": (
+        # label offset keeps copies in DISJOINT label groups: q31's
+        # same-label pairing would otherwise compare epsilon-shifted
+        # near-identical copies against each other (pairs grow K², a
+        # data artifact); with per-copy labels each group keeps its
+        # original size and group COUNT scales K×, like the rest.
         "vec_id + i*{cust} AS vec_id, "
+        "label + i*1000 AS label, "
         "CAST(list_transform(embedding, x -> x + 0.001 * i) AS FLOAT[]) AS embedding"
     ),
 }
 
-# real-work subset: scan-agg, join, window, distinct, time-window,
-# shingle self-join, LSH, percentile, tf-idf, decontamination, CC
+# real-work subset: scan-agg, join, window, distinct, set-ops,
+# time-window, shingle self-join, LSH, grouped BLAS, percentile,
+# tf-idf, decontamination, CC. q13/q31 added in r4 (VERDICT r3 item 9:
+# both moved in the r3 bench; keep their scaling behavior measured).
 QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q11_cumulative_spend",
+    "q13_set_ops",
     "q14_count_distinct",
     "q18_hourly_event_windows",
     "q24_jaccard_neardup_pairs",
+    "q31_embedding_neardup_pairs",
     "q32_minhash_lsh_candidates",
     "q41_percentiles",
     "q51_tfidf_top_terms",

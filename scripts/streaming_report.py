@@ -1,0 +1,87 @@
+"""Emit STREAMING_r{N}.json: the streaming contract, machine-visible.
+
+CORRECTNESS_r{N}.json covers the batch/oracle half of the engine; this
+produces the streaming twin (VERDICT r3 item 7): S1–S8 pass/fail from a
+real pytest run of the streaming suites, plus the CDC apply throughput
+and per-batch latency the BASELINE.md T2/T3 targets are graded on.
+
+Usage:  python scripts/streaming_report.py [round_number]
+Round defaults to (highest existing BENCH_r{N}.json) + 1 — the round
+currently being built. Writes STREAMING_r{NN}.json at the repo root and
+prints it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+S_SUITE_FILES = [
+    "tests/test_cdc_apply.py",          # S1–S3 (+ write-path invariants)
+    "tests/test_streaming_windows.py",  # S4–S7
+    "tests/test_incremental_agg.py",    # S8
+]
+
+
+def current_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else current_round()
+    out_path = os.path.join(REPO, f"STREAMING_r{rnd:02d}.json")
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        suites_path = tf.name
+    env = dict(os.environ, CDC_SPARK_STREAMING_REPORT=suites_path)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *S_SUITE_FILES, "-q", "--no-header"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    try:
+        with open(suites_path) as f:
+            suites = json.load(f)["suites"]
+    except (OSError, ValueError, KeyError):
+        suites = {}
+    os.unlink(suites_path)
+
+    import bench_streaming
+
+    throughput = bench_streaming.run()
+    # BASELINE.md T3 states its p50 bound at 20k-event batches
+    # (100k events / 5 files); measure that tier explicitly so the
+    # number stays comparable round-over-round.
+    t3_tier = bench_streaming.run(n_events=100_000)
+
+    report = {
+        "round": rnd,
+        "pytest_exit": proc.returncode,
+        "pytest_tail": proc.stdout.strip().splitlines()[-1] if proc.stdout else "",
+        "suites": suites,
+        "cdc_apply": throughput,
+        "cdc_apply_20k_batches": t3_tier,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

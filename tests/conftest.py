@@ -1,10 +1,47 @@
 from __future__ import annotations
 
+import json
 import os
+import re
 
 import pytest
 
 SF_SMOKE = os.environ.get("CDC_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# ---------------------------------------------------------------------------
+# Streaming-suite report (VERDICT r3 item 7): when
+# CDC_SPARK_STREAMING_REPORT=<path> is set, collect the S1–S8 test
+# outcomes and write them as JSON at session end — the machine-visible
+# twin of CORRECTNESS_r{N}.json for the streaming half of the engine.
+# scripts/streaming_report.py drives this and merges CDC throughput.
+# ---------------------------------------------------------------------------
+
+_S_TEST = re.compile(r"test_(s[1-8])_")
+_S_RESULTS: dict[str, dict[str, str]] = {}
+
+
+def pytest_runtest_logreport(report):
+    if report.when != "call":
+        return
+    m = _S_TEST.search(report.nodeid)
+    if not m:
+        return
+    _S_RESULTS.setdefault(m.group(1).upper(), {})[report.nodeid] = report.outcome
+
+
+def pytest_sessionfinish(session, exitstatus):
+    out = os.environ.get("CDC_SPARK_STREAMING_REPORT")
+    if not out or not _S_RESULTS:
+        return
+    suites = {
+        label: {
+            "passed": all(o == "passed" for o in tests.values()),
+            "tests": dict(sorted(tests.items())),
+        }
+        for label, tests in sorted(_S_RESULTS.items())
+    }
+    with open(out, "w") as f:
+        json.dump({"suites": suites}, f, indent=2)
 
 
 @pytest.fixture(scope="session")
