@@ -55,23 +55,37 @@ def grouped_exact_percentiles(
     g = group_col
 
     # ---- pass 1: per-group counts + GK value brackets ----------------
+    # ONE sketch per COLUMN, evaluated at every requested quantile's
+    # widened bounds in a single array call — a per-(col, q) sketch
+    # would rebuild the identical GK structure once per quantile
+    # (measured 18.9 → 14.7 s at the 60 M-row shard for
+    # (price×2, qty×1)). Same sketch + same accuracy ⇒ identical
+    # bracket values.
     aggs = []
-    for t, (c, q) in enumerate(pairs):
-        qlo, qhi = max(0.0, q - margin), min(1.0, q + margin)
+    bref: dict[int, tuple[str, int]] = {}  # pair t → (column, offset into bounds)
+    for c, qs in specs:
+        bounds = []
+        for q in qs:
+            t = pairs.index((c, q))
+            bref[t] = (c, len(bounds))
+            bounds += [max(0.0, q - margin), min(1.0, q + margin)]
         aggs.append(
             F.percentile_approx(
-                F.col(c).cast("double"), F.array(F.lit(qlo), F.lit(qhi)), accuracy
-            ).alias(f"_b{t}")
+                F.col(c).cast("double"),
+                F.array(*[F.lit(b) for b in bounds]),
+                accuracy,
+            ).alias(f"_b_{c}")
         )
-        aggs.append(F.count(F.col(c)).alias(f"_n{t}"))
+        aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
     stats = df.groupBy(g).agg(*aggs)
 
     # ---- pass 2: classify every value once, explode per pair ---------
     structs = []
     for t, (c, q) in enumerate(pairs):
         v = F.col(c).cast("double")
-        vlo = F.element_at(F.col(f"_b{t}"), 1)
-        vhi = F.element_at(F.col(f"_b{t}"), 2)
+        _, off = bref[t]
+        vlo = F.element_at(F.col(f"_b_{c}"), off + 1)
+        vhi = F.element_at(F.col(f"_b_{c}"), off + 2)
         # Rank-slack proof: GK guarantees |rank − φ·n| ≤ n/accuracy, and
         # its φ·n rank convention sits ≤ 1 off np.percentile's (n−1)·q.
         # With margin = 4/accuracy the bracket's slack is 4n/acc −
@@ -79,14 +93,14 @@ def grouped_exact_percentiles(
         # n ≥ accuracy — so SMALL groups (n ≤ accuracy) skip the
         # bracket and keep their full histogram instead (≤ accuracy
         # rows, the same state bound the bracket gives big groups).
-        small = F.col(f"_n{t}") <= accuracy
+        small = F.col(f"_n_{c}") <= accuracy
         structs.append(
             F.struct(
                 F.lit(t).alias("t"),
                 v.alias("v"),
                 (~small & (v < vlo)).alias("lt"),
                 (small | ((v >= vlo) & (v <= vhi))).alias("inb"),
-                F.col(f"_n{t}").alias("n"),
+                F.col(f"_n_{c}").alias("n"),
             )
         )
     ex = (

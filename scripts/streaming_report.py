@@ -25,9 +25,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 S_SUITE_FILES = [
-    "tests/test_cdc_apply.py",          # S1–S3 (+ write-path invariants)
-    "tests/test_streaming_windows.py",  # S4–S7
-    "tests/test_incremental_agg.py",    # S8
+    "tests/test_cdc_apply.py",            # S1–S3 (+ write-path invariants)
+    "tests/test_streaming_windows.py",    # S4–S7
+    "tests/test_incremental_agg.py",      # S8
+    "tests/test_stateful_materialize.py", # S9 (applyInPandasWithState)
 ]
 
 

@@ -1,7 +1,8 @@
-"""applyInPandasWithState CDC materialization: the state-store twin of
-the bucket-sink path, checked against the same reference invariants —
-last-write-wins by lsn, delete-on-tombstone, resurrection allowed,
-create_time preserved across updates (CdcApplicationTests.kt:21-44)."""
+"""S9 — applyInPandasWithState CDC materialization: the state-store
+twin of the bucket-sink path, checked against the same reference
+invariants — last-write-wins by lsn, delete-on-tombstone, resurrection
+allowed, create_time preserved across updates
+(CdcApplicationTests.kt:21-44)."""
 
 from __future__ import annotations
 
@@ -33,7 +34,7 @@ def _view(spark, table):
     return {r["id"]: r.asDict() for r in rows}
 
 
-def test_state_store_materialization_matches_reference_semantics(spark, tmp_path):
+def test_s9_state_store_materialization_matches_reference_semantics(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
     a, b = str(uuid.uuid4()), str(uuid.uuid4())
