@@ -47,6 +47,8 @@ DRIVER_PRIORITY = [
     "q63_right_outer_join",
     "q64_bucketed_colocated_join",
     "q65_window_distribution",
+    "q66_semantic_dedup",
+    "q67_sequence_packing",
     "q62_ivf_trained_topk",  # gains a full oracle (pinned centroids)
 ]
 set_driver_order(DRIVER_PRIORITY)

@@ -1011,13 +1011,19 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q62_oracle() -> str:
+def _pinned_centroid_values_sql() -> str:
+    """The sf0.01 trained centroids as a DuckDB VALUES list — shared by
+    every oracle that replays the trained-cell assignment (q62, q66)."""
     from cdc_example_spark.queries.q62_centroids_sf001 import CENTROIDS_SF001
 
-    cen_values = ",\n        ".join(
+    return ",\n        ".join(
         "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(x) for x in c))
         for j, c in enumerate(CENTROIDS_SF001)
     )
+
+
+def _q62_oracle() -> str:
+    cen_values = _pinned_centroid_values_sql()
     # list_inner_product mirrors the Spark side's unit-norm-centroid dot
     # (centroid_cells_expr); cosine ordering == dot ordering only up to
     # the |c| ≈ 1 float wobble, so BOTH engines must rank cells by the
@@ -1130,4 +1136,151 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.col("n_hit") / F.col("n_exact")).alias("recall"),
         )
         .transform(small_result_order, "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — semantic dedup (SemDeDup shape): within each trained-centroid
+# cell, an embedding is DROPPED when a lower-id same-cell embedding is
+# cosine-similar above the threshold — the "keep one representative per
+# semantic neighborhood" pass (Abbas et al. 2023 run this exact
+# cluster-then-pairwise recipe on LAION/C4). Composition showcase: the
+# q62 trainer's centroids compile into the scan (centroid_cells_expr),
+# the within-cell self-join is the only pairwise work, and the keep/drop
+# verdict is a left anti-join.
+# Scale: within-cell pairing is quadratic IN THE CELL — that is
+# inherent to SemDeDup, and the published mitigation is the one this
+# engine already owns: n_centroids grows with the corpus (cells stay
+# ~constant-size), cells shuffle-partition independently, and the pair
+# filter is a cheap codegen cosine. The oracle replays the pinned
+# sf0.01 centroids (same contract as q62, sf-scoped).
+# ---------------------------------------------------------------------------
+
+_Q66_THRESHOLD = 0.35  # measured on sf0.01: drops 88/500 (0.3→205, 0.4→17)
+
+
+def _q66_oracle() -> str:
+    cen_values = _pinned_centroid_values_sql()
+    return f"""
+WITH cen(cid, cv) AS (
+  VALUES
+        {cen_values}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cells AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY list_inner_product(v, cv) DESC, cid) AS crn
+  FROM v CROSS JOIN cen
+), cand AS (
+  SELECT vec_id, v, cid AS cell FROM cells WHERE crn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cand a JOIN cand b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {_Q66_THRESHOLD}
+)
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+       CAST(ROUND(CAST(CAST(COUNT(d.vec_id) AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 2) AS DOUBLE) AS drop_rate
+FROM cand c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+GROUP BY c.cell ORDER BY c.cell
+"""
+
+
+@query("q66_semantic_dedup", oracle=_q66_oracle(), oracle_sf="sf0.01")
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell SemDeDup audit: kept/dropped counts at cos ≥ 0.35."""
+    from cdc_example_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("cell", F.element_at(S.centroid_cells_expr(C, "v"), 1)["cid"])
+    a, b = base.alias("a"), base.alias("b")
+    dropped = (
+        a.join(
+            b,
+            [F.col("a.cell") == F.col("b.cell"), F.col("a.vec_id") < F.col("b.vec_id")],
+        )
+        .filter(V.cosine(F.col("a.v"), F.col("b.v")) >= _Q66_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = base.join(
+        dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+    )
+    return (
+        flagged.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_dup").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dup")).alias("n_kept"),
+            dec2(F.count("is_dup") / F.count(F.lit(1))).alias("drop_rate"),
+        )
+        .transform(small_result_order, "cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — sequence packing (greedy concat-and-chunk): the step that turns
+# curated documents into fixed-length training sequences. Documents are
+# concatenated in doc_id order within each language stream and cut into
+# 512-token chunks; each document lands in the chunk where it STARTS,
+# and a boundary-crosser count quantifies packing loss (the tokens a
+# naive concat-chunk splits across sequences). Pure window-cumsum
+# arithmetic on exact integer token counts — fully oracle-replayable.
+# Scale: ONE cumulative window per language stream, never a global
+# sort — streams pack independently (at 100 TB the partition key is
+# (lang, shard) and chunk ids offset per shard; a single global cumsum
+# would serialize the corpus through one task).
+# ---------------------------------------------------------------------------
+
+_Q67_SEQ_LEN = 512
+
+_Q67_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok
+  FROM documents WHERE lang IS NOT NULL
+), packed AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+  FROM t
+)
+SELECT lang,
+       CAST(FLOOR(cum_before / {_Q67_SEQ_LEN}) AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(COUNT(CASE WHEN FLOOR(cum_before / {_Q67_SEQ_LEN})
+                        <> FLOOR((cum_before + n_tok - 1) / {_Q67_SEQ_LEN})
+                  THEN 1 END) AS BIGINT) AS n_boundary_crossers
+FROM packed
+GROUP BY lang, chunk_id
+ORDER BY lang, chunk_id
+"""
+
+
+@query("q67_sequence_packing", oracle=_Q67_ORACLE)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk packing stats per (lang, 512-token chunk)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = docs.select("doc_id", "lang", T.word_count(F.col("text")).cast("long").alias("n_tok"))
+    packed = t.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    chunk = F.floor(F.col("cum_before") / _Q67_SEQ_LEN)
+    end_chunk = F.floor((F.col("cum_before") + F.col("n_tok") - 1) / _Q67_SEQ_LEN)
+    return (
+        packed.groupBy("lang", chunk.cast("long").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.count(F.when(chunk != end_chunk, 1)).alias("n_boundary_crossers"),
+        )
+        .orderBy("lang", "chunk_id")
     )
