@@ -63,3 +63,40 @@ def test_rank_convention_edge(spark):
 def test_single_row_and_constant_groups(spark):
     rows = [("s", 5.0, 0.0)] + [("c", 1.0, 0.0)] * 3
     _check(spark, rows, [("x", [0.5, 0.95])], accuracy=100)
+
+
+def test_null_values_excluded_and_all_null_group_kept(spark):
+    # SQL semantics (ADVICE r3): NULLs never contribute to a percentile,
+    # and a group whose column is ENTIRELY NULL must keep its row with a
+    # NULL percentile — not silently vanish (the r4 re-anchor on the
+    # pass-1 group list).
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("allnull", None), ("allnull", None)],
+        "g string, x double",
+    )
+    out = {
+        r["g"]: r
+        for r in grouped_exact_percentiles(df, "g", [("x", [0.5])], accuracy=100).collect()
+    }
+    assert out["a"]["x_p50"] == pytest.approx(2.0)
+    assert "allnull" in out, "all-NULL group row must survive"
+    assert out["allnull"]["x_p50"] is None
+
+
+def test_mixed_null_column_with_values_elsewhere(spark):
+    # one column all-NULL in one group while the OTHER column has data
+    # there: the group row must carry the real percentile and the NULL
+    # side by side.
+    df = spark.createDataFrame(
+        [("g1", None, 10.0), ("g1", None, 20.0), ("g2", 7.0, 1.0)],
+        "g string, x double, y double",
+    )
+    out = {
+        r["g"]: r
+        for r in grouped_exact_percentiles(
+            df, "g", [("x", [0.5]), ("y", [0.5])], accuracy=100
+        ).collect()
+    }
+    assert out["g1"]["x_p50"] is None
+    assert out["g1"]["y_p50"] == pytest.approx(15.0)
+    assert out["g2"]["x_p50"] == pytest.approx(7.0)
