@@ -132,10 +132,18 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side of every join. Left to size stats alone, Catalyst
     broadcast lineitem itself at sf0.1 (40 MB < the 64 MB threshold) —
     a 600k-entry hash build per run, and exactly the plan that breaks
-    at 100 TB where lineitem no longer fits. Broadcasting the filtered
-    customer set into orders and that (small) join result into lineitem
-    is both the scale-correct shape and 1.9× faster here (interleaved
-    A/B, median 0.28 s vs 0.52 s).
+    at 100 TB where lineitem no longer fits; re-confirmed in r4 (the
+    unhinted plan still picks BuildLeft=lineitem, 0.39 s vs 0.23 s).
+    Broadcasting the filtered customer set into orders and that join
+    result into lineitem wins at every measurable scale — r4 A/B at the
+    60 M-row shard: forced 3.1–3.6 s vs unhinted SMJ 3.5–8.7 s vs an
+    aggregate-before-join rewrite 3.8–8.2 s (pre-aggregating the
+    UNFILTERED fact wastes 5× the groups). Cluster boundary, stated
+    honestly: order_dim scales with orders (~20% of them), so on a real
+    100 TB cluster the outer broadcast stops fitting the executor
+    budget — there you drop the OUTER hint only (keep broadcast(cust))
+    and AQE picks the SMJ this A/B measured as the runner-up; the
+    never-acceptable plan in every regime is building the fact.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
