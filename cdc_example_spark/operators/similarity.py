@@ -257,6 +257,86 @@ def centroid_cells_expr(centroids: "list[list[float]]", vec_col: str) -> "F.Colu
     return F.expr("array_sort(array({}))".format(",".join(structs)))
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: "list[list[float]]",
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: vectors written partitioned BY CELL.
+
+    This is the scale path :func:`ivf_topk` only documents ("computed
+    once and persisted partitioned by centroid_id"): assignment runs as
+    one codegen scan (``centroid_cells_expr`` — no join), and the lake
+    layout ``path/cell=<cid>/`` turns every probe into DIRECTORY
+    pruning — a query's serving read opens n_probe/|centroids| of the
+    files, enforced as a PartitionFilters plan property in pytest.
+    Rebuild cadence is the offline trainer's (weekly/continuous
+    compaction on a real deployment); readers are unaffected mid-build
+    because parquet overwrite commits per-directory.
+    """
+    base = (
+        _as_double(vectors, vec_col)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn(
+            "cell", F.element_at(centroid_cells_expr(centroids, "v"), 1)["cid"]
+        )
+    )
+    base.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: "list[list[float]]",
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a :func:`build_ivf_index` layout.
+
+    Probe cells are computed per query with the SAME inlined-centroid
+    expression the build used, collected to the driver (bounded by
+    |queries| · n_probe — the serving request itself, never corpus
+    data), and pushed into the index read as a literal IN-filter so the
+    scan prunes to the probed ``cell=`` directories. Same output schema
+    as :func:`ivf_topk`/:func:`cosine_topk`.
+    """
+    qry = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn(
+            "probe_cells",
+            F.transform(
+                F.slice(centroid_cells_expr(centroids, "qv"), 1, n_probe),
+                lambda s: s["cid"],
+            ),
+        )
+    )
+    probe_cells = sorted(
+        r[0]
+        for r in qry.select(F.explode("probe_cells").alias("c")).distinct().collect()
+    )
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cell").isin([int(c) for c in probe_cells])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        idx.join(
+            F.broadcast(qry),
+            (F.col("vec_id") != F.col("query_id"))
+            & F.array_contains(F.col("probe_cells"), F.col("cell")),
+        )
+        .withColumn("cos_sim", V.cosine("v", "qv"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rn")
+    )
+
+
 def srp_buckets(n_bits: int, n_tables: int, seed: int = 0x5EED):
     """Signed-random-projection LSH signatures for cosine similarity.
 

@@ -312,6 +312,61 @@ def test_q62_pinned_oracle_centroids_match_trainer(spark):
     assert C == CENTROIDS_SF001
 
 
+def test_ivf_index_serving_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path):
+    """The persisted IVF layout (build_ivf_index / ivf_topk_indexed):
+    serving must (a) PRUNE — the probe filter lands in the scan's
+    PartitionFilters, so only cell= directories of the probed cells are
+    read — and (b) agree exactly with the same-expression in-memory
+    computation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    path = str(tmp_path / "ivf_index")
+    S.build_ivf_index(emb, C, path)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk_indexed(spark, path, queries, C, k=3, n_probe=2)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in pf, pf
+
+    # in-memory twin with the identical assignment expression
+    base = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("cell", F.element_at(S.centroid_cells_expr(C, "v"), 1)["cid"])
+    )
+    qry = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"))
+        .withColumn(
+            "probe_cells",
+            F.transform(F.slice(S.centroid_cells_expr(C, "qv"), 1, 2), lambda s: s["cid"]),
+        )
+    )
+    from cdc_example_spark.functions import vector as V
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    want = (
+        base.join(
+            qry,
+            (F.col("vec_id") != F.col("query_id"))
+            & F.array_contains("probe_cells", F.col("cell")),
+        )
+        .withColumn("cos_sim", V.cosine("v", "qv"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "rn")
+    )
+    got_rows = sorted((r.query_id, r.vec_id, r.rn) for r in out.collect())
+    want_rows = sorted((r.query_id, r.vec_id, r.rn) for r in want.collect())
+    assert got_rows == want_rows and got_rows
+
+
 def test_train_ivf_centroids_rejects_tiny_sample(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="n_centroids"):
