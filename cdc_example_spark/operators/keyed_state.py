@@ -39,9 +39,12 @@ from cdc_example_spark.schemas import MESSAGES
 
 #: shuffle width for the per-batch collapse/merge: micro-batches are
 #: small by construction, so a handful of reducers beats the session's
-#: table-scale default (A/B at 20k-event batches: 22% off the p50).
+#: table-scale default (A/B at 20k-event batches: 22% off the p50;
+#: r4 re-sweep 4/8/16 → medians 1340/1576/1649 ms standalone — 4 takes
+#: another ~15% off the p50, the per-batch stages are task-launch
+#: bound, not width bound).
 MICROBATCH_SHUFFLE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_MICROBATCH_SHUFFLE", "8")
+    os.environ.get("SPARK_GRAFT_MICROBATCH_SHUFFLE", "4")
 )
 
 
