@@ -1196,16 +1196,24 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("cell", F.element_at(S.centroid_cells_expr(C, "v"), 1)["cid"])
+    base = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("cell", F.element_at(S.centroid_cells_expr(C, "v"), 1)["cid"])
+        .withColumn("nsq", V.norm_sq("v"))
+    )
     a, b = base.alias("a"), base.alias("b")
+    # norms precomputed per SIDE (cosine_topk's trick): only the dot
+    # runs per pair, and dot/sqrt(nsq_a·nsq_b) evaluates the identical
+    # doubles as the per-pair cosine / DuckDB's list_cosine_similarity
+    # (same sequential folds, same sqrt(x*y)) — measured 1.07 → 0.75 s
+    # at sf0.1 with the hash unchanged.
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / F.sqrt(F.col("a.nsq") * F.col("b.nsq"))
     dropped = (
         a.join(
             b,
             [F.col("a.cell") == F.col("b.cell"), F.col("a.vec_id") < F.col("b.vec_id")],
         )
-        .filter(V.cosine(F.col("a.v"), F.col("b.v")) >= _Q66_THRESHOLD)
+        .filter(cos >= _Q66_THRESHOLD)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
