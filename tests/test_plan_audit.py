@@ -207,6 +207,16 @@ def test_q62_recall_audit_is_two_scans_one_window(spark, sf_dir):
     assert s["sort_merge_joins"] == 0, s
 
 
+def test_q65_distribution_windows_share_one_exchange(spark, sf_dir):
+    # percent_rank / cume_dist / nth_value all declare the same
+    # (partition, order) spec — Catalyst must evaluate them in ONE
+    # Window (or two for the distinct frame) over ONE shuffle, plus the
+    # final orderBy's range exchange. A per-function exchange would
+    # triple the shuffle at scale.
+    s = plan_summary(q("q65_window_distribution", spark, sf_dir))
+    assert s["exchanges"] <= 2, s
+
+
 def test_q64_bucketed_join_agg_only_sorts_exchange(spark, sf_dir):
     """The bucketed-lake query's whole point is the exchange count: the
     32-bucket write pre-shuffled both tables on the custkey, so the
