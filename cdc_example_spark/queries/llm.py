@@ -1292,3 +1292,65 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — JSON schema profiling over semi-structured event payloads: the
+# schema-drift monitor every event-ingest pipeline runs. `props` parses
+# as a transient MAP (from_json map<string,string>), the map explodes
+# to (key, value) rows, and per (event_type, key) the profile reports
+# presence counts, exact value cardinality, and numeric stats (NULL for
+# non-numeric values — F.try_cast semantics via cast). This upgrades
+# the SURVEY's "MAP-typed columns: out of scope" line: MAP as a STORED
+# column stays out (absent from reference + testdata), but the map
+# TRANSIENT type + explode surface is exercised and oracle-checked
+# here. The driver fixture happens to carry a single key ('k'); the
+# operator is key-generic — json_keys on the DuckDB side discovers
+# whatever keys exist.
+# Scale: one scan; per-row JSON parse inside codegen; the profile agg
+# shuffles (type, key) partials only. Keys with huge value cardinality
+# bound the distinct-count state — the 100 TB variant swaps
+# countDistinct for approx_count_distinct exactly as q14 → q38.
+# ---------------------------------------------------------------------------
+
+_Q68_ORACLE = """
+WITH kv AS (
+  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events
+), v AS (
+  SELECT event_type, key,
+         json_extract_string(props, '$.' || key) AS val
+  FROM kv
+)
+SELECT event_type,
+       key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_vals,
+       CAST(ROUND(CAST(MIN(TRY_CAST(val AS DOUBLE)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS min_num,
+       CAST(ROUND(CAST(MAX(TRY_CAST(val AS DOUBLE)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS max_num,
+       CAST(ROUND(CAST(AVG(TRY_CAST(val AS DOUBLE)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_num
+FROM v
+GROUP BY event_type, key
+ORDER BY event_type, key
+"""
+
+
+@query("q68_json_schema_profile", oracle=_Q68_ORACLE)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, key) profile of the JSON props payload."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val"),
+    )
+    num = F.try_cast("val", "double") if hasattr(F, "try_cast") else F.col("val").cast("double")
+    return (
+        kv.groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("val").alias("n_distinct_vals"),
+            dec2(F.min(num)).alias("min_num"),
+            dec2(F.max(num)).alias("max_num"),
+            dec2(F.avg(num)).alias("avg_num"),
+        )
+        .transform(small_result_order, "event_type", "key")
+    )
