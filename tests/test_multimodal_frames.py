@@ -144,6 +144,46 @@ def test_interlaced_rows_are_reordered():
         assert (a[r] == G[r % 4]).all(), r
 
 
+def test_gif_roundtrip_property():
+    # encode→decode equality under random dimensions / palettes /
+    # frame counts (full-rect opaque frames: composite == frame).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        n_colors=st.integers(2, 8),
+        data=st.data(),
+    )
+    def check(w, h, n_colors, data):
+        rng_pal = data.draw(
+            st.lists(
+                st.tuples(*[st.integers(0, 255)] * 3),
+                min_size=n_colors,
+                max_size=n_colors,
+            )
+        )
+        n_frames = data.draw(st.integers(1, 4))
+        frame_px = [
+            data.draw(
+                st.lists(
+                    st.integers(0, n_colors - 1), min_size=w * h, max_size=w * h
+                )
+            )
+            for _ in range(n_frames)
+        ]
+        payload = _gif(w, h, rng_pal, [{"indices": px} for px in frame_px])
+        gw, gh, frames = _decode_gif_frames(payload)
+        assert (gw, gh, len(frames)) == (w, h, n_frames)
+        g = _gray(rng_pal)
+        for px, frame in zip(frame_px, frames):
+            assert list(frame) == [g[i] for i in px]
+
+    check()
+
+
 def test_sample_frames_spark_plumbing(spark):
     five = _gif(4, 3, PAL, [{"indices": [i % 4] * 12} for i in range(5)])
     rows = [(1, bytearray(five)), (2, bytearray(b"not a gif"))]
