@@ -222,3 +222,63 @@ def top_ngrams(
         .filter(F.col("rnk") <= k)
         .select(group_col, "rnk", "ngram", "n_occurrences")
     )
+
+
+def bigram_lm_doc_scores(toks: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Corpus self-perplexity per document under an add-α bigram LM.
+
+    The CCNet/Gopher-style quality signal without an external model:
+    train the n-gram LM ON the corpus itself (one aggregation pass) and
+    score every document against it — documents whose word transitions
+    are unlike the rest of the corpus surface with high perplexity.
+
+    P(w|prev) = (c(prev,w) + α) / (c(prev) + α·V_lang); per doc:
+    avg log-prob over its bigram occurrences, perplexity = exp(−avg).
+    All counts are exact integers, so the only float work is the
+    division/log/avg chain — deterministic enough for the dec2 oracle
+    discipline (same class as every AVG in the query set).
+
+    Scale shape: bigram counts partial-aggregate map-side before one
+    (lang, prev, w) shuffle; context counts derive from the (already
+    tiny) count table, never a second corpus pass; scoring is a shuffle
+    join of doc-bigram rows against the count tables on their natural
+    keys — no broadcast of anything corpus-sized, no collect. Input
+    ``toks``: (doc_id, lang, ws array<string>).
+    """
+    bg = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS prev,"
+                    " element_at(ws, i + 1) AS w))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "lang", "b.prev", "b.w")
+    )
+    c_bg = bg.groupBy("lang", "prev", "w").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_prev = c_bg.groupBy("lang", "prev").agg(F.sum("c_bg").alias("c_prev"))
+    vocab = (
+        toks.select("lang", F.explode("ws").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c_bg") + F.lit(alpha))
+        / (F.col("c_prev") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        bg.join(c_bg, ["lang", "prev", "w"])
+        .join(c_prev, ["lang", "prev"])
+        .join(F.broadcast(vocab), ["lang"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("avg_logp"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    )

@@ -50,6 +50,7 @@ DRIVER_PRIORITY = [
     "q66_semantic_dedup",
     "q67_sequence_packing",
     "q68_json_schema_profile",
+    "q69_bigram_lm_perplexity",
     "q62_ivf_trained_topk",  # gains a full oracle (pinned centroids)
 ]
 set_driver_order(DRIVER_PRIORITY)

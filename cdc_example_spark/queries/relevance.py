@@ -377,3 +377,66 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — corpus self-perplexity under an add-α bigram LM
+# (operators/relevance.bigram_lm_doc_scores): the quality filter that
+# flags documents whose word transitions are unlike the rest of the
+# corpus, with the LM trained on the corpus itself in the same job —
+# no external model, fully oracle-replayable. Output = the 10 most
+# perplexing documents; the final order uses the ROUNDED perplexity
+# (+ doc_id tie-break) so last-ulp drift in log/exp between engines
+# can't flip the selection.
+# ---------------------------------------------------------------------------
+
+_Q69_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ws
+  FROM documents WHERE lang IS NOT NULL
+), bgf AS (
+  SELECT doc_id, lang,
+         unnest(ws[1:len(ws) - 1]) AS prev,
+         unnest(ws[2:len(ws)]) AS w
+  FROM t WHERE len(ws) >= 2
+), cb AS (
+  SELECT lang, prev, w, COUNT(*) AS c_bg FROM bgf GROUP BY lang, prev, w
+), cp AS (
+  SELECT lang, prev, SUM(c_bg) AS c_prev FROM cb GROUP BY lang, prev
+), vocab AS (
+  SELECT lang, COUNT(DISTINCT tok) AS v
+  FROM (SELECT lang, unnest(ws) AS tok FROM t) GROUP BY lang
+), scored AS (
+  SELECT f.doc_id, f.lang,
+         ln((cb.c_bg + 0.5) / (cp.c_prev + 0.5 * vocab.v)) AS logp
+  FROM bgf f
+  JOIN cb USING (lang, prev, w)
+  JOIN cp USING (lang, prev)
+  JOIN vocab USING (lang)
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_bigrams, AVG(logp) AS avg_logp
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(ROUND(CAST(exp(-avg_logp) AS DECIMAL(28,10)), 2) AS DOUBLE) AS perplexity
+FROM per_doc
+ORDER BY perplexity DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("q69_bigram_lm_perplexity", oracle=_Q69_ORACLE)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most perplexing documents under the corpus bigram LM."""
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("lang").isNotNull())
+    scores = R.bigram_lm_doc_scores(toks, alpha=0.5)
+    return (
+        scores.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            dec2(F.col("perplexity")).alias("perplexity"),
+        )
+        .orderBy(F.col("perplexity").desc(), "doc_id")
+        .limit(10)
+    )
