@@ -7,7 +7,7 @@ a task, but the transfer grows linearly with the fact table: at the
 60 M-row scaling shard the pandas path spends ~20 s moving values.
 
 This operator computes the same exact linear-interpolation percentiles
-(np.percentile / SQL ``percentile_cont`` semantics) in two scan-bound
+(np.percentile / SQL ``percentile_cont`` semantics) in scan-bound
 distributed passes:
 
 1. **Bracket pass** — per group: row count + a Greenwald–Khanna sketch
@@ -15,17 +15,25 @@ distributed passes:
    is DETERMINISTIC (≤ n/accuracy), so values at the widened quantiles
    are guaranteed value-space brackets around the true percentile;
    ``margin = 4/accuracy`` leaves 4× slack.
-2. **Refinement pass** — one scan classifies every value per
-   (column, quantile) pair: strictly-below-bracket counts fold into
-   ``n_lt`` (map-side sums), in-bracket values survive as a tiny
-   (value, count) histogram (≤ ~8·n/accuracy rows per pair, by GK's
-   bound). A window cumsum over that histogram locates the global
-   floor/ceil order statistics, and the standard interpolation
+2. **Refinement** — two narrow scans, both map-side partial-aggregated:
+   (a) a conditional-sum ``groupBy(group)`` counts strictly-below-
+   bracket values per (column, quantile) pair — ONE output row per
+   group, no row explosion at all (the r4 shape exploded every row
+   into |pairs| structs — 180 M generated rows at the 60 M shard —
+   then collapsed most of them back into NULL-key partials; the
+   conditional sums do the same arithmetic inside one codegen'd agg);
+   (b) a generator emits ONLY in-bracket values (``F.filter`` on the
+   struct array before ``explode``), which GK bounds at ~8·n/accuracy
+   rows per pair — the (value, count) histogram shuffle is tiny by
+   construction. A window cumsum over that histogram locates the
+   global floor/ceil order statistics, and the standard interpolation
    ``v_lo + frac·(v_hi − v_lo)`` finishes on a handful of rows.
 
-No value stream ever leaves the executors; both passes are partial-
-aggregated map-side. NULLs are excluded (SQL percentile semantics);
-rank arithmetic uses each column's non-null count.
+No value stream ever leaves the executors. NULLs are excluded (SQL
+percentile semantics); rank arithmetic uses each column's non-null
+count. A NULL group key is a legitimate SQL GROUP BY group — every
+join below is null-safe so its row survives with real percentiles
+(ADVICE r4: plain `[g]` joins silently dropped it).
 """
 
 from __future__ import annotations
@@ -47,9 +55,26 @@ def grouped_exact_percentiles(
     group with a double column ``{col}_p{int(q*100)}`` per requested
     quantile (np.percentile semantics, NULLs excluded).
 
-    ``accuracy`` bounds pass-2 state: each (col, q) pair keeps at most
-    ~8·n/accuracy in-bracket histogram rows.
+    ``accuracy`` bounds refinement state: each (col, q) pair keeps at
+    most ~8·n/accuracy in-bracket histogram rows.
+
+    Raises ``ValueError`` on a repeated column or quantile — the
+    per-column sketch aliases (``_b_{c}``/``_n_{c}``) and the pair
+    index are keyed by name, so duplicates would silently collide
+    (ADVICE r4); merge the quantile lists per column instead.
     """
+    seen: set[str] = set()
+    for c, qs in specs:
+        if c in seen:
+            raise ValueError(
+                f"grouped_exact_percentiles: column {c!r} appears in multiple "
+                "specs entries — merge its quantile lists into one entry"
+            )
+        seen.add(c)
+        if len(qs) != len(set(qs)):
+            raise ValueError(
+                f"grouped_exact_percentiles: duplicate quantiles for column {c!r}"
+            )
     pairs = [(c, q) for c, qs in specs for q in qs]
     margin = 4.0 / accuracy
     g = group_col
@@ -79,11 +104,15 @@ def grouped_exact_percentiles(
         aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
     stats = df.groupBy(g).agg(*aggs)
 
-    # ---- pass 2: classify every value once, explode per pair ---------
-    structs = []
-    for t, (c, q) in enumerate(pairs):
-        v = F.col(c).cast("double")
+    # group-cardinality broadcast of the brackets back onto the rows;
+    # null-safe so a NULL-key group's rows still meet their bracket row.
+    st = stats.withColumnRenamed(g, "_g")
+    joined = df.join(F.broadcast(st), F.col(g).eqNullSafe(F.col("_g"))).drop("_g")
+
+    def _bracket(t: int):
+        c = pairs[t][0]
         _, off = bref[t]
+        v = F.col(c).cast("double")
         vlo = F.element_at(F.col(f"_b_{c}"), off + 1)
         vhi = F.element_at(F.col(f"_b_{c}"), off + 2)
         # Rank-slack proof: GK guarantees |rank − φ·n| ≤ n/accuracy, and
@@ -94,41 +123,81 @@ def grouped_exact_percentiles(
         # bracket and keep their full histogram instead (≤ accuracy
         # rows, the same state bound the bracket gives big groups).
         small = F.col(f"_n_{c}") <= accuracy
-        structs.append(
-            F.struct(
-                F.lit(t).alias("t"),
-                v.alias("v"),
-                (~small & (v < vlo)).alias("lt"),
-                (small | ((v >= vlo) & (v <= vhi))).alias("inb"),
-                F.col(f"_n_{c}").alias("n"),
-            )
+        return v, vlo, vhi, small
+
+    # ---- pass 2a: below-bracket counts, one row per group ------------
+    lt_aggs = []
+    for t, (c, q) in enumerate(pairs):
+        v, vlo, _, small = _bracket(t)
+        lt_aggs.append(
+            F.sum(
+                F.when(v.isNotNull() & ~small & (v < vlo), 1).otherwise(0)
+            ).alias(f"_lt_{t}")
         )
-    ex = (
-        df.join(F.broadcast(stats), g)
-        .select(g, F.explode(F.array(*structs)).alias("s"))
-        .select(g, "s.*")
-        .filter(F.col("v").isNotNull())
-    )
-    # one partial-aggregated shuffle: in-bracket values keep their value
-    # as the key (tiny histogram); everything else collapses into the
-    # NULL-key row of its (group, pair), contributing only lt counts.
-    hist = ex.groupBy(g, "t", F.when(F.col("inb"), F.col("v")).alias("hv")).agg(
-        F.sum(F.when(F.col("inb"), 1).otherwise(0)).alias("cnt"),
-        F.sum(F.when(F.col("lt"), 1).otherwise(0)).alias("lt"),
-        F.first("n").alias("n"),
-    )
-    nlt = hist.groupBy(g, "t").agg(
-        F.sum("lt").alias("n_lt"), F.first("n").alias("n")
+    ltw = joined.groupBy(g).agg(*lt_aggs)
+    nlt = ltw.select(
+        g,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.col(f"_lt_{t}").cast("long").alias("n_lt"),
+                    )
+                    for t in range(len(pairs))
+                ]
+            )
+        ).alias("s"),
+    ).select(g, "s.*")
+    # per-(group, pair) non-null count rides along from pass 1
+    npair = stats.select(
+        F.col(g),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"_n_{c}").alias("n"))
+                    for t, (c, q) in enumerate(pairs)
+                ]
+            )
+        ).alias("s"),
+    ).select(g, "s.*")
+    nlt = nlt.join(
+        F.broadcast(npair.withColumnRenamed(g, "_g").withColumnRenamed("t", "_t")),
+        F.col(g).eqNullSafe(F.col("_g")) & (F.col("t") == F.col("_t")),
+    ).drop("_g", "_t")
+
+    # ---- pass 2b: in-bracket histogram ONLY -------------------------
+    # F.filter prunes the struct array BEFORE the generator runs, so
+    # explode emits ~8·n/accuracy rows per pair, not one per input row.
+    structs = []
+    for t, (c, q) in enumerate(pairs):
+        v, vlo, vhi, small = _bracket(t)
+        inb = v.isNotNull() & (small | ((v >= vlo) & (v <= vhi)))
+        structs.append(
+            F.when(inb, F.struct(F.lit(t).alias("t"), v.alias("v")))
+        )
+    hist = (
+        joined.select(
+            g,
+            F.explode(
+                F.filter(F.array(*structs), lambda s: s.isNotNull())
+            ).alias("s"),
+        )
+        .groupBy(g, F.col("s.t").alias("t"), F.col("s.v").alias("hv"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
     # ---- locate + interpolate on the tiny histogram ------------------
     qcol = F.element_at(F.array(*[F.lit(float(q)) for _, q in pairs]), F.col("t") + 1)
     p = (F.col("n") - 1).cast("double") * qcol
     w = Window.partitionBy(g, "t").orderBy("hv")
+    nltr = nlt.withColumnRenamed(g, "_g").withColumnRenamed("t", "_t")
     cum = (
-        hist.filter(F.col("hv").isNotNull())
-        .select(g, "t", "hv", "cnt")
-        .join(F.broadcast(nlt), [g, "t"])
+        hist.join(
+            F.broadcast(nltr),
+            F.col(g).eqNullSafe(F.col("_g")) & (F.col("t") == F.col("_t")),
+        )
+        .drop("_g", "_t")
         .withColumn("C", F.sum("cnt").over(w))
     )
     first_idx = F.col("n_lt") + F.col("C") - F.col("cnt")  # global index of run start
@@ -171,5 +240,13 @@ def grouped_exact_percentiles(
     # Re-anchor on the pass-1 group list: a group whose value column is
     # entirely NULL has no in-bracket rows at all and would vanish from
     # ``per`` — SQL semantics keep the group row with NULL percentiles
-    # (both frames are group-cardinality; Catalyst broadcasts).
-    return stats.select(g).join(per.groupBy(g).agg(*out_aggs), [g], "left")
+    # (both frames are group-cardinality; Catalyst broadcasts). The
+    # eqNullSafe keeps a NULL group key matched to its computed row
+    # (ADVICE r4: a plain `[g]` left join replaced its real values
+    # with NULLs).
+    pa = per.groupBy(g).agg(*out_aggs).withColumnRenamed(g, "_g")
+    return (
+        stats.select(g)
+        .join(pa, F.col(g).eqNullSafe(F.col("_g")), "left")
+        .drop("_g")
+    )

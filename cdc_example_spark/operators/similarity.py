@@ -273,8 +273,13 @@ def build_ivf_index(
     pruning — a query's serving read opens n_probe/|centroids| of the
     files, enforced as a PartitionFilters plan property in pytest.
     Rebuild cadence is the offline trainer's (weekly/continuous
-    compaction on a real deployment); readers are unaffected mid-build
-    because parquet overwrite commits per-directory.
+    compaction on a real deployment). NOTE (ADVICE r4): ``overwrite``
+    with the default static partitionOverwriteMode deletes the whole
+    index root before writing — a rebuild is NOT safe under concurrent
+    readers. Deployments that serve during rebuilds should write each
+    build to a fresh versioned path and flip a pointer (the usual lake
+    pattern); this function deliberately keeps the single-path layout
+    because the driver/test harness rebuilds only at session start.
     """
     base = (
         _as_double(vectors, vec_col)

@@ -21,12 +21,17 @@ _S_RESULTS: dict[str, dict[str, str]] = {}
 
 
 def pytest_runtest_logreport(report):
-    if report.when != "call":
-        return
     m = _S_TEST.search(report.nodeid)
     if not m:
         return
-    _S_RESULTS.setdefault(m.group(1).upper(), {})[report.nodeid] = report.outcome
+    # ADVICE r4: record setup/teardown failures too — a fixture error
+    # never produces a 'call' report, and the suite flag must not read
+    # green when the test never ran. 'call' outcomes win; other phases
+    # only contribute their failures.
+    if report.when != "call" and not report.failed:
+        return
+    suite = _S_RESULTS.setdefault(m.group(1).upper(), {})
+    suite[report.nodeid] = report.outcome if report.when == "call" else "failed"
 
 
 def pytest_sessionfinish(session, exitstatus):

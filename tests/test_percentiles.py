@@ -83,6 +83,35 @@ def test_null_values_excluded_and_all_null_group_kept(spark):
     assert out["allnull"]["x_p50"] is None
 
 
+def test_null_group_key_keeps_computed_values(spark):
+    # ADVICE r4 (medium): a NULL group key is a legitimate SQL GROUP BY
+    # group. Plain `[g]` joins are not null-safe, so the NULL group's
+    # rows (a) never met their bracket row in the classify join and
+    # (b) lost their computed percentiles in the re-anchor left join.
+    # Every join in the operator must be eqNullSafe.
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 10.0), ("a", 30.0)],
+        "g string, x double",
+    )
+    out = {
+        r["g"]: r
+        for r in grouped_exact_percentiles(df, "g", [("x", [0.5])], accuracy=100).collect()
+    }
+    assert out[None]["x_p50"] == pytest.approx(2.0), "NULL group must keep real values"
+    assert out["a"]["x_p50"] == pytest.approx(20.0)
+
+
+def test_duplicate_specs_raise(spark):
+    # ADVICE r4 (low): per-column aliases collide on a repeated column
+    # and pairs.index() maps duplicate (c, q) to the first occurrence —
+    # fail loudly instead of producing an AnalysisException downstream.
+    df = spark.createDataFrame([("a", 1.0, 0.0)], "g string, x double, y double")
+    with pytest.raises(ValueError, match="multiple specs entries"):
+        grouped_exact_percentiles(df, "g", [("x", [0.5]), ("x", [0.9])])
+    with pytest.raises(ValueError, match="duplicate quantiles"):
+        grouped_exact_percentiles(df, "g", [("x", [0.5, 0.5])])
+
+
 def test_mixed_null_column_with_values_elsewhere(spark):
     # one column all-NULL in one group while the OTHER column has data
     # there: the group row must carry the real percentile and the NULL
