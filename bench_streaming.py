@@ -30,7 +30,12 @@ import uuid
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 
-def run(spark=None, n_events: int | None = None) -> dict:
+def run(
+    spark=None,
+    n_events: int | None = None,
+    n_files: int = 5,
+    num_buckets: int = 32,
+) -> dict:
     """Run the CDC apply benchmark; returns the metrics dict.
 
     Reusable from bench.py (which embeds the numbers in its one-line
@@ -38,7 +43,6 @@ def run(spark=None, n_events: int | None = None) -> dict:
     """
     if n_events is None:
         n_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "300000"))
-    n_files = 5
     n_keys = max(100, n_events // 20)
 
     from cdc_fixtures import envelope, row_image
@@ -80,7 +84,7 @@ def run(spark=None, n_events: int | None = None) -> dict:
                 fh.write(json.dumps(rec) + "\n")
                 seq += 1
 
-    sink = KeyedStateSink(path=os.path.join(work, "state"))
+    sink = KeyedStateSink(path=os.path.join(work, "state"), num_buckets=num_buckets)
     batch_times: list[float] = []
     marks: list[float] = [time.perf_counter()]
 
@@ -112,6 +116,8 @@ def run(spark=None, n_events: int | None = None) -> dict:
         "batch_apply_p50_ms": round(statistics.median(batch_times) * 1000, 1)
         if batch_times
         else None,
+        "events_per_batch": per_file,
+        "num_buckets": num_buckets,
         "final_state_rows": visible,
         "wall_s": round(wall, 2),
     }

@@ -11,12 +11,13 @@ Scale design (100 TB state, 1000 executors):
 - State lives in ``NUM_BUCKETS`` hash buckets (directory partitions).
   A micro-batch only rewrites the buckets its keys touch — with
   dynamic partition overwrite, an idle bucket costs zero I/O.
-- Intra-batch collapse first: per key keep the change with max
-  (lsn, ts_ms) — reference §4.2: never trust arrival order after a
-  shuffle; Postgres LSN is the authoritative order
-  (prototype/message.md:33-39).
-- The per-batch MERGE is changes-side-small by construction, so the
-  join against touched-bucket state broadcasts the changes.
+- The streaming MERGE is ONE sort-merge compaction job: state rows of
+  touched buckets union the raw changes, one window pass clustered by
+  bucket keeps the per-key winner by (lsn, ts_ms) — reference §4.2:
+  never trust arrival order after a shuffle; Postgres LSN is the
+  authoritative order (prototype/message.md:33-39). Intra-batch
+  collapse, anti-join semantics, delete-drop and resurrection all fall
+  out of "first row of each key run wins".
 - Re-applying a batch is idempotent (same keys, same LSN winners →
   same state), which upgrades Structured Streaming's at-least-once
   foreachBatch into exactly-once *effect* — stronger than the
@@ -72,11 +73,22 @@ def microbatch_conf(spark: SparkSession):
     should use a dedicated streaming session, as a real one would.
     """
     conf = spark.conf
-    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+    )
     with _MICROBATCH_CONF_LOCK:
         saved = {k: conf.get(k, None) for k in keys}
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(MICROBATCH_SHUFFLE_PARTITIONS))
+        # A micro-batch arrives as ONE source file, which the default
+        # 128 MB split turns into ONE decode task — single-threaded
+        # from_json on a 32-core box. 512 KB splits parallelize the
+        # decode (A/B at 20k-event batches, 8-bucket sink: p50 904 →
+        # 603 ms); batch inputs are small by construction, so the
+        # small-split overhead the default guards against can't bite.
+        conf.set("spark.sql.files.maxPartitionBytes", "524288")
         try:
             yield
         finally:
@@ -169,79 +181,142 @@ class KeyedStateSink:
             last = self.last_applied_batch_id()
             if last is not None and batch_id <= last:
                 return
-        # 1. intra-batch collapse: last write per key by (lsn, ts_ms) —
-        #    an insert+update+delete of one key in one batch must land
-        #    as exactly its final outcome.
-        #    Shape note (r4 paired A/B): a max_by(struct, order) aggregate
-        #    — the map-side-combining collapse snapshot_at uses for batch
-        #    time travel — measured ~6% WORSE here (p50 1495 vs 1412 ms
-        #    at 20k-event batches): per-key multiplicity in a micro-batch
-        #    is ~4, so partial agg barely combines and the struct
-        #    copy/compare costs more than sorting 20k rows. The window
-        #    stays; at bulk-backfill batch sizes (≫ keys) the aggregate
-        #    form wins and snapshot_at is the right entry point anyway.
-        w = Window.partitionBy("key_id").orderBy(
-            F.col("lsn").desc_nulls_last(), F.col("ts_ms").desc_nulls_last()
-        )
+        # r5 restructure (T3 p50): ONE sort-merge compaction job instead
+        # of collapse-then-anti-join-then-union. The r4 chain was 3 jobs
+        # (collapse window + persist, bucket-distinct collect, broadcast
+        # build + write) ≈ 7 stages; the per-batch latency floor is
+        # stage/task-launch bound (r2 decomposition), so the job count
+        # IS the latency. New shape:
+        #   job 1: touched-bucket list via one collect_set agg on the
+        #          RAW changes (same set as post-collapse — no window,
+        #          no persist, no distinct; 2 stages).
+        #   job 2: union(state rows in touched buckets [lsn NULL],
+        #          change rows) → the per-key winner survives a single
+        #          window pass clustered by BUCKET — the window's own
+        #          exchange is the only shuffle, and intra-batch
+        #          collapse, MERGE anti-semantics, delete-drop and
+        #          resurrection all fall out of "first row of each
+        #          key run wins" (3 stages, no broadcast).
+        # Ordering: state rows sort after any change (lsn NULL,
+        # desc_nulls_last), changes among themselves by (lsn, ts_ms)
+        # desc — reference §4.2: LSN is the authoritative order
+        # (prototype/message.md:33-39). Honest A/B (interleaved,
+        # 20k-event batches, 32-bucket sink): steady-state medians were
+        # a WASH vs the r4 shape (872 vs 870 ms) — once JIT-warm, the
+        # saved jobs are offset by the duplicated decode scan the r4
+        # persist avoided. The shape still wins on structure (no
+        # persist/unpersist bookkeeping, no broadcast, one shuffle,
+        # fewer moving parts under concurrent streams) and composes
+        # with the levers that DID move p50: per-state bucket sizing
+        # (~15 ms/bucket-dir/batch of small-file overhead) and the
+        # 512 KB decode split in microbatch_conf (904 → 603 ms
+        # together at the sized tier).
         with microbatch_conf(spark):
-            # persisted: `latest` feeds three downstream actions per batch
-            # (touched-bucket listing, per-bucket counts, the write) — without
-            # the cache each re-runs the decode + collapse shuffle.
-            latest = (
-                changes.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-                .persist()
-            )
-            try:
-                upserts = latest.filter(~F.col("is_delete")).select(
-                    F.col("after.id").alias("id"),
+            ch = changes.withColumn("bucket", self._bucket(F.col("key_id")))
+            buckets = (ch.agg(F.collect_set("bucket")).first()[0]) or []
+            if buckets:
+                cu = ch.select(
+                    "key_id",
+                    "bucket",
+                    "is_delete",
+                    F.col("after.id").alias(self.key),
                     F.col("after.create_time").alias("create_time"),
                     F.col("after.update_time").alias("update_time"),
                     F.col("after.message").alias("message"),
                     F.col("after.username").alias("username"),
+                    "lsn",
+                    "ts_ms",
                 )
-                # 2. MERGE = anti-join out every touched key, then append the
-                #    upsert images. Delete is "anti-join and don't re-add"
-                #    (after IS NULL ⇒ key only in the anti side) — and an
-                #    upsert after a delete simply re-adds the key, which is the
-                #    reference's resurrection semantics
-                #    (MessageEventTestListener.kt:19-23).
-                touched = latest.select(F.col("key_id").alias(self.key)).distinct()
-                # already inside microbatch_conf — call the unscoped
-                # body, not _merge, so the context isn't re-entered
-                # (ADVICE r3: the nested wrap was redundant here; the
-                # wrap in _merge exists for the REST serving callers)
-                self._merge_scoped(spark, touched, upserts)
-                if batch_id is not None:
-                    self._record_batch_id(batch_id)
-            finally:
-                latest.unpersist()
+                if self.exists():
+                    su = (
+                        spark.read.parquet(self.path)
+                        .filter(F.col("bucket").isin(buckets))
+                        .select(
+                            F.col(self.key).alias("key_id"),
+                            "bucket",
+                            F.lit(False).alias("is_delete"),
+                            self.key,
+                            "create_time",
+                            "update_time",
+                            "message",
+                            "username",
+                            F.lit(None).cast("long").alias("lsn"),
+                            F.lit(None).cast("long").alias("ts_ms"),
+                        )
+                    )
+                    allr = su.unionByName(cu)
+                else:
+                    allr = cu
+                w = Window.partitionBy("bucket").orderBy(
+                    "key_id",
+                    F.col("lsn").desc_nulls_last(),
+                    F.col("ts_ms").desc_nulls_last(),
+                )
+                prev_key = F.lag("key_id").over(w)
+                out = (
+                    allr.withColumn(
+                        "_win", prev_key.isNull() | (prev_key != F.col("key_id"))
+                    )
+                    .filter(F.col("_win") & ~F.col("is_delete"))
+                    .select(
+                        self.key,
+                        "create_time",
+                        "update_time",
+                        "message",
+                        "username",
+                        "bucket",
+                    )
+                )
+                self._overwrite_touched(out, buckets, already_partitioned=True)
+            if batch_id is not None:
+                self._record_batch_id(batch_id)
 
     def _merge(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
         """Rewrite only the buckets containing ``touched_keys``."""
         with microbatch_conf(spark):
             self._merge_scoped(spark, touched_keys, new_rows)
 
-    def _merge_scoped(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
+    def _merge_scoped(
+        self,
+        spark: SparkSession,
+        touched_keys: DataFrame,
+        new_rows: DataFrame,
+    ) -> None:
+        """Anti-join MERGE for the write-path operators (A12/A13).
+
+        The streaming hot path uses the fused sort-merge compaction in
+        :meth:`apply_changes`; this REST-serving twin keeps the
+        broadcast anti-join shape because its inputs are request-sized
+        local frames where an extra tiny job is irrelevant and
+        ``touched_keys``/``new_rows`` arrive as separate frames.
+        (Measured r5 negative result, kept for the record: a
+        collect-the-keys LocalRelation variant was ~300 ms WORSE per
+        batch — CollectLimit adds a single-partition exchange and a
+        5k-row py4j collect costs more than the broadcast job it
+        saves.)
+        """
         key = self.key
-        touched_keys = touched_keys.withColumn("bucket", self._bucket(F.col(key)))
+        tk = touched_keys.distinct().withColumn("bucket", self._bucket(F.col(key)))
         new_rows = new_rows.withColumn("bucket", self._bucket(F.col(key)))
-        # A micro-batch touches few keys → the bucket list fits on the
+        # A request touches few keys → the bucket list fits on the
         # driver by construction (≤ num_buckets entries).
-        buckets = [r[0] for r in touched_keys.select("bucket").distinct().collect()]
+        buckets = [r[0] for r in tk.select("bucket").distinct().collect()]
         if not buckets:
             return
 
         if self.exists():
             state = spark.read.parquet(self.path).filter(F.col("bucket").isin(buckets))
             kept = state.join(
-                F.broadcast(touched_keys.select(key)), on=key, how="left_anti"
+                F.broadcast(tk.select(key)), on=key, how="left_anti"
             )
             out = kept.unionByName(new_rows)
         else:
             out = new_rows
+        self._overwrite_touched(out, buckets)
 
+    def _overwrite_touched(
+        self, out: DataFrame, buckets: "list[int]", already_partitioned: bool = False
+    ) -> None:
         # Overwrite exactly the touched bucket directories in ONE write
         # job via dynamic partition overwrite (a per-bucket write loop is
         # num_buckets Spark jobs per micro-batch — 4× the throughput cost
@@ -255,10 +330,15 @@ class KeyedStateSink:
         # job count). (With a lakehouse table format this whole method is
         # a single MERGE INTO.)
         obs = Observation()
+        observed = out.observe(obs, F.collect_set("bucket").alias("nonempty"))
+        if not already_partitioned:
+            # the streaming path arrives hash-partitioned by bucket from
+            # its window exchange — re-repartitioning there would add a
+            # shuffle; the REST path needs the clustering for one file
+            # per (task, bucket).
+            observed = observed.repartition(max(len(buckets), 1), F.col("bucket"))
         (
-            out.observe(obs, F.collect_set("bucket").alias("nonempty"))
-            .repartition(max(len(buckets), 1), F.col("bucket"))
-            .write.mode("overwrite")
+            observed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.path)
