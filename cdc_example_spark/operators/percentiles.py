@@ -10,30 +10,37 @@ This operator computes the same exact linear-interpolation percentiles
 (np.percentile / SQL ``percentile_cont`` semantics) in scan-bound
 distributed passes:
 
-1. **Bracket pass** — per group: row count + a Greenwald–Khanna sketch
+1. **Bracket pass** — per group: a Greenwald–Khanna sketch
    (``percentile_approx``) evaluated at ``q ± margin``. GK's rank error
    is DETERMINISTIC (≤ n/accuracy), so values at the widened quantiles
    are guaranteed value-space brackets around the true percentile;
-   ``margin = 4/accuracy`` leaves 4× slack.
+   ``margin = 4/accuracy`` leaves 4× slack. The sketch is computed
+   EXACTLY ONCE per execution: its only consumers are two identical
+   bracket broadcasts that dedupe into one ReusedExchange.
 2. **Refinement** — two narrow scans, both map-side partial-aggregated:
    (a) a conditional-sum ``groupBy(group)`` counts strictly-below-
-   bracket values per (column, quantile) pair — ONE output row per
-   group, no row explosion at all (the r4 shape exploded every row
-   into |pairs| structs — 180 M generated rows at the 60 M shard —
-   then collapsed most of them back into NULL-key partials; the
-   conditional sums do the same arithmetic inside one codegen'd agg);
-   (b) a generator emits ONLY in-bracket values (``F.filter`` on the
-   struct array before ``explode``), which GK bounds at ~8·n/accuracy
-   rows per pair — the (value, count) histogram shuffle is tiny by
-   construction. A window cumsum over that histogram locates the
-   global floor/ceil order statistics, and the standard interpolation
+   bracket values AND non-null values per (column, quantile) pair —
+   ONE output row per group, no row explosion at all (the r4 shape
+   exploded every row into |pairs| structs — 180 M generated rows at
+   the 60 M shard — then collapsed most of them back into NULL-key
+   partials; the conditional sums do the same arithmetic inside one
+   codegen'd agg); (b) a generator emits ONLY in-bracket values
+   (``F.filter`` on the struct array before ``explode``), which GK
+   bounds at ~8·n/accuracy rows per pair — the (value, count)
+   histogram shuffle is tiny by construction. Pass 2a's counts become
+   per-(group, pair) CARRIER rows unioned into the histogram; a
+   same-partition window spreads them onto the value rows (no join)
+   and anchors every group — including all-NULL ones — through the
+   final pivot. A window cumsum then locates the global floor/ceil
+   order statistics and the standard interpolation
    ``v_lo + frac·(v_hi − v_lo)`` finishes on a handful of rows.
 
-No value stream ever leaves the executors. NULLs are excluded (SQL
+No value stream ever leaves the executors, and downstream of the
+bracket broadcast there are NO joins at all — a NULL group key is an
+ordinary grouping value everywhere (closing ADVICE r4's
+non-null-safe-join regression structurally). NULLs are excluded (SQL
 percentile semantics); rank arithmetic uses each column's non-null
-count. A NULL group key is a legitimate SQL GROUP BY group — every
-join below is null-safe so its row survives with real percentiles
-(ADVICE r4: plain `[g]` joins silently dropped it).
+count.
 """
 
 from __future__ import annotations
@@ -48,6 +55,7 @@ def grouped_exact_percentiles(
     group_col: str,
     specs: "list[tuple[str, list[float]]]",
     accuracy: int = 10_000,
+    cache_input: bool = False,
 ) -> DataFrame:
     """Exact linear-interpolation percentiles per group.
 
@@ -62,6 +70,19 @@ def grouped_exact_percentiles(
     per-column sketch aliases (``_b_{c}``/``_n_{c}``) and the pair
     index are keyed by name, so duplicates would silently collide
     (ADVICE r4); merge the quantile lists per column instead.
+
+    ``cache_input``: persist the (group, values) projection
+    MEMORY_AND_DISK inside the returned plan. Measured NEGATIVE on
+    local[32]/k=100 (13.4 → 21 s warm: a local parquet scan through
+    the OS page cache beats InMemoryRelation's build+decompress for a
+    3-column projection), so q41 leaves it off; the switch exists for
+    cluster deployments reading remote object storage, where a
+    2–4 GB/executor cached slice of a 100 TB table is the standard
+    trade. The pass-1 ``stats`` frame (one row per GROUP) is always
+    persisted instead — without it, every downstream reference
+    re-executes the full GK aggregation and its 60 M-row scan
+    (measured in the physical plan: the sketch ran 3×; persisting it
+    was the k=100 lever, 13.4 → see BASELINE.md r5).
     """
     seen: set[str] = set()
     for c, qs in specs:
@@ -78,6 +99,11 @@ def grouped_exact_percentiles(
     pairs = [(c, q) for c, qs in specs for q in qs]
     margin = 4.0 / accuracy
     g = group_col
+    df = df.select(g, *[c for c, _ in specs])
+    if cache_input:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- pass 1: per-group counts + GK value brackets ----------------
     # ONE sketch per COLUMN, evaluated at every requested quantile's
@@ -102,6 +128,16 @@ def grouped_exact_percentiles(
             ).alias(f"_b_{c}")
         )
         aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
+    # Referenced exactly ONCE (the broadcast join below). Spark has no
+    # cross-DAG subtree reuse, so a plan that references ``stats`` k
+    # times re-executes the GK aggregation and its full input scan k
+    # times (the r5-interim shape did exactly that — three separate
+    # ObjectHashAggregate(percentile_approx) subtrees in the physical
+    # plan). Everything downstream that used to re-read ``stats``
+    # (per-pair counts, the all-NULL-group anchor) now rides the
+    # sentinel rows of pass 2 instead, so each execution scans the
+    # input exactly twice with NO persisted intermediates — re-runs
+    # re-execute honestly rather than serving from cache.
     stats = df.groupBy(g).agg(*aggs)
 
     # group-cardinality broadcast of the brackets back onto the rows;
@@ -125,46 +161,62 @@ def grouped_exact_percentiles(
         small = F.col(f"_n_{c}") <= accuracy
         return v, vlo, vhi, small
 
-    # ---- pass 2a: below-bracket counts, one row per group ------------
+    # ---- pass 2 (FUSED): one scan, one shuffle ----------------------
+    # Every input row emits (a) a struct per pair it is IN-BRACKET for
+    # (rare by GK's bound: ~8·n/accuracy per pair — F.filter prunes
+    # the array BEFORE the generator runs) and (b) ONE sentinel struct
+    # (t = −1) carrying its below-bracket flags for every pair. The
+    # sentinels all share group key (g, −1, NULL), so the map-side
+    # partial agg collapses them to one row per (group, partition) and
+    # the shuffle stays histogram-sized. This replaces the r5-interim
+    # two-scan split (conditional-sum pass + histogram pass): lt
+    # counts are plain sums, so they can ride ANY row partition — the
+    # sentinel key — and re-aggregate per (g, t) afterwards. One 60 M
+    # scan instead of two at k=100.
+    n_pairs = len(pairs)
+
+    # ---- pass 2a: below-bracket + non-null counts, NO generator ------
+    # Plain conditional sums in one tight codegen'd groupBy(g) — a
+    # sentinel-explode variant that fused 2a into 2b's generator was
+    # measured 2× WORSE at k=100 (the per-row 8-field struct build +
+    # 60 M generated rows through the hash agg cost more than a second
+    # narrow scan; negative result in BASELINE.md r5). The non-null
+    # counts ride here too, so pass 1's ``stats`` is referenced ONLY by
+    # the two identical bracket broadcasts, which dedupe into one
+    # ReusedExchange — the GK aggregation runs exactly once (the
+    # r4 shape re-executed it three times).
     lt_aggs = []
     for t, (c, q) in enumerate(pairs):
         v, vlo, _, small = _bracket(t)
         lt_aggs.append(
-            F.sum(
-                F.when(v.isNotNull() & ~small & (v < vlo), 1).otherwise(0)
-            ).alias(f"_lt_{t}")
+            F.sum(F.when(v.isNotNull() & ~small & (v < vlo), 1).otherwise(0))
+            .cast("long")
+            .alias(f"lt{t}")
         )
+    for t, (c, q) in enumerate(pairs):
+        lt_aggs.append(F.count(F.col(c).cast("double")).alias(f"nn{t}"))
     ltw = joined.groupBy(g).agg(*lt_aggs)
-    nlt = ltw.select(
+    # one CARRIER row per (group, pair): joins nothing — it is unioned
+    # into the histogram and its counts are spread onto the value rows
+    # by a window, which also anchors every group (incl. all-NULL ones)
+    # through the final pivot with no re-anchor join.
+    carriers = ltw.select(
         g,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.col(f"_lt_{t}").cast("long").alias("n_lt"),
+                        F.lit(None).cast("double").alias("hv"),
+                        F.lit(0).cast("long").alias("cnt"),
+                        F.col(f"lt{t}").alias("n_lt0"),
+                        F.col(f"nn{t}").alias("n0"),
                     )
-                    for t in range(len(pairs))
+                    for t in range(n_pairs)
                 ]
             )
         ).alias("s"),
     ).select(g, "s.*")
-    # per-(group, pair) non-null count rides along from pass 1
-    npair = stats.select(
-        F.col(g),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"_n_{c}").alias("n"))
-                    for t, (c, q) in enumerate(pairs)
-                ]
-            )
-        ).alias("s"),
-    ).select(g, "s.*")
-    nlt = nlt.join(
-        F.broadcast(npair.withColumnRenamed(g, "_g").withColumnRenamed("t", "_t")),
-        F.col(g).eqNullSafe(F.col("_g")) & (F.col("t") == F.col("_t")),
-    ).drop("_g", "_t")
 
     # ---- pass 2b: in-bracket histogram ONLY -------------------------
     # F.filter prunes the struct array BEFORE the generator runs, so
@@ -185,44 +237,61 @@ def grouped_exact_percentiles(
         )
         .groupBy(g, F.col("s.t").alias("t"), F.col("s.v").alias("hv"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            g,
+            "t",
+            "hv",
+            "cnt",
+            F.lit(None).cast("long").alias("n_lt0"),
+            F.lit(None).cast("long").alias("n0"),
+        )
     )
 
     # ---- locate + interpolate on the tiny histogram ------------------
-    qcol = F.element_at(F.array(*[F.lit(float(q)) for _, q in pairs]), F.col("t") + 1)
-    p = (F.col("n") - 1).cast("double") * qcol
+    # carrier rows (hv NULL, cnt 0) sort first in each (g, t) run and
+    # contribute nothing to the cumsum; a same-partition window spreads
+    # their counts onto the value rows — no broadcast join, every frame
+    # below is histogram-sized, and NULL group keys are ordinary
+    # grouping values throughout (no join ⇒ ADVICE r4's non-null-safe
+    # join regression is closed structurally).
+    allrows = carriers.unionByName(hist)
+    wft = Window.partitionBy(g, "t")
     w = Window.partitionBy(g, "t").orderBy("hv")
-    nltr = nlt.withColumnRenamed(g, "_g").withColumnRenamed("t", "_t")
     cum = (
-        hist.join(
-            F.broadcast(nltr),
-            F.col(g).eqNullSafe(F.col("_g")) & (F.col("t") == F.col("_t")),
-        )
-        .drop("_g", "_t")
+        allrows.withColumn("n_lt", F.max("n_lt0").over(wft))
+        .withColumn("n", F.max("n0").over(wft))
         .withColumn("C", F.sum("cnt").over(w))
     )
+    qcol = F.element_at(F.array(*[F.lit(float(q)) for _, q in pairs]), F.col("t") + 1)
+    p = (F.col("n") - 1).cast("double") * qcol
     first_idx = F.col("n_lt") + F.col("C") - F.col("cnt")  # global index of run start
     end_idx = F.col("n_lt") + F.col("C")  # one past run end
     has_lo = (first_idx <= F.floor(p)) & (F.floor(p) < end_idx)
     has_hi = (first_idx <= F.ceil(p)) & (F.ceil(p) < end_idx)
+    is_carrier = F.col("hv").isNull()
     # Fail-loud contract (ADVICE r3): the GK rank guarantee makes a
     # bracket miss impossible by construction — if floor(p)/ceil(p)
     # still falls outside every in-bracket run, that is a bug (or a
     # violated sketch contract), and it must surface as an error, not
-    # as a silently-NULL percentile.
+    # as a silently-NULL percentile. An all-NULL pair (n = 0) is
+    # exempt — it legitimately has no in-bracket rows and yields SQL
+    # NULL through its carrier row.
     bracket_ok = F.assert_true(
-        F.col("lo").isNotNull() & F.col("hi").isNotNull(),
+        (F.col("n") == 0)
+        | (F.col("lo").isNotNull() & F.col("hi").isNotNull()),
         F.lit(
             "grouped_exact_percentiles: GK bracket miss — floor/ceil rank "
             "outside every in-bracket histogram run"
         ),
     )
     per = (
-        cum.filter(has_lo | has_hi)
+        cum.filter(has_lo | has_hi | is_carrier)
         .groupBy(g, "t")
         .agg(
             F.max(F.when(has_lo, F.col("hv"))).alias("lo"),
             F.max(F.when(has_hi, F.col("hv"))).alias("hi"),
             F.first(p - F.floor(p)).alias("frac"),
+            F.first("n").alias("n"),
         )
         .select(
             g,
@@ -237,16 +306,12 @@ def grouped_exact_percentiles(
         F.max(F.when(F.col("t") == t, F.col("val"))).alias(f"{c}_p{int(q * 100)}")
         for t, (c, q) in enumerate(pairs)
     ]
-    # Re-anchor on the pass-1 group list: a group whose value column is
-    # entirely NULL has no in-bracket rows at all and would vanish from
-    # ``per`` — SQL semantics keep the group row with NULL percentiles
-    # (both frames are group-cardinality; Catalyst broadcasts). The
-    # eqNullSafe keeps a NULL group key matched to its computed row
-    # (ADVICE r4: a plain `[g]` left join replaced its real values
-    # with NULLs).
-    pa = per.groupBy(g).agg(*out_aggs).withColumnRenamed(g, "_g")
-    return (
-        stats.select(g)
-        .join(pa, F.col(g).eqNullSafe(F.col("_g")), "left")
-        .drop("_g")
-    )
+    # No re-anchor join needed: every group — including ones whose
+    # value columns are entirely NULL — reaches this pivot via its
+    # sentinel (t = −1) row, whose ``val`` is NULL and which matches no
+    # out_agg, so SQL semantics (group row kept, NULL percentiles for
+    # missing pairs) hold with the group list coming from the same
+    # single chain. NULL group keys are ordinary grouping values here
+    # (no join anywhere downstream of the bracket broadcast), closing
+    # ADVICE r4's non-null-safe-join regression structurally.
+    return per.groupBy(g).agg(*out_aggs)
