@@ -18,40 +18,45 @@ from cdc_example_spark.queries import llm as _llm  # noqa: F401
 from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 
 # The correctness driver hash-checks only the FIRST 50 ``all_queries()``
-# entries. Priority rule: any query whose code CHANGED since its last
-# green driver row, plus anything new this round, goes first — "green"
-# must never mean "green for an older build" (VERDICT r3 item 1). The
-# demoted tail is queries whose last green row matches their current
-# code (tests/test_queries_oracle.py still checks every query each run).
+# entries. Window rule (VERDICT r3 item 1 + r4 item 6, in priority
+# order):
+#   1. any query whose code CHANGED since its last green driver row,
+#      plus anything NEW this round — "green" must never mean "green
+#      for an older build";
+#   2. then queries whose last green row is OLDEST, so that no query's
+#      most recent driver check is ever more than 2 rounds old even
+#      when untouched;
+#   3. the demoted tail is recently-green unchanged queries
+#      (tests/test_queries_oracle.py still checks every query locally
+#      each run).
 DRIVER_PRIORITY = [
-    # r3 routed these through the shared token view / catalog changes
-    # AFTER their last green row (r2) — re-verify first (VERDICT r3 #1)
-    "q25_rolling_fingerprints",
-    "q26_token_counts",
-    "q27_lang_id_confusion",
-    "q28_quality_scores",
-    "q29_simhash",
-    "q30_cosine_topk_multi",
-    "q31_embedding_neardup_pairs",
-    "q32_minhash_lsh_candidates",
-    "q33_binary_media_meta",
-    "q34_multimodal_features",
-    "q35_pandas_cosine_topk",
-    "q36_ivf_topk",
-    # modified in round 4
-    "q13_set_ops",           # fused single-pass set-op cardinalities
-    "q14_count_distinct",    # NULL-discipline filter (ADVICE r3)
-    "q41_percentiles",       # registered tier → distributed-exact path
-    "q58_dedup_components",  # graph.py gained rounds="auto" (additive)
-    # new in round 4
-    "q63_right_outer_join",
-    "q64_bucketed_colocated_join",
-    "q65_window_distribution",
-    "q66_semantic_dedup",
-    "q67_sequence_packing",
-    "q68_json_schema_profile",
-    "q69_bigram_lm_perplexity",
-    "q62_ivf_trained_topk",  # gains a full oracle (pinned centroids)
+    # new in round 5
+    "q70_ivf_persisted_serving",
+    # modified in round 5
+    "q41_percentiles",        # carrier-row refinement, GK single-execution
+    "q62_ivf_trained_topk",   # trained_centroids session memo
+    "q66_semantic_dedup",     # trained_centroids session memo
+    "q14_count_distinct",     # r5 item 5 measurement target
+    # parked since their r3 green rows (2 rounds old — rotate in, rule 2)
+    "q21_exact_dedup_stats",
+    "q22_cosine_top5",
+    "q23_dedup_survivors",
+    "q24_jaccard_neardup_pairs",
+    "q39_array_ops",
+    "q47_simhash_near_pairs",
+    "q48_asof_join",
+    "q49_snapshot_at",
+    "q50_range_join",
+    "q51_tfidf_top_terms",
+    "q52_bm25_search",
+    "q53_stratified_sample",
+    "q54_bigram_vocab",
+    "q55_decontamination",
+    "q56_repetition_bands",
+    "q57_quantization_audit",
+    "q59_full_outer_join",
+    "q60_set_ops_all",
+    "q61_salted_skew_join",
 ]
 set_driver_order(DRIVER_PRIORITY)
 

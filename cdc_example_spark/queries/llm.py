@@ -1011,6 +1011,36 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: (session → sf_dir → trained centroids). One k-means job per
+#: (session, sf_dir), shared by every trained-centroid consumer (q62's
+#: recall audit, q66's SemDeDup, q70's persisted index) — VERDICT r4
+#: item 4: q66 used to retrain its 8 centroids on EVERY invocation.
+#: The trainer is deterministic (pinned in pytest), so memoization
+#: cannot change any result hash. Keyed like q64's bucketed-table memo.
+_TRAINED_CENTROIDS: "dict[SparkSession, dict[str, list[list[float]]]]" = {}
+
+#: count of actual trainer invocations — pinned by
+#: tests/test_llm_operators.py so a refactor can't silently reintroduce
+#: per-invocation retraining.
+_TRAINER_RUNS = [0]
+
+
+def trained_centroids(spark: SparkSession, sf_dir: str) -> "list[list[float]]":
+    import os as _os
+
+    from cdc_example_spark.operators import similarity as S
+
+    per_session = _TRAINED_CENTROIDS.setdefault(spark, {})
+    key = _os.path.normpath(sf_dir)
+    if key not in per_session:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _TRAINER_RUNS[0] += 1
+        per_session[key] = S.train_ivf_centroids_local(
+            emb, n_centroids=8, sample_size=512, n_iters=10
+        )
+    return per_session[key]
+
+
 def _pinned_centroid_values_sql() -> str:
     """The sf0.01 trained centroids as a DuckDB VALUES list — shared by
     every oracle that replays the trained-cell assignment (q62, q66)."""
@@ -1091,7 +1121,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    C = trained_centroids(spark, sf_dir)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("cs", S.centroid_cells_expr(C, "v"))
@@ -1195,7 +1225,9 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    # session-memoized (VERDICT r4 item 4): no k-means job after the
+    # first trained-centroid consumer of this (session, sf_dir).
+    C = trained_centroids(spark, sf_dir)
     base = (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("cell", F.element_at(S.centroid_cells_expr(C, "v"), 1)["cid"])
@@ -1354,3 +1386,102 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "event_type", "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — PERSISTED-IVF serving (VERDICT r4 item 3): the 100 TB ANN path,
+# driver-checked. q36/q62 serve from an in-memory corpus scan; this is
+# the deployment shape — build_ivf_index writes the corpus partitioned
+# by trained cell ONCE per (session, sf_dir) (the offline-build
+# cadence; q64's bucketed-lake memo pattern), and serving reads ONLY
+# the probed cell=<cid> directories (PartitionFilters, pinned in
+# tests/test_plan_audit.py). The serving collect is bounded by
+# |probes|·n_probe — the request itself, never corpus data.
+# Oracle: the same pinned sf0.01 trained centroids as q62 (the trainer
+# is deterministic and shared via trained_centroids), then plain
+# window SQL — assign cells, probe 2 cells per query, exact cosine
+# top-3 within the probed subset.
+# ---------------------------------------------------------------------------
+
+_Q70_INDEXES: "dict[SparkSession, dict[str, str]]" = {}
+
+
+def _q70_index(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from cdc_example_spark.operators import similarity as S
+
+    per_session = _Q70_INDEXES.setdefault(spark, {})
+    key = _os.path.normpath(sf_dir)
+    if key not in per_session:
+        tag = _hashlib.sha1(key.encode()).hexdigest()[:8]
+        path = _os.path.join(_tempfile.mkdtemp(prefix=f"cdc_ivf_{tag}_"), "index")
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            trained_centroids(spark, sf_dir),
+            path,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+        per_session[key] = path
+    return per_session[key]
+
+
+def _q70_oracle() -> str:
+    cen_values = _pinned_centroid_values_sql()
+    return f"""
+WITH cen(cid, cv) AS (
+  VALUES
+        {cen_values}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cells AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY list_inner_product(v, cv) DESC, cid) AS crn
+  FROM v CROSS JOIN cen
+), cand AS (
+  SELECT vec_id, v, cid AS cell FROM cells WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ANY_VALUE(v) AS qv,
+         list(cid ORDER BY crn) AS probe_cells
+  FROM cells WHERE vec_id < 10 AND crn <= 2 GROUP BY vec_id
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         list_cosine_similarity(c.v, p.qv) AS cos_sim
+  FROM cand c JOIN probes p
+    ON c.vec_id <> p.query_id AND list_contains(p.probe_cells, c.cell)
+)
+SELECT query_id, vec_id,
+       CAST(ROUND(CAST(cos_sim AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim,
+       rn
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+ORDER BY query_id, rn
+"""
+
+
+@query("q70_ivf_persisted_serving", oracle=_q70_oracle(), oracle_sf="sf0.01")
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 at n_probe=2 served from the PERSISTED cell-partitioned index."""
+    from cdc_example_spark.operators import similarity as S
+
+    path = _q70_index(spark, sf_dir)
+    probes = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = S.ivf_topk_indexed(
+        spark,
+        path,
+        probes,
+        trained_centroids(spark, sf_dir),
+        k=3,
+        n_probe=2,
+    )
+    return out.select(
+        "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
+    ).transform(small_result_order, "query_id", "rn")

@@ -675,3 +675,22 @@ def test_q62_trained_ivf_recall_quality(spark, sf_dir):
         assert abs(r["recall"] - round(r["n_hit"] / 3, 2)) < 1e-9
     total = sum(r["n_hit"] for r in rows) / sum(r["n_exact"] for r in rows)
     assert total >= 0.6, total  # measured 0.63 at sf0.001 fixture
+
+
+def test_trained_centroids_memoized_per_session(spark, sf_dir):
+    """VERDICT r4 item 4: q66 used to rerun k-means on every
+    invocation. The shared trained_centroids memo must run the trainer
+    at most once per (session, sf_dir) no matter how many consumers
+    (q62, q66, q70) build plans."""
+    from cdc_example_spark.queries import llm as L
+
+    from cdc_example_spark.queries import all_queries
+
+    L.trained_centroids(spark, sf_dir)  # ensure the memo is populated
+    before = L._TRAINER_RUNS[0]
+    qs = all_queries()
+    for name in ("q62_ivf_trained_topk", "q66_semantic_dedup",
+                 "q70_ivf_persisted_serving"):
+        qs[name].spark(spark, sf_dir)
+    qs["q66_semantic_dedup"].spark(spark, sf_dir)  # repeat invocation
+    assert L._TRAINER_RUNS[0] == before, "trainer re-ran despite memo"

@@ -172,6 +172,9 @@ BNLJ_INTENTIONAL = {
     # trained-IVF recall audit broadcasts its 10-probe side into one
     # theta-join (centroids are inlined literals, not a join at all)
     "q62_ivf_trained_topk",
+    # persisted-IVF serving broadcasts the request's 10 probes into a
+    # theta-join against the directory-pruned index read
+    "q70_ivf_persisted_serving",
     # BM25 broadcasts its 1-row corpus-stats frame (N, avgdl)
     "q52_bm25_search",
     # decontamination broadcasts its 1-row benchmark shingle-set frame
@@ -242,3 +245,21 @@ def test_q61_salt_fans_out_and_replicates_dim(spark, sf_dir):
     assert "_salt" in plan, plan
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert_no_cartesian(df)
+
+
+def test_q70_persisted_ivf_serving_prunes_cell_directories(spark, sf_dir):
+    """The persisted-IVF serving plan (VERDICT r4 item 3) must read the
+    index through PARTITION pruning: the probed cells arrive as a
+    literal IN-filter on the `cell` directory column, so the scan's
+    PartitionFilters carries `cell` and only the probed cell=<cid>
+    directories open — at 100 TB that is n_probe/|centroids| of the
+    corpus per request, the whole point of the layout. (Promoted from
+    the operator-level pin in test_llm_operators.)"""
+    df = q("q70_ivf_persisted_serving", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in pf, pf
+    # the probe side broadcasts; the serving join must not shuffle the
+    # index
+    assert "SortMergeJoin" not in plan, plan[:3000]
