@@ -599,7 +599,10 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exchange then carries (flag, int64) instead of (flag, int32,
     # int64) rows, and the hash/compare path runs on a single word —
     # measured 11.7 → 6.0 s on the 60 M-row shard (the distinct shuffle
-    # is this query's entire cost). Precondition: keys are non-negative
+    # is this query's entire cost; r5 closed the k=100 residual after
+    # measuring collect_set restructure / width sweep / re-compression
+    # all ≥ current — see BASELINE.md r5; the scale answer is q38's
+    # HLL). Precondition: keys are non-negative
     # and < 2^61, which any surrogate-key scheme satisfies; tag is
     # recovered by shiftright AFTER the dedupe (|distinct| rows, free).
     dis = (
