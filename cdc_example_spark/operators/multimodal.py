@@ -518,6 +518,224 @@ def _decode_gif_frames(payload: bytes) -> "tuple[int, int, list[bytes]]":
     return w, h, frames
 
 
+# ---------------------------------------------------------------------------
+# Real frame sampling, container 2: APNG (PNG + acTL/fcTL/fdAT) in pure
+# stdlib zlib + NumPy — the second-most-common animation container and
+# the other one a no-imaging-library environment can own for real.
+# Scope declared like the GIF path: 8-bit depth, no Adam7 interlace,
+# color types 0/2/3/4/6 (gray, RGB, palette+tRNS, gray+alpha, RGBA);
+# anything else degrades to the ok=false row.
+# ---------------------------------------------------------------------------
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> "object":
+    """Reverse PNG scanline filters 0–4 (8-bit samples).
+
+    Filters 1/3/4 carry a left-pixel dependency, so those rows run a
+    per-pixel loop — fine for the thumbnail/test sizes this container
+    serves; the Arrow batching above keeps the cost per-executor.
+    Returns an (h, w·channels) uint8 array.
+    """
+    import numpy as np
+
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos).astype(np.int64)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _png_to_rgba(
+    pix: "object", ctype: int, plte: "bytes | None", trns: "bytes | None"
+) -> "object":
+    """(h, w·ch) filtered samples → (h, w, 4) RGBA uint8."""
+    import numpy as np
+
+    h = pix.shape[0]
+    if ctype == 0:  # grayscale
+        g = pix
+        return np.dstack([g, g, g, np.full_like(g, 255)])
+    if ctype == 2:  # RGB
+        rgb = pix.reshape(h, -1, 3)
+        return np.dstack([rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)])
+    if ctype == 3:  # palette
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        alpha = np.full(len(pal), 255, np.uint8)
+        if trns is not None:
+            t = np.frombuffer(trns, np.uint8)
+            alpha[: len(t)] = t
+        idx = np.minimum(pix, len(pal) - 1)
+        return np.dstack([pal[idx], alpha[idx][..., None]])
+    if ctype == 4:  # gray + alpha
+        ga = pix.reshape(h, -1, 2)
+        g = ga[..., 0]
+        return np.dstack([g, g, g, ga[..., 1]])
+    if ctype == 6:  # RGBA
+        return pix.reshape(h, -1, 4)
+    raise ValueError(f"unsupported PNG color type {ctype}")
+
+
+def _decode_apng_frames(payload: bytes) -> "tuple[int, int, list[bytes]]":
+    """Decode every animation frame of a (A)PNG to grayscale canvases.
+
+    APNG model (the PNG spec's own animation chunks): ``acTL`` declares
+    the animation, each frame is an ``fcTL`` (region, dispose_op,
+    blend_op) followed by its compressed scanlines (``IDAT`` for the
+    first frame when the default image participates, ``fdAT`` with a
+    4-byte sequence prefix otherwise; each frame's chunks concatenate
+    into one complete zlib stream). Compositing: blend 0 replaces the
+    region, blend 1 is source-over alpha; dispose 0 keeps the canvas,
+    1 clears the region to transparent, 2 restores the pre-frame
+    canvas. A plain PNG (no acTL) is a 1-frame animation. Grayscale
+    output premultiplies onto black then applies the same ITU-R 601-2
+    rounding as the GIF path, so the two containers' frames are
+    directly comparable. Returns (width, height, [gray bytes]).
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    chunks: list[tuple[bytes, bytes]] = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        chunks.append((typ, data))
+        pos += 12 + ln  # CRC trusted, not recomputed (decode contract)
+        if typ == b"IEND":
+            break
+    hdr = next((d for t, d in chunks if t == b"IHDR"), None)
+    if hdr is None or len(hdr) < 13:
+        raise ValueError("missing IHDR")
+    w = int.from_bytes(hdr[0:4], "big")
+    h = int.from_bytes(hdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = hdr[8], hdr[9], hdr[10], hdr[11], hdr[12]
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad dimensions")
+    plte = next((d for t, d in chunks if t == b"PLTE"), None)
+    trns = next((d for t, d in chunks if t == b"tRNS"), None)
+
+    # assemble per-frame (fctl, zlib stream); fcTL BEFORE the first
+    # IDAT means the default image is frame 0 of the animation.
+    actl = next((d for t, d in chunks if t == b"acTL"), None)
+    frames_raw: list[tuple[bytes | None, bytearray]] = []
+    cur: "bytearray | None" = None
+    cur_fctl: "bytes | None" = None
+    saw_idat = False
+    for typ, data in chunks:
+        if typ == b"fcTL":
+            if cur is not None:
+                frames_raw.append((cur_fctl, cur))
+            cur_fctl, cur = data, bytearray()
+        elif typ == b"IDAT":
+            saw_idat = True
+            if actl is None or cur_fctl is not None:
+                if cur is None:
+                    cur = bytearray()
+                cur += data
+        elif typ == b"fdAT":
+            if cur is None:
+                raise ValueError("fdAT before any fcTL")
+            cur += data[4:]  # strip sequence number
+    if cur is not None:
+        frames_raw.append((cur_fctl, cur))
+    if not saw_idat or not frames_raw:
+        raise ValueError("PNG with no image data")
+
+    canvas = np.zeros((h, w, 4), np.uint8)  # RGBA, fully transparent
+    out_frames: list[bytes] = []
+    for fctl, stream in frames_raw:
+        if fctl is None:  # plain PNG default image: full replace
+            fw, fh, fx, fy, dispose, blend = w, h, 0, 0, 0, 0
+        else:
+            fw = int.from_bytes(fctl[4:8], "big")
+            fh = int.from_bytes(fctl[8:12], "big")
+            fx = int.from_bytes(fctl[12:16], "big")
+            fy = int.from_bytes(fctl[16:20], "big")
+            dispose, blend = fctl[24], fctl[25]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("frame region outside canvas")
+        rgba = _png_to_rgba(
+            _png_unfilter(zlib.decompress(bytes(stream)), fw, fh, channels),
+            ctype,
+            plte,
+            trns,
+        )
+        saved = canvas.copy() if dispose == 2 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if blend == 1:
+            fa = rgba[..., 3:4].astype(np.int64)
+            ca = region[..., 3:4].astype(np.int64)
+            # source-over in exact integer arithmetic over a 255-scaled
+            # alpha domain: out_a·255 = fa·255 + ca·(255−fa)
+            out_a255 = fa * 255 + ca * (255 - fa)
+            num = rgba[..., :3].astype(np.int64) * (fa * 255) + region[
+                ..., :3
+            ].astype(np.int64) * (ca * (255 - fa))
+            rgb = np.where(
+                out_a255 > 0, (num + out_a255 // 2) // np.maximum(out_a255, 1), 0
+            )
+            region[..., :3] = rgb.astype(np.uint8)
+            region[..., 3:4] = ((out_a255 + 127) // 255).astype(np.uint8)
+        else:
+            region[...] = rgba
+        # emit: premultiply onto black, then ITU-R 601-2
+        a = canvas[..., 3].astype(np.uint32)
+        rgbE = (canvas[..., :3].astype(np.uint32) * a[..., None] + 127) // 255
+        gray = (
+            (rgbE[..., 0] * 19595 + rgbE[..., 1] * 38470 + rgbE[..., 2] * 7471 + 0x8000)
+            >> 16
+        ).astype(np.uint8)
+        out_frames.append(gray.tobytes())
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2:
+            canvas = saved
+    return w, h, out_frames
+
+
 FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -532,16 +750,18 @@ FRAMES_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """REAL frame sampling over GIF payloads (stdlib LZW decoder).
+    """REAL frame sampling over GIF and APNG payloads (stdlib decoders).
 
-    Evenly samples up to ``n_frames`` composited frames per animation
-    (endpoints included: indices ``round(i·(total−1)/(n−1))``); payloads
-    the decoder can't handle
+    Container dispatch is by magic bytes: GIF87a/89a through the LZW
+    decoder, ``\\x89PNG`` through the APNG compositor (a plain PNG is a
+    1-frame animation). Evenly samples up to ``n_frames`` composited
+    frames per animation (endpoints included: indices
+    ``round(i·(total−1)/(n−1))``); payloads the decoders can't handle
     degrade to one ``ok=false`` row — corrupt media must never kill the
     stage (same contract as decode_media). Arrow-batched mapInPandas,
     1 row in → ≤ n rows out; at 100 TB the payload column streams
     through executors once and only sampled grayscale frames (w·h
-    bytes) survive. Non-GIF video codecs remain out of scope
+    bytes) survive. Other video codecs remain out of scope
     (sample_frames_stub models their shape), declared exactly like the
     PPM/BMP-vs-Pillow split in decode_media.
     """
@@ -553,7 +773,11 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             rows: list[tuple] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, frames = _decode_gif_frames(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, frames = _decode_apng_frames(raw)
+                    else:
+                        w, h, frames = _decode_gif_frames(raw)
                     total = len(frames)
                     if total <= n_frames:
                         picks = range(total)
