@@ -40,6 +40,12 @@ nothing hides:
   files, so only the final stage and result transfer re-run. The
   serving-path latency for a repeated query; reported separately
   because it measures cache reuse, not fresh execution.
+- ``session_build_sec`` — one-time session ARTIFACT builds (q64's
+  bucketed-lake writes, the shared k-means training, q70's persisted
+  index) that run inside the triggering query's first construction.
+  They are deployment prepare work on an offline cadence, reported as
+  their own tier and subtracted from that query's construct/cold so
+  a ~10 s index build can't masquerade as client overhead.
 """
 
 from __future__ import annotations
@@ -99,12 +105,20 @@ def main() -> None:
     # The reported fresh number is the per-query MEDIAN of three runs:
     # single samples on a shared host swing ±15% (BASELINE.md), and the
     # median keeps one noisy sample from repainting the whole headline.
+    from cdc_example_spark.queries.registry import SESSION_BUILDS
+
     for name in sorted(qs):
+        builds_before = sum(SESSION_BUILDS.values())
         t0 = time.perf_counter()
         prepared = qs[name].spark(spark, sf_dir)
-        construct[name] = round(time.perf_counter() - t0, 3)
+        # one-time session artifact builds (bucketed-lake writes,
+        # k-means training, index builds) run inside the triggering
+        # query's first construction — attribute them to the
+        # session_build tier, not to py4j plan assembly.
+        build_delta = sum(SESSION_BUILDS.values()) - builds_before
+        construct[name] = round(max(time.perf_counter() - t0 - build_delta, 0.0), 3)
         collect(prepared)
-        cold[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(max(time.perf_counter() - t0 - build_delta, 0.0), 3)
         samples = []
         for _ in range(3):
             fresh = replan(prepared)
@@ -182,6 +196,9 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "construct_total_sec": round(sum(construct.values()), 3),
+                "session_build_sec": {
+                    k: round(v, 3) for k, v in sorted(SESSION_BUILDS.items())
+                },
                 "resubmit_total_sec": round(sum(resubmit.values()), 3),
                 "approx_tiers": approx_tiers,
                 **cdc_fields,

@@ -1839,9 +1839,14 @@ def _q64_bucketed_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
     per_session = _Q64_TABLES.setdefault(spark, {})
     key = os.path.normpath(sf_dir)
     if key not in per_session:
+        import time as _time
+
+        from cdc_example_spark.queries.registry import record_session_build
+
         tag = hashlib.sha1(key.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"cdc_lake_{tag}_")
         names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
+        t0 = _time.perf_counter()
         write_bucketed(
             load_table(spark, sf_dir, "orders", cache=False),
             names[0],
@@ -1856,6 +1861,7 @@ def _q64_bucketed_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
             "c_custkey",
             32,
         )
+        record_session_build("bucketed_lake_write", _time.perf_counter() - t0)
         per_session[key] = names
     return per_session[key]
 

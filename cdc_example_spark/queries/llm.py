@@ -1033,11 +1033,17 @@ def trained_centroids(spark: SparkSession, sf_dir: str) -> "list[list[float]]":
     per_session = _TRAINED_CENTROIDS.setdefault(spark, {})
     key = _os.path.normpath(sf_dir)
     if key not in per_session:
+        import time as _time
+
+        from cdc_example_spark.queries.registry import record_session_build
+
         emb = load_table(spark, sf_dir, "embeddings")
         _TRAINER_RUNS[0] += 1
+        t0 = _time.perf_counter()
         per_session[key] = S.train_ivf_centroids_local(
             emb, n_centroids=8, sample_size=512, n_iters=10
         )
+        record_session_build("kmeans_training", _time.perf_counter() - t0)
     return per_session[key]
 
 
@@ -1416,15 +1422,22 @@ def _q70_index(spark: SparkSession, sf_dir: str) -> str:
     per_session = _Q70_INDEXES.setdefault(spark, {})
     key = _os.path.normpath(sf_dir)
     if key not in per_session:
+        import time as _time
+
+        from cdc_example_spark.queries.registry import record_session_build
+
         tag = _hashlib.sha1(key.encode()).hexdigest()[:8]
         path = _os.path.join(_tempfile.mkdtemp(prefix=f"cdc_ivf_{tag}_"), "index")
+        C = trained_centroids(spark, sf_dir)
+        t0 = _time.perf_counter()
         S.build_ivf_index(
             load_table(spark, sf_dir, "embeddings"),
-            trained_centroids(spark, sf_dir),
+            C,
             path,
             id_col="vec_id",
             vec_col="embedding",
         )
+        record_session_build("ivf_index_build", _time.perf_counter() - t0)
         per_session[key] = path
     return per_session[key]
 

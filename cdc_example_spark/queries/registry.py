@@ -113,6 +113,20 @@ def set_driver_order(first: list[str]) -> None:
     _DRIVER_FIRST.extend(first)
 
 
+#: One-time session artifact-build costs (bucketed-lake writes, k-means
+#: training, persisted-index builds), keyed by artifact label. These
+#: run INSIDE the first construction of the query that triggers them,
+#: but they are deployment PREPARE work (a real cluster runs them on
+#: the offline cadence), not py4j plan-assembly cost — bench.py reads
+#: this to report them as their own tier instead of letting a ~10 s
+#: index build masquerade as "client construction overhead".
+SESSION_BUILDS: dict[str, float] = {}
+
+
+def record_session_build(label: str, seconds: float) -> None:
+    SESSION_BUILDS[label] = SESSION_BUILDS.get(label, 0.0) + seconds
+
+
 def query(
     name: str, oracle: str | None = None, oracle_sf: str | None = None
 ) -> Callable[[SparkQuery], SparkQuery]:
