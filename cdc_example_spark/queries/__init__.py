@@ -32,6 +32,10 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 DRIVER_PRIORITY = [
     # new in round 5
     "q70_ivf_persisted_serving",
+    "q71_event_funnel",
+    "q72_cohort_retention",
+    "q73_zipf_slope",
+    "q74_ntile_deciles",
     # modified in round 5
     "q41_percentiles",        # carrier-row refinement, GK single-execution
     "q62_ivf_trained_topk",   # trained_centroids session memo

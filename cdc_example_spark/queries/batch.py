@@ -1890,3 +1890,175 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — event funnel (signup → click → purchase, strict temporal order):
+# the sequence-matching analytics staple. Spark side is the
+# sequence-native shape: ONE shuffle builds each user's time-ordered
+# event list (sort_array over collect_list of packed structs), then a
+# single codegen F.aggregate fold walks it carrying (t1, t2, t3) —
+# earliest signup, earliest click after t1, earliest purchase after t2.
+# The oracle reaches the same semantics through a 3-level min-join
+# chain — different algorithm, same answer, which is exactly what a
+# cross-engine hash check should pin. Scale: one exchange on user_id,
+# fold state is 3 timestamps per user; the join-chain alternative
+# shuffles the events table three times.
+# ---------------------------------------------------------------------------
+
+_Q71_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT s.user_id, s.t1, MIN(e.ts) AS t2
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'click' AND e.ts > s.t1
+  GROUP BY s.user_id, s.t1
+), p AS (
+  SELECT c.user_id, c.t1, MIN(e.ts) AS t3
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY c.user_id, c.t1
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after,
+       CAST(ROUND(CAST((SELECT AVG(date_diff('microsecond', t1, t3)) / 3600e6 FROM p)
+            AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_hours_to_purchase
+"""
+
+
+@query("q71_event_funnel", oracle=_Q71_ORACLE)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel counts + mean signup→purchase latency."""
+    ev = load_table(spark, sf_dir, "events")
+    # pack (ts_micros, type_code) into one sortable struct; the fold
+    # needs only these two fields, so nothing else crosses the shuffle
+    code = (
+        F.when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+    )
+    seqs = (
+        ev.select("user_id", F.unix_micros("ts").alias("t"), code.alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "c"))).alias("evs"))
+    )
+    # fold: acc = (t1, t2, t3) as nullable longs
+    zero = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+
+    def step(acc, e):
+        upd_t1 = acc["t1"].isNull() & (e["c"] == 0)
+        upd_t2 = acc["t2"].isNull() & (e["c"] == 1) & acc["t1"].isNotNull() & (e["t"] > acc["t1"])
+        upd_t3 = acc["t3"].isNull() & (e["c"] == 2) & acc["t2"].isNotNull() & (e["t"] > acc["t2"])
+        return F.struct(
+            F.when(upd_t1, e["t"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(upd_t2, e["t"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(upd_t3, e["t"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    folded = seqs.select(F.aggregate("evs", zero, step).alias("f"))
+    return folded.agg(
+        F.count(F.col("f.t1")).alias("n_signup"),
+        F.count(F.col("f.t2")).alias("n_click_after"),
+        F.count(F.col("f.t3")).alias("n_purchase_after"),
+        dec2(F.avg((F.col("f.t3") - F.col("f.t1")) / F.lit(3600e6))).alias(
+            "avg_hours_to_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — cohort retention: users grouped by first-seen week, activity
+# tracked as distinct (user, week) pairs, reported per (cohort_week,
+# week_offset). The classic growth-analytics matrix. Spark: one agg for
+# first-seen, one distinct for activity, an equi-join on user_id (both
+# sides already hash-partitioned on it — no extra exchange), final
+# count per cell. Scale: everything keys on user_id until the final
+# group-cardinality agg; no broadcast of anything user-sized.
+# ---------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cw FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT STRFTIME(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', f.cw, a.aw) AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM f JOIN a ON a.user_id = f.user_id
+GROUP BY f.cw, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("q72_cohort_retention", oracle=_Q72_ORACLE)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user counts per (first-seen cohort week, week offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    active = ev.select("user_id", wk.alias("aw")).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            # week offsets between week-truncated timestamps are whole
+            # 7-day spans, so integer day arithmetic is exact
+            (F.datediff(F.col("aw"), F.col("cw")) / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .transform(small_result_order, "cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — ntile decile profile of customer spend: the remaining ranking
+# window function the q09/q37/q65 family didn't cover, exercised as the
+# RFM-style bucketing everyone builds with it. One shuffle for the
+# per-customer agg, one window exchange for the global decile split
+# (inherent to a GLOBAL ntile: the spec has no partition key; the
+# per-decile rollup after it is partial-aggregated).
+# ---------------------------------------------------------------------------
+
+_Q74_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, total,
+         NTILE(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(CAST(MIN(total) AS DECIMAL(28,10)), 2) AS DOUBLE) AS min_spend,
+       CAST(ROUND(CAST(MAX(total) AS DECIMAL(28,10)), 2) AS DOUBLE) AS max_spend,
+       CAST(ROUND(CAST(SUM(total) AS DECIMAL(28,10)), 2) AS DOUBLE) AS decile_spend
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+@query("q74_ntile_deciles", oracle=_Q74_ORACLE)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) spend deciles with per-decile min/max/sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec2(F.min("total")).alias("min_spend"),
+            dec2(F.max("total")).alias("max_spend"),
+            dec2(F.sum("total")).alias("decile_spend"),
+        )
+        .transform(small_result_order, "decile")
+    )

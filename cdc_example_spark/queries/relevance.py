@@ -440,3 +440,60 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("perplexity").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — Zipf rank–frequency slope per language: fit ln(freq) ~ ln(rank)
+# over each language's top-100 tokens (regr_slope — a natural-corpus
+# slope sits near −1; template-generated synthetic text reads shallower,
+# which is exactly the kind of distribution-shift diagnostic a curation
+# pipeline tracks per shard). One (lang, token) partial-agg shuffle
+# builds the frequency table, a per-lang window takes the top-100
+# (group-limited, never a global sort), and the regression folds in one
+# group-cardinality agg. Ranks tie-break on the token string so both
+# engines number equal-frequency tokens identically.
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\W+')) AS w
+  FROM documents WHERE lang IS NOT NULL
+), freq AS (
+  SELECT lang, w, COUNT(*) AS f FROM tok WHERE w <> '' GROUP BY lang, w
+), ranked AS (
+  SELECT lang, f,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, w) AS r
+  FROM freq
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(regr_slope(LN(f), LN(r)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS zipf_slope,
+       CAST(ROUND(CAST(regr_r2(LN(f), LN(r)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS fit_r2
+FROM ranked WHERE r <= 100
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q73_zipf_slope", oracle=_Q73_ORACLE)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(freq)~ln(rank) regression over each language's top-100 tokens."""
+    from pyspark.sql.window import Window
+
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("lang").isNotNull())
+    freq = (
+        toks.select("lang", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "w")
+    ranked = freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 100)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dec2(F.regr_slope(F.log("f"), F.log("r"))).alias("zipf_slope"),
+            dec2(F.regr_r2(F.log("f"), F.log("r"))).alias("fit_r2"),
+        )
+        .transform(small_result_order, "lang")
+    )
