@@ -36,6 +36,8 @@ DRIVER_PRIORITY = [
     "q72_cohort_retention",
     "q73_zipf_slope",
     "q74_ntile_deciles",
+    "q75_curation_funnel",
+    "q76_hashed_linear_score",
     # modified in round 5
     "q41_percentiles",        # carrier-row refinement, GK single-execution
     "q62_ivf_trained_topk",   # trained_centroids session memo

@@ -1498,3 +1498,198 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
     ).transform(small_result_order, "query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q75 — the curation funnel, end to end in ONE pass: every stage of the
+# training-data pipeline this engine exists for (exact dedup → quality
+# gate → benchmark decontamination), composed over the same per-doc
+# flags and counted with conditional aggregates. The r4/r5 operator
+# suite provides each stage (q21/q23 content-hash dedup, q28 quality
+# score, q55 contamination); this query is the composition proof — one
+# documents scan + the dedup window + the (tiny) contamination
+# anti-side, no per-stage re-execution. Scale: flags are per-row
+# expressions; the only wide ops are the content-hash window (the
+# dedup shuffle q23 already pays) and the broadcast-sized contaminated
+# id set.
+# ---------------------------------------------------------------------------
+
+_Q75_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY sha256(LOWER(TRIM(text)))
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), f AS (
+  SELECT doc_id, rn,
+         LENGTH(TRIM(text)) AS n_chars,
+         len(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS n_words,
+         LENGTH(TRIM(text)) - LENGTH(regexp_replace(TRIM(text), '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+                         w -> w IN ('the','and','of','to','is'))) AS n_stop,
+         LENGTH(regexp_replace(TRIM(text), '\s+', '', 'g')) AS n_nonspace
+  FROM h
+), q AS (
+  SELECT doc_id, rn,
+         (LEAST(n_words / 100.0, 1.0)
+          + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4, 1.0)
+          + (CASE WHEN n_words > 0
+                   AND CAST(n_nonspace AS DOUBLE) / n_words >= 2
+                   AND CAST(n_nonspace AS DOUBLE) / n_words <= 12
+                  THEN 1.0 ELSE 0.3 END)
+          + (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) <= 0.2
+                  THEN 1.0 ELSE 0.4 END)) / 4 AS score
+  FROM f
+), ws AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(GREATEST(len(w) - 2, 0)),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM ws
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 10
+), csz AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE doc_id >= 10 GROUP BY doc_id
+), cshared AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM (SELECT doc_id, s FROM sh WHERE doc_id >= 10) c
+  JOIN bench b USING (s)
+  GROUP BY c.doc_id
+)
+, contaminated AS (
+  SELECT csz.doc_id
+  FROM csz JOIN cshared USING (doc_id)
+  WHERE CAST(n_shared AS DOUBLE) / n_sh >= 0.5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_exact_dedup,
+       CAST(COUNT(CASE WHEN rn = 1 AND score >= 0.5 THEN 1 END) AS BIGINT) AS n_quality,
+       CAST(COUNT(CASE WHEN rn = 1 AND score >= 0.5 AND q.doc_id >= 10
+                        AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                  THEN 1 END) AS BIGINT) AS n_decontaminated
+FROM q
+"""
+
+
+@query("q75_curation_funnel", oracle=_Q75_ORACLE)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage survivor counts: all → exact-dedup → quality ≥ 0.5 →
+    decontaminated corpus (benchmark = doc_id < 10)."""
+    from cdc_example_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = load_doc_tokens(spark, sf_dir)
+    w = Window.partitionBy(T.content_hash(F.col("text"))).orderBy("doc_id")
+    flagged = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        TA.quality_score(F.col("text")).alias("score"),
+    )
+    contaminated = (
+        TA.contamination_overlap(toks, bench_max_id=10, tokens_col="ws")
+        .filter(F.col("overlap_frac") >= 0.5)
+        .select("doc_id", F.lit(True).alias("is_cont"))
+    )
+    keep = F.col("rn") == 1
+    return (
+        flagged.join(F.broadcast(contaminated), "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(keep, 1)).alias("n_exact_dedup"),
+            F.count(F.when(keep & (F.col("score") >= 0.5), 1)).alias("n_quality"),
+            F.count(
+                F.when(
+                    keep
+                    & (F.col("score") >= 0.5)
+                    & (F.col("doc_id") >= 10)
+                    & F.col("is_cont").isNull(),
+                    1,
+                )
+            ).alias("n_decontaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — fasttext-style hashed linear scorer: bigram tokens hash into 64
+# feature buckets (the q25/q29 polynomial fold, replayable in SQL on
+# any engine), deterministic per-bucket weights are pure integer
+# arithmetic of the bucket id (a stand-in for trained model weights —
+# the SHAPE is the product: hash → bucket → weight lookup → mean), and
+# a document's score is the sequential-fold mean of its bigram weights.
+# All arithmetic is exact-integer or order-pinned double, so the score
+# hash-checks cross-engine. Scale: per-row array expressions in
+# codegen, one (lang) partial agg — no shuffle carries anything
+# document-sized; a real model swaps the weight expression for a
+# broadcast 2^k-row weight table.
+# ---------------------------------------------------------------------------
+
+_Q76_WFP = """list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007)"""
+
+_Q76_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                        w -> {_Q76_WFP}) AS fps
+  FROM documents WHERE lang IS NOT NULL
+), b AS (
+  SELECT doc_id, lang,
+         list_transform(range(GREATEST(len(fps) - 1, 0)),
+                        i -> ((fps[i+1] * 31 + fps[i+2]) % 1000000007) % 64) AS buckets
+  FROM t
+), s AS (
+  SELECT doc_id, lang, len(buckets) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(buckets,
+                                    bk -> CAST((bk * 2654435761) % 1024 AS DOUBLE) / 1024.0 - 0.5)),
+                     (a, x) -> a + x) AS wsum
+  FROM b WHERE len(buckets) > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(AVG(wsum / n_bigrams) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_score,
+       CAST(COUNT(CASE WHEN wsum / n_bigrams > 0 THEN 1 END) AS BIGINT) AS n_pass
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q76_hashed_linear_score", oracle=_Q76_ORACLE)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean hashed-bigram feature weight per doc, aggregated per lang."""
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("lang").isNotNull())
+    fps = F.transform("ws", lambda w: T.word_fingerprint(w))
+    n = F.size("fps")
+    buckets = F.zip_with(
+        F.slice("fps", 1, F.greatest(n - 1, F.lit(0))),
+        F.expr("slice(fps, 2, greatest(size(fps) - 1, 0))"),
+        lambda x, y: ((x * 31 + y) % 1000000007) % 64,
+    )
+    weights = F.transform(
+        "buckets",
+        lambda bk: (bk * F.lit(2654435761)) % 1024 / F.lit(1024.0) - 0.5,
+    )
+    wsum = F.aggregate("weights", F.lit(0.0), lambda a, x: a + x)
+    score = F.col("wsum") / F.col("n_bigrams")
+    return (
+        toks.withColumn("fps", fps)
+        .withColumn("buckets", buckets)
+        .filter(F.size("buckets") > 0)
+        .withColumn("weights", weights)
+        .select(
+            "lang",
+            F.size("buckets").alias("n_bigrams"),
+            wsum.alias("wsum"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec2(F.avg(score)).alias("avg_score"),
+            F.count(F.when(score > 0, 1)).alias("n_pass"),
+        )
+        .transform(small_result_order, "lang")
+    )

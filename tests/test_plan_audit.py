@@ -179,6 +179,9 @@ BNLJ_INTENTIONAL = {
     "q52_bm25_search",
     # decontamination broadcasts its 1-row benchmark shingle-set frame
     "q55_decontamination",
+    # the curation funnel composes q55's contamination stage and
+    # inherits the same 1-row benchmark-shingle broadcast
+    "q75_curation_funnel",
 }
 
 
