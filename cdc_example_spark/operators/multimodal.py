@@ -306,6 +306,105 @@ def sample_frames_stub(df: DataFrame, n_frames: int = 4, frame_bytes: int = 32) 
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_gray(
+    df: DataFrame, out_w: int, out_h: int, method: str = "nearest"
+) -> DataFrame:
+    """REAL resize over :func:`decode_media` output rows.
+
+    Operates on the decoded grayscale plane (columns ``media_id, ok,
+    width, height, pixels``), so the whole image path —
+    decode → resize → feature-extract — is now real for every format
+    the decoders own (PPM/BMP/GIF/APNG stdlib-builtin; everything
+    under Pillow when importable). Two interpolations:
+
+    - ``nearest``: source index ``i·src // dst`` — pure integer
+      arithmetic, bit-reproducible on any platform.
+    - ``bilinear``: the standard pixel-center mapping
+      ``(i + .5)·src/dst − .5`` in 16.16 FIXED-POINT integer weights,
+      so results are exactly reproducible too (float bilinear differs
+      by ulps across BLAS/platforms; fixed-point doesn't).
+
+    Not-ok input rows pass through as not-ok output rows (the
+    per-row-tolerance contract every multimodal stage shares).
+    Arrow-batched mapInPandas, row-wise vectorized NumPy; no shuffle.
+    """
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"resize_gray: unknown method {method!r}")
+
+    def _resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(w: int, h: int, raw: bytes) -> bytes:
+            src = np.frombuffer(raw, np.uint8).reshape(h, w)
+            if method == "nearest":
+                xi = (np.arange(out_w) * w) // out_w
+                yi = (np.arange(out_h) * h) // out_h
+                return src[yi][:, xi].tobytes()
+            # bilinear, 16.16 fixed point
+            FP = 1 << 16
+
+            def axis(dst: int, n: int):
+                pos = ((2 * np.arange(dst, dtype=np.int64) + 1) * n * FP) // (
+                    2 * dst
+                ) - FP // 2
+                pos = np.clip(pos, 0, (n - 1) * FP)
+                i0 = pos // FP
+                frac = pos - i0 * FP
+                i1 = np.minimum(i0 + 1, n - 1)
+                return i0, i1, frac
+
+            x0, x1, fx = axis(out_w, w)
+            y0, y1, fy = axis(out_h, h)
+            s = src.astype(np.int64)
+            top = s[y0][:, x0] * (FP - fx) + s[y0][:, x1] * fx  # (out_h, out_w)·FP
+            bot = s[y1][:, x0] * (FP - fx) + s[y1][:, x1] * fx
+            val = top * (FP - fy[:, None]) + bot * fy[:, None]  # ·FP²
+            return ((val + (1 << 31)) >> 32).astype(np.uint8).tobytes()
+
+        for pdf in batches:
+            ok, ws, hs, px = [], [], [], []
+            for r_ok, w, h, raw in zip(
+                pdf["ok"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                try:
+                    if not r_ok or raw is None:
+                        raise ValueError("undecoded row")
+                    px.append(one(int(w), int(h), bytes(raw)))
+                    ok.append(True)
+                    ws.append(out_w)
+                    hs.append(out_h)
+                except Exception:
+                    ok.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    px.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ok": ok,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "pixels": px,
+                }
+            )
+
+    return df.select("media_id", "ok", "width", "height", "pixels").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
 def resize_stub(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     """Deterministic fake resize over binary payloads.
 

@@ -694,3 +694,66 @@ def test_trained_centroids_memoized_per_session(spark, sf_dir):
         qs[name].spark(spark, sf_dir)
     qs["q66_semantic_dedup"].spark(spark, sf_dir)  # repeat invocation
     assert L._TRAINER_RUNS[0] == before, "trainer re-ran despite memo"
+
+
+def test_resize_gray_nearest_exact_and_bilinear_identity(spark):
+    """resize_gray is REAL: nearest matches an independent per-pixel
+    loop exactly; bilinear at the same size is the identity (the
+    pixel-center mapping lands on integer positions, frac = 0); not-ok
+    input rows pass through as not-ok."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    w, h = 7, 5
+    src = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    rows = [
+        (1, True, w, h, bytearray(src.tobytes())),
+        (2, False, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, ok boolean, width long, height long, pixels binary"
+    )
+    out_w, out_h = 4, 3
+    got = {r["media_id"]: r for r in M.resize_gray(df, out_w, out_h).collect()}
+    expect = np.empty((out_h, out_w), np.uint8)
+    for y in range(out_h):
+        for x in range(out_w):
+            expect[y, x] = src[y * h // out_h, x * w // out_w]
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (out_w, out_h)
+    assert bytes(got[1]["pixels"]) == expect.tobytes()
+    assert got[2]["ok"] is False and got[2]["pixels"] is None
+
+    ident = M.resize_gray(df, w, h, method="bilinear").collect()
+    r1 = next(r for r in ident if r["media_id"] == 1)
+    assert bytes(r1["pixels"]) == src.tobytes(), "same-size bilinear must be identity"
+
+
+def test_resize_gray_bilinear_average_and_chain(spark):
+    """2×2 → 1×1 bilinear is the rounded mean of the four pixels
+    (pixel-center mapping puts the sample at the exact center), and the
+    full real chain decode_media → resize_gray works end to end on a
+    PPM payload."""
+    import numpy as np
+
+    quad = np.array([[10, 20], [30, 200]], np.uint8)
+    df = spark.createDataFrame(
+        [(1, True, 2, 2, bytearray(quad.tobytes()))],
+        "media_id long, ok boolean, width long, height long, pixels binary",
+    )
+    r = M.resize_gray(df, 1, 1, method="bilinear").collect()[0]
+    assert bytes(r["pixels"]) == bytes([round((10 + 20 + 30 + 200) / 4)])
+
+    rgb = [(x * 20, y * 30, 7) for y in range(3) for x in range(4)]
+    p6 = _ppm_p6(4, 3, rgb)
+    media = spark.createDataFrame(
+        [(5, "image", bytearray(p6), len(p6))], M.MEDIA_SCHEMA
+    )
+    out = M.resize_gray(M.decode_media(media), 2, 2).collect()[0]
+    assert out["ok"] and (out["width"], out["height"]) == (2, 2)
+    gray = np.array(
+        [_pil_gray(r_, g_, b_) for r_, g_, b_ in rgb], np.uint8
+    ).reshape(3, 4)
+    expect = np.array(
+        [[gray[0, 0], gray[0, 2]], [gray[1, 0], gray[1, 2]]], np.uint8
+    )
+    assert bytes(out["pixels"]) == expect.tobytes()
