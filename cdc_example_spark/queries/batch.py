@@ -2062,3 +2062,74 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — trailing-window anomaly detection: per (event_type, hour) event
+# counts z-scored against the same stream's previous 24 hours (ROWS
+# BETWEEN 24 PRECEDING AND 1 PRECEDING — the baseline excludes the
+# scored hour, the standard leave-current-out monitor). Rows with
+# fewer than 12 trailing hours are suppressed (cold-start noise, and
+# the filter is exact-integer so both engines cut identically). Scale:
+# one (type, hour) partial agg, one window exchange keyed by type —
+# per-type streams window independently; nothing global.
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+WITH hc AS (
+  SELECT event_type,
+         STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT event_type, hour, cnt,
+         COUNT(*)      OVER w AS n_prev,
+         AVG(cnt)      OVER w AS mean_prev,
+         STDDEV_SAMP(cnt) OVER w AS sd_prev
+  FROM hc
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(CAST((cnt - mean_prev) / sd_prev AS DECIMAL(28,10)), 2) AS DOUBLE) AS zscore,
+       ABS((cnt - mean_prev) / sd_prev) > 2 AS is_anomaly
+FROM z
+WHERE n_prev >= 12 AND sd_prev > 0 AND ABS((cnt - mean_prev) / sd_prev) > 1.5
+ORDER BY event_type, hour
+"""
+
+
+@query("q77_hourly_anomalies", oracle=_Q77_ORACLE)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count z-scores > 1.5 vs their trailing 24 h."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", hour_str(F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("cnt") - F.avg("cnt").over(w)) / F.stddev_samp("cnt").over(w)
+    out = hc.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.stddev_samp("cnt").over(w).alias("sd_prev"),
+        z.alias("z"),
+    )
+    return (
+        out.filter(
+            (F.col("n_prev") >= 12) & (F.col("sd_prev") > 0) & (F.abs("z") > 1.5)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            dec2(F.col("z")).alias("zscore"),
+            (F.abs("z") > 2).alias("is_anomaly"),
+        )
+        .transform(small_result_order, "event_type", "hour")
+    )

@@ -131,3 +131,89 @@ def materialize_with_state(routed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel (S10): the per-user strict-order funnel q71 computes
+# in batch, maintained incrementally in the state store. State is three
+# event-time micros (earliest signup, earliest qualifying click,
+# earliest qualifying purchase; −1 = not reached); each micro-batch
+# folds its events in EVENT-TIME order and emits the user's updated
+# stage. Contract (stated, like every funnel stream in production): the
+# source must deliver each user's events in non-decreasing event-time
+# across batches — the state machine is monotone, so an out-of-order
+# earlier click cannot retroactively replace a later one the way the
+# batch fold's full sort would. In-order replay ⇒ byte-identical to
+# q71's F.aggregate fold (pinned by test_s10).
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+
+def _funnel_key(
+    key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    cur = list(state.get) if state.exists else [-1, -1, -1]
+    for pdf in pdfs:
+        for row in pdf.sort_values("t").itertuples(index=False):
+            if row.c == 0 and cur[0] < 0:
+                cur[0] = row.t
+            elif row.c == 1 and cur[1] < 0 and cur[0] >= 0 and row.t > cur[0]:
+                cur[1] = row.t
+            elif row.c == 2 and cur[2] < 0 and cur[1] >= 0 and row.t > cur[1]:
+                cur[2] = row.t
+    state.update(tuple(cur))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "t1": cur[0],
+                "t2": cur[1],
+                "t3": cur[2],
+                "stage": sum(1 for t in cur if t >= 0),
+            }
+        ]
+    )
+
+
+def funnel_with_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of q71's funnel fold over (user_id, ts, event_type).
+
+    Input: a streaming frame with those three columns. Output
+    (update mode): one row per touched user per micro-batch with the
+    funnel timestamps reached so far and ``stage`` ∈ 0..3.
+    """
+    from pyspark.sql import functions as F
+
+    code = (
+        F.when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+    )
+    coded = events.select(
+        "user_id", F.unix_micros("ts").alias("t"), code.alias("c")
+    ).filter(F.col("c").isNotNull())
+    return coded.groupBy("user_id").applyInPandasWithState(
+        _funnel_key,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

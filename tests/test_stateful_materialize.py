@@ -78,3 +78,80 @@ def test_s9_state_store_materialization_matches_reference_semantics(spark, tmp_p
     assert view[a]["create_time"] != view[a]["update_time"]
     # resurrection: delete (200) then insert (210) leaves b live
     assert view[b]["message"] == "b-v2"
+
+
+def test_s10_streaming_funnel_matches_batch_fold(spark, tmp_path):
+    """funnel_with_state over an in-order 3-batch replay must land every
+    user on exactly the (t1, t2, t3) the batch fold (q71's F.aggregate
+    walk of the full sorted sequence) computes — including users who
+    stall at every intermediate stage and purchase-before-click decoys."""
+    import json
+    import random
+
+    from cdc_example_spark.streaming.stateful import funnel_with_state
+
+    rng = random.Random(31)
+    types = ["signup", "click", "purchase", "view"]
+    events = []  # (user_id, t_micros, type)
+    for uid in range(40):
+        n = rng.randint(1, 12)
+        ts = sorted(rng.sample(range(1_000_000, 9_000_000), n))
+        for t in ts:
+            events.append((uid, t, rng.choice(types)))
+    events.sort(key=lambda e: e[1])  # in-order source contract
+
+    # independent python oracle: walk each user's full sequence sorted
+    expect = {}
+    for uid in range(40):
+        cur = [-1, -1, -1]
+        for _, t, ty in sorted(e for e in events if e[0] == uid):
+            if ty == "signup" and cur[0] < 0:
+                cur[0] = t
+            elif ty == "click" and cur[1] < 0 and cur[0] >= 0 and t > cur[0]:
+                cur[1] = t
+            elif ty == "purchase" and cur[2] < 0 and cur[1] >= 0 and t > cur[1]:
+                cur[2] = t
+        expect[uid] = tuple(cur)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    third = len(events) // 3
+    for i, chunk in enumerate(
+        (events[:third], events[third : 2 * third], events[2 * third :])
+    ):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for uid, t, ty in chunk:
+                f.write(json.dumps({"user_id": uid, "t": t, "event_type": ty}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, t long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .selectExpr("user_id", "timestamp_micros(t) AS ts", "event_type")
+    )
+    q = (
+        funnel_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_s10")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per user: every state field is MONOTONE (-1 → value,
+    # then frozen; stage only grows), so the max tuple per user IS the
+    # final state — no reliance on the memory sink's row order.
+    rows = spark.sql("SELECT * FROM funnel_s10").collect()
+    last = {}
+    for r in rows:
+        tup = (r["stage"], r["t1"], r["t2"], r["t3"])
+        if r["user_id"] not in last or tup > last[r["user_id"]]:
+            last[r["user_id"]] = tup
+    last = {u: (t1, t2, t3, st) for u, (st, t1, t2, t3) in last.items()}
+    for uid, exp in expect.items():
+        if not any(e[0] == uid for e in events):
+            continue
+        got = last[uid]
+        assert got[:3] == exp, (uid, got, exp)
+        assert got[3] == sum(1 for t in exp if t >= 0)
