@@ -16,7 +16,7 @@ SF_SMOKE = os.environ.get("CDC_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
 # scripts/streaming_report.py drives this and merges CDC throughput.
 # ---------------------------------------------------------------------------
 
-_S_TEST = re.compile(r"test_(s[1-9])_")
+_S_TEST = re.compile(r"test_(s[1-9]\d?)_")
 _S_RESULTS: dict[str, dict[str, str]] = {}
 
 
