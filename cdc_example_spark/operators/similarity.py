@@ -257,12 +257,37 @@ def centroid_cells_expr(centroids: "list[list[float]]", vec_col: str) -> "F.Colu
     return F.expr("array_sort(array({}))".format(",".join(structs)))
 
 
+def assign_cells_vectorized(centroids: "list[list[float]]"):
+    """BLAS twin of ``centroid_cells_expr``'s top cell: a pandas_udf
+    mapping array<double> → the argmax-dot cell id, one matmul per
+    Arrow batch. Ties break to the LOWEST cid (np.argmax returns the
+    first maximum), the same rule as the expr's (-dot, cid) sort. The
+    two paths can differ ONLY on dots equal to within float summation
+    order (the expr folds sequentially, BLAS sums pairwise) — measured
+    identical on every test corpus and pinned by pytest; the
+    oracle-replayed q70 build still uses the expr path so the driver's
+    hash can never hinge on an ulp tie."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("long")
+    def _cell(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy())
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int64"))
+
+    return _cell
+
+
 def build_ivf_index(
     vectors: DataFrame,
     centroids: "list[list[float]]",
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> None:
     """Persist the IVF index: vectors written partitioned BY CELL.
 
@@ -280,14 +305,27 @@ def build_ivf_index(
     build to a fresh versioned path and flip a pointer (the usual lake
     pattern); this function deliberately keeps the single-path layout
     because the driver/test harness rebuilds only at session start.
+
+    ``vectorized=True`` is the 100 TB build shape: cell assignment runs
+    as one BLAS matmul per Arrow batch (:func:`assign_cells_vectorized`)
+    instead of the inlined-literal expression — Catalyst higher-order
+    functions interpret per element, and at 64 centroids × 64 dims the
+    expr path measured 52.8 s vs 6.0 s vectorized on the 200 k-vector
+    k=100 shard (8.8×; assignments identical across all 200 k rows,
+    re-pinned in pytest on the test corpus). The expr default
+    stays because the oracle-checked q70 build replays the expr's
+    sequential-fold dots in DuckDB, which a BLAS pairwise sum could
+    diverge from on an ulp-level tie.
     """
-    base = (
-        _as_double(vectors, vec_col)
-        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .withColumn(
+    base = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    if vectorized:
+        base = base.withColumn("cell", assign_cells_vectorized(centroids)("v"))
+    else:
+        base = base.withColumn(
             "cell", F.element_at(centroid_cells_expr(centroids, "v"), 1)["cid"]
         )
-    )
     base.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
