@@ -338,6 +338,7 @@ def ivf_topk_indexed(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_pandas_udf: bool = False,
 ) -> DataFrame:
     """Serve approximate top-k from a :func:`build_ivf_index` layout.
 
@@ -347,6 +348,14 @@ def ivf_topk_indexed(
     data), and pushed into the index read as a literal IN-filter so the
     scan prunes to the probed ``cell=`` directories. Same output schema
     as :func:`ivf_topk`/:func:`cosine_topk`.
+
+    ``use_pandas_udf`` swaps the per-pair HOF cosine for the Arrow
+    kernel (``cosine_pandas_udf`` — cosine_topk's same switch): the
+    HOF expression interprets per element, which dominates serving once
+    the pruned candidate set is large. q70's registered serve keeps the
+    HOF path because its DuckDB oracle replays those sequential folds
+    exactly; top-k SETS are pinned equal across the two kernels in
+    pytest.
     """
     qry = (
         _as_double(queries, vec_col)
@@ -367,13 +376,18 @@ def ivf_topk_indexed(
         F.col("cell").isin([int(c) for c in probe_cells])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    cos = (
+        V.cosine_pandas_udf()(F.col("v"), F.col("qv"))
+        if use_pandas_udf
+        else V.cosine("v", "qv")
+    )
     return (
         idx.join(
             F.broadcast(qry),
             (F.col("vec_id") != F.col("query_id"))
             & F.array_contains(F.col("probe_cells"), F.col("cell")),
         )
-        .withColumn("cos_sim", V.cosine("v", "qv"))
+        .withColumn("cos_sim", cos)
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_sim", "rn")

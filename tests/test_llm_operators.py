@@ -774,3 +774,25 @@ def test_vectorized_index_build_matches_expr_assignment(spark, sf_dir, tmp_path)
     joined = a.join(b, "vec_id")
     assert joined.filter("c1 <> c2").count() == 0
     assert joined.count() == emb.count()
+
+
+def test_ivf_indexed_serving_pandas_kernel_matches_hof(spark, sf_dir, tmp_path):
+    """ivf_topk_indexed(use_pandas_udf=True) — the Arrow serve kernel —
+    must return the same top-k SETS as the HOF-expression path (values
+    may differ in the last ulp; ids and ranks must not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = S.train_ivf_centroids_local(emb, n_centroids=8, sample_size=512, n_iters=10)
+    path = str(tmp_path / "idx")
+    S.build_ivf_index(emb, C, path)
+    probes = emb.filter(F.col("vec_id") < 10)
+    hof = {
+        (r["query_id"], r["vec_id"], r["rn"])
+        for r in S.ivf_topk_indexed(spark, path, probes, C, k=3, n_probe=2).collect()
+    }
+    arrow = {
+        (r["query_id"], r["vec_id"], r["rn"])
+        for r in S.ivf_topk_indexed(
+            spark, path, probes, C, k=3, n_probe=2, use_pandas_udf=True
+        ).collect()
+    }
+    assert hof == arrow and len(hof) > 0
