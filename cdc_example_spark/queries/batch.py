@@ -2133,3 +2133,121 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — resample + gap interpolation: regularize each event_type's
+# stream onto a full hourly spine (sequence from its first to its last
+# hour) and linearly interpolate the missing hours from the nearest
+# observed neighbors — the time-series regularization every monitoring
+# / feature pipeline runs before a model sees the data. Spark surface
+# exercised: `F.sequence` spine generation off a group-cardinality agg,
+# IGNORE-NULLS `last`/`first` window fills in both directions, and
+# exact integer hour arithmetic so the interpolation weights replay
+# identically in SQL. Scale: spine size = hours×types (calendar-bounded,
+# not data-bounded); the only data-sized ops are the hourly pre-agg and
+# one window exchange per direction on the type key.
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+  FROM hc GROUP BY event_type
+), j AS (
+  SELECT s.event_type, s.h, hc.cnt FROM spine s
+  LEFT JOIN hc ON hc.event_type = s.event_type AND hc.h = s.h
+), f AS (
+  SELECT event_type, h, cnt,
+         last_value(cnt IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN cnt IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS ph,
+         first_value(cnt IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN cnt IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       cnt IS NULL AS was_missing,
+       CAST(ROUND(CAST(
+         CASE
+           WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+           WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+           WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+           ELSE pv + (nv - pv)
+                * (date_diff('hour', ph, h) * 1.0 / date_diff('hour', ph, nh))
+         END AS DECIMAL(28,10)), 2) AS DOUBLE) AS cnt_filled
+FROM f
+ORDER BY event_type, hour
+"""
+
+
+@query("q78_resample_interpolate", oracle=_Q78_ORACLE)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine per event_type with linear interpolation of gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        hc.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(hc, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cnt").isNotNull(), F.col("h"))
+    f = j.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.last("cnt", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("ph"),
+        F.first("cnt", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    hours_between = lambda a, b: (  # noqa: E731 — exact integer hours
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    filled = (
+        F.when(F.col("cnt").isNotNull(), F.col("cnt").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                hours_between(F.col("ph"), F.col("h"))
+                * F.lit(1.0)
+                / hours_between(F.col("ph"), F.col("nh"))
+            )
+        )
+    )
+    return (
+        f.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("cnt").isNull().alias("was_missing"),
+            dec2(filled).alias("cnt_filled"),
+        )
+        .transform(small_result_order, "event_type", "hour")
+    )
