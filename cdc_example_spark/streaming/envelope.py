@@ -84,8 +84,19 @@ def route_changes(decoded: DataFrame) -> DataFrame:
     upserts — the two event variants (MessageUpsertEvent /
     MessageDeleteEvent) as one sum-type column set, which downstream
     operators consume without a branch boundary.
+
+    Records whose KEY failed to parse (``from_json`` → NULL) are
+    DROPPED here: a change without a key is unroutable — it cannot
+    address any materialized row. The reference consumer would throw
+    on the same input (``MessageConsumer.kt:33`` dereferences the
+    parsed key unconditionally); dropping at the routing boundary is
+    the per-row-tolerance version of that contract, and it protects
+    the merge invariants downstream (r5 review: a NULL key would
+    satisfy the per-key winner test once per NULL ROW under the fused
+    compaction's lag comparison, and r4's anti-join — null-unsafe —
+    appended a fresh NULL-key state row every batch).
     """
-    return decoded.select(
+    return decoded.filter(F.col("key_id").isNotNull()).select(
         "key_id",
         F.col("after").isNull().alias("is_delete"),
         "after",

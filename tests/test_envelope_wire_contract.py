@@ -125,6 +125,24 @@ def test_documented_null_variants_route_by_after(spark):
     assert routed[0].key_id == "74cb6b55-9a09-4c6d-8b94-8d9b63dd10a2"
 
 
+def test_unparseable_key_rows_are_dropped_at_routing(spark):
+    """A record whose Kafka KEY fails to parse is unroutable — it can
+    address no materialized row. route_changes drops it (r5: the fused
+    merge's per-key winner test and the old anti-join both mishandle a
+    NULL key, so the guard lives at the routing boundary; the reference
+    consumer would throw on the same input, MessageConsumer.kt:33)."""
+    raw = spark.createDataFrame(
+        [
+            ("not json at all", WIRE_VALUE),
+            (WIRE_KEY, WIRE_VALUE),
+        ],
+        "key STRING, value STRING",
+    )
+    routed = route_changes(decode_envelope(raw)).collect()
+    assert len(routed) == 1
+    assert routed[0].key_id == "74cb6b55-9a09-4c6d-8b94-8d9b63dd10a2"
+
+
 def test_wire_sample_matches_reference_capture_if_present(spark):
     """When the reference checkout is available, re-extract the capture
     from prototype/message.md and assert the embedded copy above hasn't
