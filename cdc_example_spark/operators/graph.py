@@ -136,3 +136,56 @@ def _cc_to_fixpoint(sym: DataFrame, labels: DataFrame) -> DataFrame:
         labels = stamped.select(F.col("u").alias("v"), "lbl")
         if stamped.filter(F.col("lbl") < F.col("prev")).count() == 0:
             return labels.select("v", F.col("lbl").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by a FIXED unroll of the power iteration — the same
+    cross-engine-replayable move as :func:`connected_components`:
+    ``pr₀ = 1``; ``prₜ₊₁(v) = (1−d) + d·Σ_{(u,v)∈E} prₜ(u)/outdeg(u)``
+    (the classic unnormalized formulation; nodes without out-edges
+    simply leak their mass, as in the original paper's simple variant).
+    A data-independent unroll is a deterministic dataflow, so an
+    identically-unrolled SQL oracle hash-checks it (q79); deployments
+    wanting convergence iterate with localCheckpoint every few rounds
+    exactly like CC's ``rounds="auto"``.
+
+    Scale shape per iteration: one shuffle join of the edge list with
+    the group-cardinality rank frame + one partial-agg sum — the
+    standard Pregel step. The (edges ⋈ outdeg) contribution frame is
+    iteration-invariant and appears in every unrolled level as the
+    IDENTICAL subtree, so ReuseExchange shuffles it once.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = e.join(out, "src").select(
+        "src", "dst", F.col("deg").cast("double").alias("deg")
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = nodes.select("id", F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.id)
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.id == contribs.dst, "left"
+        ).select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks

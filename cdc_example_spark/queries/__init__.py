@@ -40,6 +40,7 @@ DRIVER_PRIORITY = [
     "q76_hashed_linear_score",
     "q77_hourly_anomalies",
     "q78_resample_interpolate",
+    "q79_pagerank",
     # modified in round 5
     "q41_percentiles",        # carrier-row refinement, GK single-execution
     "q62_ivf_trained_topk",   # trained_centroids session memo

@@ -2251,3 +2251,72 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — PageRank over the customer→supplier procurement graph, 5
+# power iterations unrolled (operators/graph.pagerank). Influence
+# scoring over a derived relationship graph is the canonical
+# beyond-SQL iterative workload; the FIXED unroll keeps it a
+# deterministic dataflow, so the oracle is the identically-unrolled
+# chain of CTEs (generated, one level per iteration). Ordering rides
+# the ROUNDED rank (q69's trick) so cross-engine ulp drift in the
+# 5-deep float chain can't reorder near-ties.
+# ---------------------------------------------------------------------------
+
+
+def _q79_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    levels = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        levels.append(
+            f"""r{t} AS (
+  SELECT n.id,
+         {1.0 - damping} + {damping} * COALESCE(SUM(r.pr / o.deg), 0) AS pr
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN {prev} r ON r.id = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.id
+)"""
+        )
+        prev = f"r{t}"
+    joined = ",\n".join(levels)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+  SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT id, 1.0 AS pr FROM nodes
+),
+{joined}
+SELECT id AS node_id,
+       CAST(ROUND(CAST(pr AS DECIMAL(28,10)), 2) AS DOUBLE) AS pagerank
+FROM {prev}
+ORDER BY pagerank DESC, node_id
+LIMIT 20
+"""
+
+
+@query("q79_pagerank", oracle=_q79_oracle())
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the distinct customer→supplier graph."""
+    from cdc_example_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    ranks = pagerank(edges, iters=5)
+    return (
+        ranks.select(
+            F.col("id").alias("node_id"), dec2(F.col("pr")).alias("pagerank")
+        )
+        .orderBy(F.col("pagerank").desc(), "node_id")
+        .limit(20)
+    )

@@ -139,3 +139,28 @@ def test_q58_unroll_converges_on_driver_corpus(spark, sf_dir):
         (r.component_id, r.n_docs, r.max_doc_id) for r in out.collect()
     )
     assert got_rows == expected_rows
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """pagerank's unrolled dataflow must equal an independent dense
+    power iteration (same formulation: pr0=1, leak at dangling nodes)
+    to float tolerance on an asymmetric multi-component graph."""
+    from cdc_example_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 4), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank(df, iters=5).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        nxt = {n: 0.15 for n in nodes}
+        for s, d in edges:
+            nxt[d] += 0.85 * pr[s] / out[s]
+        pr = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - pr[n]) < 1e-9, (n, got[n], pr[n])
