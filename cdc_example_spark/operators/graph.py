@@ -144,6 +144,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """PageRank by a FIXED unroll of the power iteration — the same
     cross-engine-replayable move as :func:`connected_components`:
@@ -162,6 +163,14 @@ def pagerank(
     IDENTICAL subtree, so ReuseExchange shuffles it once.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if materialize_edges:
+        # same move (and same rationale) as connected_components'
+        # materialize_edges: the deduped edge list is referenced by
+        # every unrolled level (contribution side) plus outdeg and the
+        # node set — a pure plan re-executes the upstream edge pipeline
+        # per reference. One eager localCheckpoint cuts it to a single
+        # computation, the Pregel between-superstep checkpoint.
+        e = e.localCheckpoint(eager=True)
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib_edges = e.join(out, "src").select(
         "src", "dst", F.col("deg").cast("double").alias("deg")

@@ -90,13 +90,19 @@ def test_broadcast_isolates_subscriber_failures():
 
 
 def test_decode_envelope_null_key_and_garbage_value(spark):
-    """Malformed input must not kill the stream (from_json → nulls)."""
+    """Malformed input must not kill the stream (from_json → nulls) —
+    and rows whose KEY failed to parse are DROPPED at routing (r5):
+    a keyless change is unroutable, and letting it through corrupted
+    the merge invariants (one NULL-key 'winner' per row under the
+    fused compaction; an appended NULL state row per batch under the
+    r4 anti-join). Decode itself still yields the rows."""
     raw = spark.createDataFrame(
         [("not-json", "also not json"), (None, None)], "key STRING, value STRING"
     )
-    routed = route_changes(decode_envelope(raw)).collect()
-    assert len(routed) == 2
-    assert all(r["key_id"] is None and r["is_delete"] for r in routed)
+    decoded = decode_envelope(raw).collect()
+    assert len(decoded) == 2
+    assert all(r["key_id"] is None for r in decoded)
+    assert route_changes(decode_envelope(raw)).count() == 0
 
 
 def test_kafka_source_wiring(spark):
