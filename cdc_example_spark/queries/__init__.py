@@ -14,6 +14,7 @@ from cdc_example_spark.queries.registry import (
 
 # Side-effect imports: each module registers its queries.
 from cdc_example_spark.queries import batch as _batch  # noqa: F401
+from cdc_example_spark.queries import curation as _curation  # noqa: F401
 from cdc_example_spark.queries import llm as _llm  # noqa: F401
 from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 

