@@ -42,6 +42,10 @@ DRIVER_PRIORITY = [
     "q77_hourly_anomalies",
     "q78_resample_interpolate",
     "q79_pagerank",
+    "q80_embedding_audit",
+    "q83_pps_sample",
+    "q84_markov_transitions",
+    "q86_skyline_parts",
     # modified in round 5
     "q41_percentiles",        # carrier-row refinement, GK single-execution
     "q62_ivf_trained_topk",   # trained_centroids session memo
