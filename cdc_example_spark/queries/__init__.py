@@ -43,6 +43,8 @@ DRIVER_PRIORITY = [
     "q78_resample_interpolate",
     "q79_pagerank",
     "q80_embedding_audit",
+    "q81_heavy_hitters",
+    "q82_fuzzy_dedup_pairs",
     "q83_pps_sample",
     "q84_markov_transitions",
     "q86_skyline_parts",

@@ -104,6 +104,107 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q81 — exact heavy hitters via a Misra-Gries candidate pass: tokens
+# holding >= 3.3% of the corpus token stream. The sketch (capacity 64,
+# bounded per-partition memory) guarantees its candidate set covers
+# every token above 1/65 of the stream, so the exact counting pass —
+# pruned to candidates by a broadcast semi-join — returns the EXACT
+# answer for the 3.3% threshold. Scale: this is the shape that
+# survives adversarial vocabularies (URLs/IDs blow up a naive
+# groupBy's map-side hash and shuffle); here the shuffle carries at
+# most capacity x partitions candidate partials. The corpus total
+# rides the 1-row broadcast scalar pattern (BNLJ_INTENTIONAL), and is
+# computed from the pre-explode array sizes, not a second token scan.
+# Oracle: plain exact GROUP BY + HAVING — the sketch must agree with
+# the exact answer by construction.
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) * 1.0 AS n FROM t
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROUND(CAST(100.0 * cnt / tot.n AS DECIMAL(28,10)), 2) AS DOUBLE)
+         AS pct
+FROM c, tot
+WHERE cnt >= 0.033 * tot.n
+ORDER BY cnt DESC, token
+"""
+
+
+@query("q81_heavy_hitters", oracle=_Q81_ORACLE)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact >=3.3% heavy-hitter tokens via Misra-Gries + exact verify."""
+    from cdc_example_spark.operators.frequency import exact_heavy_hitters
+
+    toks = load_doc_tokens(spark, sf_dir)
+    tok = toks.select(F.explode("ws").alias("token"))
+    total = toks.agg(
+        F.sum(F.size("ws")).cast("double").alias("n_total")
+    )
+    hh = exact_heavy_hitters(
+        tok, "token", capacity=64, threshold_frac=0.033, total=total
+    )
+    return hh.select(
+        "token",
+        "cnt",
+        dec2(F.lit(100.0) * F.col("cnt") / F.col("n_total")).alias("pct"),
+    ).transform(small_result_order, F.col("cnt").desc(), "token")
+
+
+# ---------------------------------------------------------------------------
+# q82 — blocked edit-distance fuzzy dedup: near-dup pairs by banded
+# Levenshtein over the sorted-token prefix signature, blocked on
+# (lang, 24-char length band). The blocking is the declared recall
+# knob; within a block the probe side explodes to bucket +/-1 so every
+# qualifying pair meets in exactly one equi-join bucket (never a
+# theta-join, never all-pairs), and the threshold form of levenshtein
+# runs the banded O(d*n) DP JVM-side. The oracle replays the identical
+# bucket expansion so both engines compute the same declared operator.
+# ---------------------------------------------------------------------------
+
+_Q82_ORACLE = r"""
+WITH dd AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(FLOOR(n_chars / 24) AS BIGINT) AS b,
+         substr(array_to_string(list_sort(
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+')), ' '),
+           1, 96) AS sig
+  FROM documents
+), probe AS (
+  SELECT doc_id, lang, n_chars, sig, unnest([b - 1, b, b + 1]) AS b
+  FROM dd
+), cand AS (
+  SELECT a.doc_id AS id1, probe.doc_id AS id2, a.lang AS lang,
+         a.sig AS s1, probe.sig AS s2
+  FROM dd a JOIN probe ON a.lang = probe.lang AND a.b = probe.b
+  WHERE a.doc_id < probe.doc_id
+    AND abs(a.n_chars - probe.n_chars) <= 24
+)
+SELECT id1, id2, lang, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(s1, s2) <= 12
+ORDER BY id1, id2
+"""
+
+
+@query("q82_fuzzy_dedup_pairs", oracle=_Q82_ORACLE)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Levenshtein near-dup pairs, (lang, length-band) blocked."""
+    from cdc_example_spark.operators.dedup import blocked_levenshtein_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_levenshtein_pairs(
+        docs, sig_len=96, max_len_diff=24, max_dist=12
+    ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
 # q83 — probability-proportional-to-size (PPS / weighted Poisson)
 # sampling of the corpus: each document enters the sample with
 # probability min(1, k * w / sum_w), w = n_chars, using a

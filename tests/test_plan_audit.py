@@ -185,6 +185,9 @@ BNLJ_INTENTIONAL = {
     # PPS sampling broadcasts its 1-row sum-of-weights frame into the
     # map-side inclusion filter (same shape as q52's stats frame)
     "q83_pps_sample",
+    # heavy hitters broadcasts its 1-row corpus-token-total frame into
+    # the threshold filter (the q52/q83 scalar pattern)
+    "q81_heavy_hitters",
 }
 
 
