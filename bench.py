@@ -1,8 +1,14 @@
 """Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints a full-detail JSON line, then a COMPACT summary JSON line LAST:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {"q01": sec, ...}, "slowest5": {...}, "sf": 0.1}
+The final line is the driver's contract line; it is kept under ~2 kB
+(qNN-prefix query keys) so a bounded stdout tail always contains a
+complete, parseable record — the r5 artifact lost its head because a
+single ~3.5 kB line overflowed the tail window. Full query names and
+the cold/construct/resubmit/session-build tiers are on the detail line
+and in BENCH_local.json.
 
 Timing = full execution + Arrow transfer of the complete result to the
 Python driver (the work the user would wait for). Arrow (`toArrow`) is
@@ -187,25 +193,50 @@ def main() -> None:
         cdc_fields = {"cdc_apply_error": repr(e)[:200]}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query-set wall clock (steady-state, fresh plans)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "construct_total_sec": round(sum(construct.values()), 3),
-                "session_build_sec": {
-                    k: round(v, 3) for k, v in sorted(SESSION_BUILDS.items())
-                },
-                "resubmit_total_sec": round(sum(resubmit.values()), 3),
-                "approx_tiers": approx_tiers,
-                **cdc_fields,
-                "sf": sf,
-            }
-        )
-    )
+    # Two lines, detail first and a COMPACT summary LAST (VERDICT r5
+    # item 1): the driver records a bounded TAIL of stdout and parses
+    # the final line — r5's single ~3.5 kB line lost its head (29
+    # per-query numbers) and parsed as null. The last line stays under
+    # ~2 kB by shortening per-query keys to their qNN prefix; the full
+    # names + cold/construct/resubmit/session-build tiers live on the
+    # detail line above it (and in the repo's own BENCH_local.json).
+    detail = {
+        "metric": "declared-query-set wall clock (steady-state, fresh plans)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "construct_total_sec": round(sum(construct.values()), 3),
+        "session_build_sec": {
+            k: round(v, 3) for k, v in sorted(SESSION_BUILDS.items())
+        },
+        "resubmit_total_sec": round(sum(resubmit.values()), 3),
+        "approx_tiers": approx_tiers,
+        **cdc_fields,
+        "sf": sf,
+    }
+    print(json.dumps(detail), flush=True)
+    try:  # standing full-detail artifact next to the tail-windowed one
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    compact = {
+        "metric": "declared-query-set wall clock (steady-state, fresh plans)",
+        "value": total,
+        "unit": "sec",
+        "queries": {n.split("_", 1)[0]: t for n, t in timings.items()},
+        "slowest5": dict(slowest),
+        "n_queries": len(timings),
+        "cold_total_sec": detail["cold_total_sec"],
+        "construct_total_sec": detail["construct_total_sec"],
+        "resubmit_total_sec": detail["resubmit_total_sec"],
+        **cdc_fields,
+        "sf": sf,
+    }
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

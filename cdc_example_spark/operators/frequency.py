@@ -1,8 +1,11 @@
 """Bounded-memory frequency sketches: Misra-Gries heavy-hitter candidates.
 
 The reference pipeline has no frequency operator of its own (its only
-aggregation is the keyed last-write-wins map,
-``src/main/kotlin/com/example/cdc/socket/MessageWebSocketHandler.kt:40-55``);
+keyed aggregation is the client-side last-write-wins map the browser
+maintains from the upsert/delete events that
+``src/main/kotlin/com/example/cdc/socket/MessageWebSocketHandler.kt:40-55``
+broadcasts — the LWW state itself lives in
+``src/main/resources/static/index.html:87-89,202-216``);
 this module is part of the mandated batch/LLM-pipeline extension: the
 "find the tokens worth special-casing" pass a tokenizer-training or
 stop-word pipeline runs over the corpus.
@@ -26,6 +29,12 @@ vectorized ``value_counts`` merge, then compressed by subtracting the
 (capacity+1)-th largest counter — the mergeable-summaries combine step
 — rather than the textbook one-decrement-per-item loop, so the Python
 cost is O(batch + capacity·log capacity) per batch, not O(rows).
+Peak per-partition memory is therefore O(capacity + distinct values
+per Arrow batch) — compression runs AFTER each whole-batch merge, so
+the dict transiently holds one batch's distincts (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k) on top
+of the ``capacity`` steady-state counters. The MG coverage guarantee
+is unaffected; only the transient high-water mark exceeds capacity.
 """
 
 from __future__ import annotations
@@ -63,16 +72,23 @@ def _mg_partition(col: str, capacity: int):
 def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     """Distinct Misra-Gries survivor values of ``df[col]``.
 
-    One Arrow-batched pass per partition, ``capacity`` counters of
-    state; the output is at most ``capacity`` rows per partition and
-    contains every value whose GLOBAL frequency exceeds
-    N/(capacity+1). Pair with an exact counting pass filtered to these
+    One Arrow-batched pass per partition; steady-state summary is
+    ``capacity`` counters (transient peak: + one Arrow batch's distinct
+    values — see the module docstring); the output is at most
+    ``capacity`` rows per partition and contains every value whose
+    GLOBAL frequency exceeds N/(capacity+1). Pair with an exact counting pass filtered to these
     candidates to get exact heavy hitters above that fraction.
     """
     if capacity < 1:
         raise ValueError(f"mg_candidates: capacity must be >= 1, got {capacity}")
+    from pyspark.sql.types import StructField, StructType
+
+    # Output schema mirrors the input column's type — hardcoding string
+    # would silently type-mismatch the downstream semi-join for integer
+    # ID columns (ADVICE r5).
+    out_schema = StructType([StructField(col, df.schema[col].dataType)])
     summaries = df.select(col).mapInPandas(
-        _mg_partition(col, capacity), schema=f"{col} string"
+        _mg_partition(col, capacity), schema=out_schema
     )
     return summaries.distinct()
 

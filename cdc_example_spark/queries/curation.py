@@ -132,7 +132,7 @@ SELECT token, CAST(cnt AS BIGINT) AS cnt,
        CAST(ROUND(CAST(100.0 * cnt / tot.n AS DECIMAL(28,10)), 2) AS DOUBLE)
          AS pct
 FROM c, tot
-WHERE cnt >= 0.033 * tot.n
+WHERE cnt >= CAST(0.033 AS DOUBLE) * tot.n
 ORDER BY cnt DESC, token
 """
 

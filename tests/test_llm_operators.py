@@ -796,3 +796,62 @@ def test_ivf_indexed_serving_pandas_kernel_matches_hof(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert hof == arrow and len(hof) > 0
+
+
+def test_n_centroids_scales_with_corpus_and_cells_stay_bounded(spark, sf_dir):
+    """VERDICT r5 item 2: the SemDeDup/IVF scale claim — "cells stay
+    constant-size because n_centroids scales with the corpus" — must be
+    executable, not prose. (a) the sizing function pins the driver tier
+    (500 vectors → 8, so the sf0.01 centroid-literal oracles stay
+    byte-valid) and grows ~N/TARGET_CELL_SIZE with clamps; (b) training
+    a 16×-replicated corpus with the corpus-sized k yields 16× the
+    cells while the MEAN cell stays ~TARGET_CELL_SIZE and the pairwise
+    work (sum of cell²) stays ~N·cell, not N² — the bound the fixed
+    k=8 shape loses (its mean cell would be N/8 = 1000 here)."""
+    # sizing: pinned floor, linear middle, hi clamp, input validation
+    assert S.n_centroids_for(500) == 8  # sf0.001/sf0.01 driver tiers
+    assert S.n_centroids_for(0) == 8
+    assert S.n_centroids_for(2000) == 2000 // S.TARGET_CELL_SIZE
+    assert S.n_centroids_for(10**9) == 4096
+    with pytest.raises(ValueError, match="n_vectors"):
+        S.n_centroids_for(-1)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = 16
+    copies = spark.range(reps).select(F.col("id").alias("copy"))
+    big = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * F.lit(10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") + F.col("copy").cast("double") * F.lit(0.001),
+            ).alias("embedding"),
+        )
+    )
+    n = big.count()
+    assert n == 500 * reps
+    k = S.n_centroids_for(n)
+    assert k == n // S.TARGET_CELL_SIZE  # 125: grows 16x from the base tier's 8
+    C = S.train_ivf_centroids_local(
+        big, n_centroids=k, sample_size=max(512, 4 * k), n_iters=10
+    )
+    assert len(C) == k
+    sizes = [
+        r["cnt"]
+        for r in big.select(
+            F.element_at(S.centroid_cells_expr(C, "embedding"), 1)["cid"].alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    # cell count grew with the corpus (some cells may be empty after
+    # assignment of the FULL set — the trainer only saw the sample)
+    assert len(sizes) >= k // 2, f"only {len(sizes)} non-empty cells of k={k}"
+    mean_cell = n / len(sizes)
+    assert mean_cell <= 2 * S.TARGET_CELL_SIZE, mean_cell
+    # per-cell pairwise work bounded: sum(c^2) is O(N * cell), far from
+    # the fixed-k quadratic (k=8 would make it >= N^2/8 = 8e6 pairs)
+    pair_work = sum(c * c for c in sizes)
+    assert pair_work <= n * 16 * S.TARGET_CELL_SIZE, pair_work
