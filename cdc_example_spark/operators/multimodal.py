@@ -10,7 +10,9 @@ real and tested:
   builtin for binary PPM / uncompressed 24-bpp BMP otherwise — both
   with per-row corruption tolerance (undecodable → ``ok=False`` row,
   never a dead stage) and bit-identical grayscale output on the
-  shared formats. Audio/video codecs remain out of scope
+  shared formats. :func:`decode_audio` is REAL for WAV/PCM (stdlib
+  ``wave`` + NumPy, 16-bit and centered 8-bit). Video and compressed
+  audio codecs remain out of scope
   (:func:`sample_frames_stub` models that stage's shape);
 - :func:`extract_features_stub` is the deterministic fake: a byte-level
   feature extractor with the exact shape a real embedding stage has
@@ -28,6 +30,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -900,3 +903,131 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(_sample, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL WAV/PCM decode (stdlib ``wave`` + NumPy) — closes the
+# "audio codecs are stubs" line for the one container-format the
+# standard library ships (VERDICT r5 item 8). Same discipline as the
+# GIF/APNG decoders: a real parser, per-row corruption tolerance, and
+# property tests against independently-encoded streams
+# (tests/test_multimodal_audio.py).
+# ---------------------------------------------------------------------------
+
+#: decode_audio output: per-row PCM metadata + stats + raw samples.
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("sample_width", LongType()),
+        StructField("n_samples", LongType()),  # frames per channel
+        StructField("peak", LongType()),  # max |sample|, centered scale
+        StructField("rms", DoubleType()),  # sqrt(mean(sample²)), centered
+        StructField("pcm", BinaryType()),  # interleaved <i2 samples
+    ]
+)
+
+
+def wav_bytes(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (interleaved if stereo) as a WAV blob
+    via the stdlib ``wave`` writer — the synth/test-side encoder the
+    decoder is property-tested against."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    wv = wave.open(buf, "wb")
+    try:
+        wv.setnchannels(n_channels)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    finally:
+        wv.close()
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int, float, bytes]:
+    """Parse one WAV blob: (channels, rate, width, frames, peak, rms,
+    pcm-as-<i2-bytes). 16-bit PCM passes through; 8-bit unsigned PCM is
+    centered to the signed scale (x - 128) so peak/rms mean the same
+    thing at both widths. Anything else raises (→ ok=False row)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    wv = wave.open(io.BytesIO(payload), "rb")
+    try:
+        ch, width, rate, nfr = (
+            wv.getnchannels(),
+            wv.getsampwidth(),
+            wv.getframerate(),
+            wv.getnframes(),
+        )
+        frames = wv.readframes(nfr)
+    finally:
+        wv.close()
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif width == 1:  # WAV 8-bit is unsigned; center it
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"unsupported PCM width {width}")
+    if len(x) != nfr * ch:
+        raise ValueError("truncated PCM data")
+    peak = int(np.abs(x).max()) if x.size else 0
+    # sum of squares of ≤2^15-scale ints is exact in float64 far past
+    # any realistic clip length, so rms is engine-reproducible
+    rms = float(np.sqrt(np.mean(x.astype(np.float64) ** 2))) if x.size else 0.0
+    return ch, rate, width, nfr, peak, rms, x.astype("<i2").tobytes()
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """WAV/PCM decode stage — real, stdlib-only.
+
+    mapInPandas over ``MEDIA_SCHEMA`` rows: each payload is parsed by
+    the stdlib ``wave`` reader (RIFF header, fmt fields, frame data),
+    samples land as little-endian int16 with 8-bit payloads centered,
+    and per-row stats (peak, rms over ALL interleaved channels) ride
+    along so downstream quality filters stay JVM-side. Undecodable or
+    unsupported-width payloads yield ``ok=False`` with NULL fields —
+    per-row tolerance, identical to :func:`decode_media`: at 100 TB a
+    fraction of payloads is always corrupt, and decode errors are
+    data, not exceptions. No shuffle; one Arrow crossing.
+    """
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                try:
+                    ch, rate, width, nfr, peak, rms, pcm = _decode_wav(
+                        bytes(payload)
+                    )
+                    rows.append(
+                        (mid, mtype, True, ch, rate, width, nfr, peak, rms, pcm)
+                    )
+                except Exception:
+                    rows.append(
+                        (mid, mtype, False, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "ok", "n_channels",
+                    "sample_rate", "sample_width", "n_samples", "peak",
+                    "rms", "pcm",
+                ],
+            )
+
+    return df.mapInPandas(_decode, AUDIO_SCHEMA)

@@ -330,6 +330,95 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q85 — REAL WAV/PCM audio decode (closes the r5 numbering gap AND one
+# "audio codecs are stubs" line): deterministic int16 PCM clips are
+# synthesized per document (closed-form signal of (doc_id, i)),
+# container-encoded through the stdlib ``wave`` writer, then decoded
+# back by operators/multimodal.decode_audio — a real RIFF/fmt/frames
+# parse — with per-clip stats (duration, peak, RMS) emitted JVM-ready.
+# The oracle computes the SAME stats from the closed-form signal
+# directly, never touching the WAV container: if either the encoder or
+# the decoder mishandled a header field or sample byte order, every
+# row would mismatch — the same independent-encoding discipline as the
+# GIF/APNG frame tests. Scale: one Arrow crossing, no shuffle; corrupt
+# payloads degrade to ok=False rows (pinned in
+# tests/test_multimodal_audio.py), so a 100 TB decode never dies on
+# bad bytes.
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 200 + (doc_id % 32) * 25 AS n
+  FROM documents WHERE doc_id < 40
+), s AS (
+  SELECT doc_id, n, ((doc_id * 31 + t.i * 7919) % 65536) - 32768 AS x
+  FROM d, unnest(range(0, d.n)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+       CAST(ROUND(CAST(ANY_VALUE(n) * 1000.0 / 8000
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS duration_ms,
+       CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+       CAST(ROUND(CAST(SQRT(AVG(CAST(x * x AS DOUBLE)))
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS rms
+FROM s GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query("q85_wav_audio_stats", oracle=_Q85_ORACLE)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode: synth PCM → wave-encode → parse → per-clip stats."""
+    from cdc_example_spark.operators import multimodal as M
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 200 + (d % 32) * 25
+                i = np.arange(n, dtype=np.int64)
+                x = ((d * 31 + i * 7919) % 65536) - 32768
+                payloads.append(M.wav_bytes(x, sample_rate=8000, n_channels=1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = docs.mapInPandas(_synth, M.MEDIA_SCHEMA)
+    dec = M.decode_audio(media)
+    return (
+        dec.filter("ok")
+        .select(
+            "media_id",
+            "n_channels",
+            "sample_rate",
+            "n_samples",
+            dec2(F.col("n_samples") * 1000.0 / F.col("sample_rate")).alias(
+                "duration_ms"
+            ),
+            "peak",
+            dec2(F.col("rms")).alias("rms"),
+        )
+        .transform(small_result_order, "media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q86 — skyline (Pareto frontier) over parts: the cheapest-for-their-
 # size parts, i.e. rows no other part dominates on (lower price,
 # larger size). Computed O(n log n) distributed: distinct (price,
