@@ -35,6 +35,7 @@ def run(
     n_events: int | None = None,
     n_files: int = 5,
     num_buckets: int = 32,
+    scoped_read: bool = True,
 ) -> dict:
     """Run the CDC apply benchmark; returns the metrics dict.
 
@@ -84,7 +85,11 @@ def run(
                 fh.write(json.dumps(rec) + "\n")
                 seq += 1
 
-    sink = KeyedStateSink(path=os.path.join(work, "state"), num_buckets=num_buckets)
+    sink = KeyedStateSink(
+        path=os.path.join(work, "state"),
+        num_buckets=num_buckets,
+        scoped_read=scoped_read,
+    )
     batch_times: list[float] = []
     marks: list[float] = [time.perf_counter()]
 
