@@ -31,49 +31,61 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # new in round 5
-    "q70_ivf_persisted_serving",
-    "q71_event_funnel",
-    "q72_cohort_retention",
-    "q73_zipf_slope",
-    "q74_ntile_deciles",
-    "q75_curation_funnel",
-    "q76_hashed_linear_score",
-    "q77_hourly_anomalies",
-    "q78_resample_interpolate",
-    "q79_pagerank",
-    "q80_embedding_audit",
+    # new in round 6
+    "q85_wav_audio_stats",
+    # modified in round 6: q81's oracle threshold cast + the MG
+    # operator's typed output schema; q86's guarded-window rewrite;
+    # q62/q66/q70 share trained_centroids, whose k is now corpus-sized
+    # (pinned at 8 for the sf0.01 tier, but the code changed — "green
+    # must never mean green for an older build")
     "q81_heavy_hitters",
-    "q82_fuzzy_dedup_pairs",
-    "q83_pps_sample",
-    "q84_markov_transitions",
     "q86_skyline_parts",
-    # modified in round 5
-    "q41_percentiles",        # carrier-row refinement, GK single-execution
-    "q62_ivf_trained_topk",   # trained_centroids session memo
-    "q66_semantic_dedup",     # trained_centroids session memo
-    "q14_count_distinct",     # r5 item 5 measurement target
-    # parked since their r3 green rows (2 rounds old — rotate in, rule 2)
-    "q21_exact_dedup_stats",
-    "q22_cosine_top5",
-    "q23_dedup_survivors",
-    "q24_jaccard_neardup_pairs",
-    "q39_array_ops",
-    "q47_simhash_near_pairs",
-    "q48_asof_join",
-    "q49_snapshot_at",
-    "q50_range_join",
-    "q51_tfidf_top_terms",
-    "q52_bm25_search",
-    "q53_stratified_sample",
-    "q54_bigram_vocab",
-    "q55_decontamination",
-    "q56_repetition_bands",
-    "q57_quantization_audit",
-    "q59_full_outer_join",
-    "q60_set_ops_all",
-    "q61_salted_skew_join",
+    "q62_ivf_trained_topk",
+    "q66_semantic_dedup",
+    "q70_ivf_persisted_serving",
+    # parked since their r4 green rows (2 rounds old — rotate in, rule
+    # 2; VERDICT r5 item 5 names exactly these 35)
+    "q12_top20_lineitems",
+    "q13_set_ops",
+    "q15_string_functions",
+    "q16_orders_by_month",
+    "q17_case_math_bands",
+    "q18_hourly_event_windows",
+    "q19_sessionization",
+    "q20_json_buckets",
+    "q25_rolling_fingerprints",
+    "q26_token_counts",
+    "q27_lang_id_confusion",
+    "q28_quality_scores",
+    "q29_simhash",
+    "q30_cosine_topk_multi",
+    "q31_embedding_neardup_pairs",
+    "q32_minhash_lsh_candidates",
+    "q33_binary_media_meta",
+    "q34_multimodal_features",
+    "q35_pandas_cosine_topk",
+    "q36_ivf_topk",
+    "q37_ranking_family",
+    "q38_approx_distinct",
+    "q40_grouping_sets",
+    "q42_stats_profile",
+    "q43_train_test_split",
+    "q44_pivot_event_counts",
+    "q45_subqueries",
+    "q46_range_frame",
+    "q58_dedup_components",
+    "q63_right_outer_join",
+    "q64_bucketed_colocated_join",
+    "q65_window_distribution",
+    "q67_sequence_packing",
+    "q68_json_schema_profile",
+    "q69_bigram_lm_perplexity",
 ]
+# 41 prioritized; the window's remaining 9 slots fill in registration
+# order (q01–q09, all r5-green — the oldest of the equally-recent
+# rest). After r6 no green row predates r5: the 35 parked names above
+# get r6 rows, and everything else (q01–q11, q14, q21–q24, q39, q41,
+# q47–q57, q59–q61, q71–q80, q82–q84) holds an r5 row. No overflow.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]
