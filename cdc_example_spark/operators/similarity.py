@@ -356,7 +356,14 @@ def build_ivf_index(
         base = base.withColumn(
             "cell", F.element_at(centroid_cells_expr(centroids, "v"), 1)["cid"]
         )
-    base.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Cluster by cell before the partitioned write: without it every
+    # write task emits one file per cell it happens to hold (tasks x
+    # |centroids| files at a corpus-sized centroid count — ~100k tiny
+    # files at 3125 cells x 32 tasks); clustered, the file count is
+    # bounded by |centroids| and each serving probe reads one file.
+    base.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_topk_indexed(

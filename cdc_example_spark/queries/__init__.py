@@ -16,6 +16,7 @@ from cdc_example_spark.queries.registry import (
 from cdc_example_spark.queries import batch as _batch  # noqa: F401
 from cdc_example_spark.queries import curation as _curation  # noqa: F401
 from cdc_example_spark.queries import llm as _llm  # noqa: F401
+from cdc_example_spark.queries import quality as _quality  # noqa: F401
 from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 
 # The correctness driver hash-checks only the FIRST 50 ``all_queries()``
@@ -33,6 +34,11 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 DRIVER_PRIORITY = [
     # new in round 6
     "q85_wav_audio_stats",
+    "q87_sparse_allpairs_cosine",
+    "q88_quality_constraint_audit",
+    "q89_touch_attribution",
+    "q90_sketch_rollup_distinct",
+    "q91_psi_value_drift",
     # modified in round 6: q81's oracle threshold cast + the MG
     # operator's typed output schema; q86's guarded-window rewrite;
     # q62/q66/q70 share trained_centroids, whose k is now corpus-sized
@@ -81,8 +87,8 @@ DRIVER_PRIORITY = [
     "q68_json_schema_profile",
     "q69_bigram_lm_perplexity",
 ]
-# 41 prioritized; the window's remaining 9 slots fill in registration
-# order (q01–q09, all r5-green — the oldest of the equally-recent
+# 46 prioritized; the window's remaining 4 slots fill in registration
+# order (q01–q04, all r5-green — the oldest of the equally-recent
 # rest). After r6 no green row predates r5: the 35 parked names above
 # get r6 rows, and everything else (q01–q11, q14, q21–q24, q39, q41,
 # q47–q57, q59–q61, q71–q80, q82–q84) holds an r5 row. No overflow.

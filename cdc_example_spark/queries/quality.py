@@ -1,0 +1,463 @@
+"""Round-6 pipeline-quality & monitoring queries (q87+).
+
+The operators a large training-data pipeline runs AROUND the corpus
+work the q21–q86 surface already covers: sparse all-pairs document
+similarity (the inverted-index join that complements the MinHash /
+SimHash / embedding near-dup family with an exact lexical one),
+Deequ-style data-quality constraint audits, marketing-style
+first/last-touch attribution, mergeable-sketch distinct rollups
+(the daily-partial → monthly-union pattern that IS how distinct
+counting works at 100 TB), and PSI distribution-drift monitoring
+between time slices. The reference itself has no analytics surface
+(SURVEY.md §2.1 — its only derived state is the keyed last-write-wins
+map, `src/main/resources/static/index.html:87-89,202-216`); everything
+here is the mandated BASELINE.json:6 batch/LLM-pipeline extension,
+with the same oracle-and-determinism discipline as q01–q86.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_example_spark.queries.registry import query
+from cdc_example_spark.queries.util import dec2, small_result_order
+from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
+
+# ---------------------------------------------------------------------------
+# q87 — sparse TF-IDF all-pairs cosine similarity (inverted-index
+# join): exact lexical near-dup pairs with cos >= 0.5 computed in the
+# df-banded token space. This is the AllPairs/PPJoin family's core
+# shape on Spark: weighted postings self-join on token, never a
+# doc x doc theta join. The document-frequency band [2, 50] is the
+# declared posting-list prune — df=1 tokens cannot form a pair (drop
+# them BEFORE the self-join, not after), and df>50 tokens are the
+# stopword-ish lists whose |df|^2 pair fan-out is the classic
+# quadratic blow-up (at 100 TB the band is the recall/cost knob, same
+# contract as q82's length-band blocking). Per-token pair fan-out is
+# therefore bounded by 50*49/2 regardless of corpus size, and the
+# token shuffle that builds the postings is REUSED by both sides of
+# the self-join (ReusedExchange — one exchange, two consumers).
+# Cosine = dot / (norm1 * norm2) with norms over the SAME banded
+# space, so the operator is self-consistent and replayable; the
+# threshold compares the dec2-rounded value so a boundary ulp can
+# never flip membership between engines.
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) * 1.0 AS tf FROM tok GROUP BY 1, 2
+), n AS (
+  SELECT COUNT(*) * 1.0 AS n_docs FROM documents
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), w AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(1.0 + n.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (token), n
+  WHERE dfreq.df BETWEEN 2 AND 50
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sims AS (
+  SELECT doc1, doc2,
+         CAST(ROUND(CAST(p.dot / (x.nrm * y.nrm) AS DECIMAL(28,10)), 2)
+              AS DOUBLE) AS cos_sim
+  FROM pairs p
+  JOIN nrm x ON p.doc1 = x.doc_id
+  JOIN nrm y ON p.doc2 = y.doc_id
+)
+SELECT doc1, doc2, cos_sim FROM sims
+WHERE cos_sim >= 0.5
+ORDER BY doc1, doc2
+"""
+
+
+@query("q87_sparse_allpairs_cosine", oracle=_Q87_ORACLE)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lexical cos>=0.5 pairs via a df-banded inverted-index join."""
+    toks = load_doc_tokens(spark, sf_dir)
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # 1-row corpus size attached via the BNLJ_INTENTIONAL broadcast
+    # scalar pattern (see q83's comment for why there is no hash-join
+    # spelling of "attach a scalar").
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 50))
+    )
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))).alias(
+                "w"
+            ),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(
+        F.col("doc_id").alias("doc1"), "token", F.col("w").alias("w1")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc2"), "token", F.col("w").alias("w2")
+    )
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("doc1"), F.col("nrm").alias("nrm1"))
+    n2 = nrm.select(F.col("doc_id").alias("doc2"), F.col("nrm").alias("nrm2"))
+    return (
+        pairs.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            dec2(F.col("dot") / (F.col("nrm1") * F.col("nrm2"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — data-quality constraint audit (the Deequ pattern): one pass
+# over the fact computes every scalar constraint metric as a partial
+# aggregate (completeness, uniqueness, value ranges, date bounds), and
+# the one relational constraint — referential integrity of
+# orders.o_custkey against customer — is a broadcast anti-join count.
+# Scale: the audit costs ONE fact scan + one broadcast join no matter
+# how many scalar constraints are declared (they're all columns of the
+# same aggregate), which is why this shape (not per-constraint passes)
+# is how Deequ/DQX run on real lakes. Output is the audit report:
+# one row per constraint with its violation count and a passed flag.
+# ---------------------------------------------------------------------------
+
+_Q88_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*) AS row_count,
+         COUNT(*) - COUNT(o_custkey) AS null_custkey,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                   OR o_orderdate >= TIMESTAMP '2002-01-01'
+                  THEN 1 ELSE 0 END) AS bad_date
+  FROM orders
+), ri AS (
+  SELECT COUNT(*) AS orphan_custkey
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT * FROM (
+  SELECT 'complete_o_custkey' AS check_name, CAST(null_custkey AS BIGINT)
+         AS violations, null_custkey = 0 AS passed FROM m
+  UNION ALL
+  SELECT 'date_in_range_o_orderdate', CAST(bad_date AS BIGINT),
+         bad_date = 0 FROM m
+  UNION ALL
+  SELECT 'positive_o_totalprice', CAST(bad_price AS BIGINT),
+         bad_price = 0 FROM m
+  UNION ALL
+  SELECT 'ref_integrity_o_custkey', CAST(orphan_custkey AS BIGINT),
+         orphan_custkey = 0 FROM ri
+  UNION ALL
+  SELECT 'table_not_empty', CAST(CASE WHEN row_count > 0 THEN 0 ELSE 1 END
+         AS BIGINT), row_count > 0 FROM m
+  UNION ALL
+  SELECT 'unique_o_orderkey', CAST(dup_orderkey AS BIGINT),
+         dup_orderkey = 0 FROM m
+)
+ORDER BY check_name
+"""
+
+
+@query("q88_quality_constraint_audit", oracle=_Q88_ORACLE)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit: one scan + one broadcast RI join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = orders.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2002-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+    )
+    ri = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    report = m.crossJoin(F.broadcast(ri)).selectExpr(
+        """stack(6,
+             'complete_o_custkey', null_custkey,
+             'date_in_range_o_orderdate', bad_date,
+             'positive_o_totalprice', bad_price,
+             'ref_integrity_o_custkey', orphan_custkey,
+             'table_not_empty',
+               CAST(CASE WHEN row_count > 0 THEN 0 ELSE 1 END AS BIGINT),
+             'unique_o_orderkey', dup_orderkey
+           ) AS (check_name, violations)"""
+    )
+    return report.select(
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    ).transform(small_result_order, "check_name")
+
+
+# ---------------------------------------------------------------------------
+# q89 — first/last-touch attribution: for every purchase, which event
+# type opened the user's 7-day journey and which immediately preceded
+# the purchase. ONE value-range window per user stream does both
+# (first_value and last_value over the same frame — one sort, one
+# exchange, and that exchange is already elided by the events cache's
+# user_id partitioning, like q10/q19/q84). The frame orders on a
+# tie-broken clock v = epoch_us(ts) * 1000 + event_id % 1000 —
+# monotonic in ts with a deterministic within-microsecond order, so
+# first/last are well-defined even under timestamp collisions (at
+# 100 TB, same-microsecond events per user are routine; an untied
+# RANGE frame would make first/last engine-dependent). The 7-day
+# lookback is expressed on the same clock (days * 86.4e9 us * 1000
+# ticks), exact to the tie-break's +/-1ms — the declared contract,
+# replayed identically by the oracle.
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) * 1000 + event_id % 1000 AS v
+  FROM events
+), j AS (
+  SELECT user_id, event_type, value,
+         first_value(event_type) OVER w AS first_touch,
+         last_value(event_type) OVER w AS last_touch
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY v
+               RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(first_touch, 'none') AS first_touch,
+       COALESCE(last_touch, 'none') AS last_touch,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(28,10)), 2) AS DOUBLE)
+         AS attributed_value
+FROM j WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q89_touch_attribution", oracle=_Q89_ORACLE)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch purchase attribution over a 7-day range frame."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.unix_micros("ts") * F.lit(1000) + F.col("event_id") % 1000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("v")
+        .rangeBetween(-604800000000000, -1)
+    )
+    j = ev.select(
+        "user_id", "event_type", "value", v.alias("v")
+    ).select(
+        "event_type",
+        "value",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.last("event_type").over(w).alias("last_touch"),
+    )
+    return (
+        j.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            dec2(F.sum("value")).alias("attributed_value"),
+        )
+        .transform(small_result_order, "first_touch", "last_touch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — mergeable-sketch distinct rollup (Apache DataSketches HLL via
+# hll_sketch_agg / hll_union_agg): per-(event_type, day) user sketches
+# unioned up to per-type monthly estimates. THIS — partial sketches at
+# the fine grain, lossless union at the coarse one — is how distinct
+# counting actually runs at 100 TB: the daily pass is incremental (a
+# day's sketch is built once, kilobytes persist), and any rollup
+# (weekly/monthly/all-time) is a cheap union of sketches instead of a
+# re-scan of raw events. The estimate is engine-specific, so the
+# driver-hashed output carries the EXACT distinct count plus a
+# within-3-sigma boolean for the unioned estimate — q38's established
+# HLL oracle discipline; the raw estimate accuracy is additionally
+# 3-sigma-tested in pytest.
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_within_3sigma
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# Datasketches HLL_4 at default lgConfigK=12: RSE ~= 1.04/sqrt(2^12)
+# ~= 1.6%; 3 sigma ~= 4.9% — same bound shape as q38's HLL++ contract.
+_HLL_3SIGMA = 0.05
+
+
+@query("q90_sketch_rollup_distinct", oracle=_Q90_ORACLE)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL user sketches unioned to per-type distinct estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_day"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= _HLL_3SIGMA * F.col("exact_users")
+            ).alias("union_within_3sigma"),
+        )
+        .transform(small_result_order, "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — PSI distribution-drift monitor: Population Stability Index of
+# the event value distribution, first half of the month vs second
+# half, per event type. Fixed-width bins (10 x width 10, top bin
+# open) keep the operator replayable — data-dependent bin edges
+# (quantiles) would couple the contract to sketch internals; fixed
+# edges are also what production drift monitors pin so that alerts
+# are comparable across runs. Laplace-smoothed bin shares make
+# empty-bin terms finite. Scale: one scan → partial-agg counts on a
+# (type x bin x half) key bounded by 5*10*2 = 100 groups; everything
+# after operates on that 100-row frame (window denominators + one
+# fold), so the monitor's cost is the scan, full stop. PSI > 0.2 is
+# the conventional "investigate" line, emitted as a flag.
+# ---------------------------------------------------------------------------
+
+_Q91_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(9, GREATEST(0, CAST(FLOOR(value / 10) AS BIGINT))) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half
+  FROM events
+), c AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY 1, 2
+), p AS (
+  SELECT event_type, bin,
+         (ca + 0.5) / (SUM(ca) OVER (PARTITION BY event_type) + 5.0) AS pa,
+         (cb + 0.5) / (SUM(cb) OVER (PARTITION BY event_type) + 5.0) AS pb
+  FROM c
+)
+SELECT event_type,
+       CAST(ROUND(CAST(SUM((pa - pb) * ln(pa / pb)) AS DECIMAL(28,10)), 4)
+            AS DOUBLE) AS psi,
+       CAST(ROUND(CAST(SUM((pa - pb) * ln(pa / pb)) AS DECIMAL(28,10)), 4)
+            AS DOUBLE) > 0.2 AS drifted
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _dec4(col: F.Column) -> F.Column:
+    # q91 PSIs at the driver tiers are O(0.001) — two digits would
+    # round them all to 0.00; four keeps the metric informative while
+    # still absorbing the cross-engine ulp like dec2 does.
+    return F.round(col.cast("decimal(28,10)"), 4).cast("double")
+
+
+@query("q91_psi_value_drift", oracle=_Q91_ORACLE)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the value distribution, first vs second half-month."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 10)),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("half"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    wt = Window.partitionBy("event_type")
+    p = c.select(
+        "event_type",
+        ((F.col("ca") + 0.5) / (F.sum("ca").over(wt) + 5.0)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.sum("cb").over(wt) + 5.0)).alias("pb"),
+    )
+    psi = _dec4(
+        F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")))
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(psi.alias("psi"))
+        .select("event_type", "psi", (F.col("psi") > 0.2).alias("drifted"))
+        .transform(small_result_order, "event_type")
+    )

@@ -80,6 +80,10 @@ _REPLACE = {
 # time-window, shingle self-join, LSH, grouped BLAS, percentile,
 # tf-idf, decontamination, CC. q13/q31 added in r4 (VERDICT r3 item 9:
 # both moved in the r3 bench; keep their scaling behavior measured).
+# q79 added in r6 (VERDICT r5 item 3: at sf0.1 PageRank reads ~2-2.6x
+# DuckDB — ten join/agg stages paying the local-mode stage floor; the
+# claim that the per-iteration shape crosses over at scale needs a
+# measured row like CC's).
 QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -94,9 +98,81 @@ QUERIES = [
     "q51_tfidf_top_terms",
     "q55_decontamination",
     "q58_dedup_components",
+    "q79_pagerank",
 ]
 
 TABLES = list(_REPLACE)
+
+
+def ivf_build_tier(spark, sf_dir: str, k: int) -> dict:
+    """Measure the persisted-IVF BUILD at this shard size (VERDICT r5
+    item 7: the BLAS ``vectorized=True`` build is the 100 TB shape —
+    make it the measured one, and pin assignment equality vs the expr
+    path on the same shard).
+
+    Two recorded numbers per K:
+      - ``build_vectorized_sec``: train ``n_centroids_for(n)`` centroids
+        (the corpus-sized policy, not a fixed k) and build the
+        cell-partitioned index with the BLAS assignment kernel — the
+        cadence a real deployment pays.
+      - the equality pin: both assignment kernels evaluated over EVERY
+        shard vector at the 8.8x-measured 64-centroid config (capped
+        there because the inlined-literal expr at 3000+ centroids is a
+        megabyte-scale expression — exactly why the BLAS path exists);
+        ``assign_mismatches`` must read 0, and ``assign_expr_sec`` /
+        ``assign_blas_sec`` record the kernel A/B on this shard.
+    """
+    from pyspark.sql import functions as F
+
+    from cdc_example_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    nc = SIM.n_centroids_for(n)
+    t0 = time.perf_counter()
+    cents = SIM.train_ivf_centroids_local(emb, n_centroids=nc)
+    train_s = round(time.perf_counter() - t0, 3)
+
+    idx_path = os.path.join(ROOT, f"k{k}", "ivf_index_blas")
+    t0 = time.perf_counter()
+    SIM.build_ivf_index(emb, cents, idx_path, vectorized=True)
+    build_s = round(time.perf_counter() - t0, 3)
+
+    eq_cents = cents if nc <= 64 else SIM.train_ivf_centroids_local(
+        emb, n_centroids=64
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    t0 = time.perf_counter()
+    base.withColumn("c", SIM.assign_cells_vectorized(eq_cents)("v")).agg(
+        F.count_distinct("c")
+    ).collect()
+    blas_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    base.withColumn(
+        "c", F.element_at(SIM.centroid_cells_expr(eq_cents, "v"), 1)["cid"]
+    ).agg(F.count_distinct("c")).collect()
+    expr_s = round(time.perf_counter() - t0, 3)
+    mism = (
+        base.withColumn("c_blas", SIM.assign_cells_vectorized(eq_cents)("v"))
+        .withColumn(
+            "c_expr",
+            F.element_at(SIM.centroid_cells_expr(eq_cents, "v"), 1)["cid"],
+        )
+        .filter(F.col("c_blas") != F.col("c_expr"))
+        .count()
+    )
+    return {
+        "n_vectors": int(n),
+        "n_centroids": nc,
+        "train_sec": train_s,
+        "build_vectorized_sec": build_s,
+        "assign_blas_sec": blas_s,
+        "assign_expr_sec": expr_s,
+        "assign_eq_centroids": len(eq_cents),
+        "assign_mismatches": int(mism),
+    }
 
 
 def generate(k: int) -> str:
@@ -175,6 +251,8 @@ def main() -> None:
             d_times[name] = round(sorted(samples)[1], 3)
         con.close()
 
+        ivf = ivf_build_tier(spark, sf_dir, k)
+
         n_li = duckdb.sql(
             f"SELECT count(*) FROM '{os.path.join(sf_dir, 'lineitem.parquet')}'"
         ).fetchone()[0]
@@ -189,6 +267,7 @@ def main() -> None:
                     "spark_total": st,
                     "duck_total": dtt,
                     "ratio": round(st / dtt, 3) if dtt else None,
+                    "ivf_build": ivf,
                 }
             ),
             flush=True,

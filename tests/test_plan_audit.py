@@ -188,6 +188,12 @@ BNLJ_INTENTIONAL = {
     # heavy hitters broadcasts its 1-row corpus-token-total frame into
     # the threshold filter (the q52/q83 scalar pattern)
     "q81_heavy_hitters",
+    # sparse all-pairs cosine broadcasts its 1-row corpus-size frame
+    # into the IDF weighting (the q52/q83 scalar pattern)
+    "q87_sparse_allpairs_cosine",
+    # the quality audit broadcasts its 1-row RI-violation frame into
+    # the 1-row scalar-metrics frame before the stack() unpivot
+    "q88_quality_constraint_audit",
 }
 
 
