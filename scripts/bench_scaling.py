@@ -26,6 +26,7 @@ Prints one JSON line per K:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -201,7 +202,7 @@ def main() -> None:
 
     from pyspark.sql import DataFrame
 
-    from cdc_example_spark.queries import all_queries
+    from cdc_example_spark.queries import all_queries, registry
     from cdc_example_spark.session import get_spark, scale_profile
     from tests.oracle_harness import duckdb_con
 
@@ -209,8 +210,15 @@ def main() -> None:
 
     for k in ks:
         sf_dir = generate(k)
-        # profile per input size, exactly as bench.py does
-        spark = get_spark(f"bench-scale-k{k}", extra_conf=scale_profile(sf_dir))
+        # profile per input size, exactly as bench.py does; at the big-K
+        # tiers also shorten the ContextCleaner's periodic-GC interval —
+        # shuffle files are only deleted after a JVM GC collects their
+        # orphaned ShuffleDependency refs, and a 14-query × 4-run session
+        # at k=100 accumulates >70 GB of dead spill before the default
+        # 30-min GC ever fires (measured: two k=100 runs died on "No
+        # space left on device" from exactly this).
+        conf = {**scale_profile(sf_dir), "spark.cleaner.periodicGC.interval": "1min"}
+        spark = get_spark(f"bench-scale-k{k}", extra_conf=conf)
         spark.sparkContext.setLogLevel("ERROR")
         _Dataset = spark._jvm.org.apache.spark.sql.classic.Dataset
 
@@ -237,7 +245,25 @@ def main() -> None:
                 t0 = time.perf_counter()
                 collect(fresh)
                 samples.append(time.perf_counter() - t0)
+                # release this sample's shuffle files NOW (outside the
+                # timed window): drop the Python ref, then force a JVM
+                # GC so the ContextCleaner unregisters the orphaned
+                # shuffles. Per-SAMPLE, not per-query: one big-K
+                # self-join query spills several GB per run, and this
+                # host's thin-provisioned disk dies near ~20 GB of
+                # accumulated spill (two k=100 runs measured it the
+                # hard way — both "No space left on device").
+                del fresh
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
             s_times[name] = round(sorted(samples)[1], 3)
+            # the registry memoizes prepared plans per session, which
+            # pins the COLD run's shuffle files too; each query runs
+            # once here, so drop the memo and let GC reclaim them.
+            del prepared
+            registry.invalidate(spark)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
         con = duckdb_con(sf_dir)
         for name in QUERIES:

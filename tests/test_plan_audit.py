@@ -278,3 +278,18 @@ def test_q70_persisted_ivf_serving_prunes_cell_directories(spark, sf_dir):
     # the probe side broadcasts; the serving join must not shuffle the
     # index
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_q87_allpairs_reuses_token_postings_exchange(spark, sf_dir):
+    """The inverted-index self-join must REUSE the weighted-postings
+    token exchange, not build it twice: both sides of the pair join are
+    the same w subtree shuffled on token, so the physical plan should
+    carry at least one ReusedExchange. At 100 TB the postings build
+    (tokenize + tf + df-join) is the expensive part — paying it once
+    vs twice is the difference the pin protects. Also: no cartesian
+    beyond the intentional 1-row corpus-size broadcast."""
+    df = q("q87_sparse_allpairs_cosine", spark, sf_dir)
+    assert_no_cartesian(df, allow_bnlj=True)
+    df.collect()  # AQE: reuse only materializes in the final plan
+    s = plan_summary(df)
+    assert s["reused_exchanges"] >= 1, s

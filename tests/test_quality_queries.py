@@ -1,0 +1,173 @@
+"""Independent checks for the q87–q91 quality/monitoring queries —
+properties the DuckDB oracle can't see (it replays the same algorithm):
+a NumPy brute-force twin for q87, tie-break determinism for q89's
+attribution clock, the raw HLL union estimate's 3σ accuracy for q90,
+and PSI's analytic invariants for q91."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_example_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_q87_matches_numpy_bruteforce(spark, sf_dir):
+    """The inverted-index join must equal a dense brute force over the
+    SAME banded tf-idf space — an independent implementation (pandas
+    tokenize + NumPy matmul), not a replay of the join."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    rows = []
+    for doc_id, text in docs.itertuples(index=False):
+        for tok in text.strip().lower().split():
+            rows.append((doc_id, tok))
+    tf = (
+        pd.DataFrame(rows, columns=["doc_id", "token"])
+        .groupby(["doc_id", "token"])
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    df_counts = tf.groupby("token")["doc_id"].nunique()
+    band = df_counts[(df_counts >= 2) & (df_counts <= 50)]
+    n_docs = float(len(docs))
+    w = tf[tf["token"].isin(band.index)].copy()
+    w["w"] = w["tf"] * np.log(1.0 + n_docs / w["token"].map(band).to_numpy())
+    mat = w.pivot_table(
+        index="doc_id", columns="token", values="w", fill_value=0.0
+    )
+    X = mat.to_numpy(dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    keep = nrm[:, 0] > 0
+    X, ids = X[keep] / nrm[keep], mat.index.to_numpy()[keep]
+    S = X @ X.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(S[i, j], 2) >= 0.5:
+                a, b = int(ids[i]), int(ids[j])
+                expected.add((min(a, b), max(a, b)))
+    got = {
+        (r.doc1, r.doc2)
+        for r in QUERIES["q87_sparse_allpairs_cosine"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_q89_attribution_deterministic_under_ts_collision(spark, sf_dir):
+    """Two events in the same microsecond must attribute deterministically:
+    the frame orders on epoch_us*1000 + event_id%1000, so within a
+    collision the LOWER event_id is earlier. Pin that on a synthetic
+    stream where the collision decides last_touch."""
+    from cdc_example_spark.queries.quality import q89  # noqa: F401 (shape ref)
+
+    rows = [
+        # user 1: two same-µs touches (view id=2, click id=3), then purchase
+        (1, "2024-01-10 10:00:00.000001", 1, "signup", 1.0),
+        (2, "2024-01-10 10:00:05.000000", 1, "view", 1.0),
+        (3, "2024-01-10 10:00:05.000000", 1, "click", 1.0),
+        (4, "2024-01-10 11:00:00.000000", 1, "purchase", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, pd.Timestamp(t).to_pydatetime(), u, ty, v) for i, t, u, ty, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    from pyspark.sql.window import Window
+
+    v = F.unix_micros("ts") * F.lit(1000) + F.col("event_id") % 1000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("v")
+        .rangeBetween(-604800000000000, -1)
+    )
+    out = (
+        ev.select("event_id", "user_id", "event_type", v.alias("v"))
+        .select(
+            "event_type",
+            F.first("event_type").over(w).alias("first_touch"),
+            F.last("event_type").over(w).alias("last_touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0].first_touch == "signup"
+    # id=3 (click) sorts after id=2 (view) within the collided µs
+    assert out[0].last_touch == "click"
+
+
+def test_q90_union_estimate_within_3sigma(spark, sf_dir):
+    """The raw unioned-sketch estimate (not just the output boolean)
+    stays within the documented 3σ band of the exact distinct count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = {
+        r.event_type: r.est
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= 0.05 * n, (t, est[t], n)
+
+
+def test_q91_psi_invariants(spark, sf_dir):
+    """PSI is a sum of (p-q)·ln(p/q) terms, each >= 0 — the metric can
+    never go negative; and identical halves give exactly 0."""
+    out = QUERIES["q91_psi_value_drift"].spark(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r.psi >= 0 for r in out), out
+    # identical halves: duplicate one half into both labels → psi == 0
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    b = ev.select(
+        "event_type",
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 10)))
+        .cast("long")
+        .alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("ca"))
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    p = c.select(
+        "event_type",
+        ((F.col("ca") + 0.5) / (F.sum("ca").over(wt) + 5.0)).alias("pa"),
+    ).withColumn("pb", F.col("pa"))
+    zero = (
+        p.groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+            ).alias("psi")
+        )
+        .collect()
+    )
+    assert all(abs(r.psi) < 1e-12 for r in zero), zero
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q87_sparse_allpairs_cosine",
+        "q88_quality_constraint_audit",
+        "q89_touch_attribution",
+        "q90_sketch_rollup_distinct",
+        "q91_psi_value_drift",
+    ],
+)
+def test_quality_queries_schema_stable(spark, sf_dir, name):
+    df = QUERIES[name].spark(spark, sf_dir)
+    assert len(df.columns) >= 2
+    assert df.count() >= 0
