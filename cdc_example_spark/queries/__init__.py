@@ -33,6 +33,10 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      each run).
 DRIVER_PRIORITY = [
     # new in round 6
+    "q92_scd2_history",
+    "q93_pii_redaction",
+    "q94_bloom_decontamination",
+    "q95_canonical_dedup",
     "q85_wav_audio_stats",
     "q87_sparse_allpairs_cosine",
     "q88_quality_constraint_audit",
@@ -87,11 +91,11 @@ DRIVER_PRIORITY = [
     "q68_json_schema_profile",
     "q69_bigram_lm_perplexity",
 ]
-# 46 prioritized; the window's remaining 4 slots fill in registration
-# order (q01–q04, all r5-green — the oldest of the equally-recent
-# rest). After r6 no green row predates r5: the 35 parked names above
-# get r6 rows, and everything else (q01–q11, q14, q21–q24, q39, q41,
-# q47–q57, q59–q61, q71–q80, q82–q84) holds an r5 row. No overflow.
+# 50 prioritized — the window is exactly full (10 new/changed in r6 +
+# the 5 centroid/operator-touched + the 35 parked-since-r4). After r6
+# no green row predates r5: the 35 parked names above get r6 rows, and
+# everything else (q01–q11, q14, q21–q24, q39, q41, q47–q57, q59–q61,
+# q71–q80, q82–q84) holds an r5 row. No overflow.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

@@ -2320,3 +2320,97 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — SCD2 dimension history from the event changelog: the classic
+# CDC-downstream materialization the reference's last-write-wins map
+# deliberately discards (its keyed state keeps only the CURRENT row per
+# id — src/main/resources/static/index.html:202-216; history is
+# dropped at apply time, operators/keyed_state.py keeps the same
+# contract). SCD2 retains it: per business key (user_id), collapse
+# consecutive runs of the tracked attribute (event_type) into
+# versions, then derive [valid_from, valid_to) intervals with a lead()
+# — the type-2 slowly-changing-dimension build every warehouse runs on
+# top of a Debezium feed. Two window passes over the SAME
+# (user_id)-partitioning — Catalyst plans ONE Exchange reused by both
+# sorts, so at 100 TB the build costs a single shuffle of the
+# changelog, which is the floor for any per-key ordering. Run
+# collapsing uses lag() != current (deterministic: ties broken by
+# event_id, unique), never a self-join. Output is the bounded
+# (attribute x currency) version summary; durations compare in exact
+# integer microseconds before the one dec2 at the end.
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), versions AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT event_type,
+       (valid_to IS NULL) AS is_current,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(CAST(AVG((epoch_us(valid_to) - epoch_us(valid_from)) / 1000000.0)
+                       AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_version_sec,
+       strftime(MIN(valid_from), '%Y-%m-%d %H:%M:%S') AS first_valid_from
+FROM versions
+GROUP BY event_type, is_current
+ORDER BY event_type, is_current
+"""
+
+
+@query("q92_scd2_history", oracle=_Q92_ORACLE)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version summary: run-collapsed event_type versions per user
+    with lead()-derived validity intervals, grouped by (attribute,
+    currency)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            # second window over the SAME partitioning/ordering: the
+            # run-collapse filter is row-local, so Catalyst reuses the
+            # one user_id exchange for this sort too
+            F.lead("ts")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("valid_to"),
+        )
+    )
+    return (
+        versions.groupBy(
+            "event_type", F.col("valid_to").isNull().alias("is_current")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec2(
+                F.avg(
+                    (F.unix_micros("valid_to") - F.unix_micros("valid_from"))
+                    / 1000000.0
+                )
+            ).alias("avg_version_sec"),
+            F.date_format(F.min("valid_from"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_valid_from"
+            ),
+        )
+        .transform(small_result_order, "event_type", "is_current")
+    )

@@ -945,14 +945,10 @@ ORDER BY component_id
 """
 
 
-@query("q58_dedup_components", oracle=_Q58_ORACLE)
-def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: CC over the ≥6-shared-shingle graph.
-
-    Edge generation is the q24 posting-list shape (in-bucket pairs from
-    one corpus pass, 8-byte hashes, ReuseExchange-shared sides); the
-    component loop is operators/graph.connected_components.
-    """
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, component) membership of the ≥6-shared-shingle graph —
+    q58's edge pipeline + CC loop, shared with q95's survivorship
+    pass so both queries agree on cluster identity by construction."""
     from cdc_example_spark.operators.graph import connected_components
 
     tok = (
@@ -978,12 +974,109 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= _Q58_MIN_SHARED)
         .select("d1", "d2")
     )
-    comp = connected_components(edges, src="d1", dst="d2", rounds=_Q58_ROUNDS)
+    return connected_components(edges, src="d1", dst="d2", rounds=_Q58_ROUNDS)
+
+
+@query("q58_dedup_components", oracle=_Q58_ORACLE)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: CC over the ≥6-shared-shingle graph.
+
+    Edge generation is the q24 posting-list shape (in-bucket pairs from
+    one corpus pass, 8-byte hashes, ReuseExchange-shared sides); the
+    component loop is operators/graph.connected_components.
+    """
+    comp = _neardup_components(spark, sf_dir)
     return (
         comp.groupBy(F.col("component").alias("component_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.max("v").alias("max_doc_id"),
+        )
+        .orderBy("component_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — survivorship dedup: the step AFTER clustering that an actual
+# curation pipeline ships. q58 names the near-dup clusters; q95 picks
+# each cluster's canonical document (keep the longest, n_chars DESC
+# with doc_id ASC as the total tie-break — a deterministic
+# survivorship rule, the "keep best quality" policy with length as
+# the quality stand-in) and reports what the dedup retires. Cluster
+# membership is the SAME _neardup_components dataflow as q58, so the
+# two queries can never disagree on cluster identity; the
+# survivorship pick is one row_number() window over (component) —
+# at 100 TB that window shuffles only the cluster MEMBER rows (ids +
+# one int), never documents, and cluster sizes are bounded by the
+# edge threshold, so no partition skews. Oracle: q58's unrolled-CTE
+# label propagation extended with the identical window pick.
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, lang, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS w
+  FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, lang,
+         UNNEST(list_transform(range(GREATEST(len(w) - 2, 0)),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM ws
+), edges AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM tok a JOIN tok b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_Q58_MIN_SHARED}
+), sym AS MATERIALIZED (
+  SELECT d1 AS u, d2 AS w FROM edges UNION ALL SELECT d2, d1 FROM edges
+), l0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (SELECT DISTINCT u AS v FROM sym)
+),
+{_cc_rounds_sql(_Q58_ROUNDS)},
+members AS (
+  SELECT m.lbl AS component_id, m.v AS doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY m.lbl
+                            ORDER BY d.n_chars DESC, m.v) AS rn
+  FROM l{_Q58_ROUNDS} m JOIN documents d ON d.doc_id = m.v
+)
+SELECT component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_retired
+FROM members
+GROUP BY component_id
+ORDER BY component_id
+"""
+
+
+@query("q95_canonical_dedup", oracle=_Q95_ORACLE)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster canonical pick + retirement stats over the q58
+    near-dup components."""
+    comp = _neardup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comp.join(docs, comp.v == docs.doc_id).select(
+        F.col("component").alias("component_id"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = members.select(
+        "component_id", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("canonical_chars"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_retired"),
         )
         .orderBy("component_id")
     )

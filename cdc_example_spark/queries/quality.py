@@ -461,3 +461,135 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "psi", (F.col("psi") > 0.2).alias("drifted"))
         .transform(small_result_order, "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — PII scan + redaction audit: the compliance pass every
+# training-data pipeline runs before a corpus ships (emails, phone
+# numbers, IPv4s -> typed placeholder tokens, with per-language counts
+# of what was found and how many characters the redaction removed).
+# The synthetic corpus is deliberately PII-free (pure word tokens), so
+# the fixture INJECTS deterministic PII-shaped substrings derived from
+# doc_id — identically composed in both engines — and the operator
+# then has real matches to find; on a real corpus the injection step
+# disappears and the scan/redact pipeline is unchanged. Everything is
+# a single projection of JVM regex expressions (regexp_count +
+# chained regexp_replace) followed by one partial-agg'd groupBy on
+# lang: no shuffle of document text, no UDF, scan-bound at 100 TB —
+# the optimal shape for a full-corpus scrub. Patterns stay inside the
+# RE2-compatible subset (character classes, bounded repeats, \\b) so
+# Java regex (Spark) and RE2 (DuckDB) agree match-for-match; the
+# audit counts are exact integers, hash-safe without rounding.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_Q93_ORACLE = rf"""
+WITH aug AS (
+  SELECT lang,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                   ELSE '' END AS text
+  FROM documents
+), scanned AS (
+  SELECT lang, text,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g') AS redacted
+  FROM aug
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS emails,
+       CAST(SUM(n_phones) AS BIGINT) AS phones,
+       CAST(SUM(n_ips) AS BIGINT) AS ips,
+       CAST(SUM(len(text) - len(redacted)) AS BIGINT) AS chars_removed
+FROM scanned
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q93_pii_redaction", oracle=_Q93_ORACLE)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PII scan/redaction audit over the (deterministically
+    PII-injected) document corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IPV4,
+        "[IP]",
+    )
+    scanned = aug.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IPV4)).alias("n_ips"),
+        (F.length("text") - F.length(redacted)).alias("len_delta"),
+    )
+    return (
+        scanned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+                ).cast("long")
+            ).alias("docs_with_pii"),
+            F.sum("n_emails").cast("long").alias("emails"),
+            F.sum("n_phones").cast("long").alias("phones"),
+            F.sum("n_ips").cast("long").alias("ips"),
+            F.sum("len_delta").cast("long").alias("chars_removed"),
+        )
+        .transform(small_result_order, "lang")
+    )

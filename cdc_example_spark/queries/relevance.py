@@ -497,3 +497,108 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — Bloom-prefiltered decontamination: the LARGE-filter-set regime
+# of q55. q55's map-only broadcast-set intersect is the right plan
+# while the benchmark shingle set fits in a broadcast (MBs); when the
+# filter side is itself corpus-sized (a billion-key dedup ledger, a
+# full holdout set), only a Bloom BITMAP over it still broadcasts —
+# 8 KB here, ~1.2 GB per 10^9 keys at 10 bits/key — so the corpus
+# explode is filtered MAP-SIDE (no false negatives, codegen'd
+# hash+shift probes, operators/bloom.py) and the exact confirm join
+# that scrubs false positives shuffles only the surviving fraction
+# instead of the whole (doc, shingle) stream. Same result as the
+# exact join — the oracle IS the plain join — with the shuffle
+# proportional to the true overlap. The confirm join broadcasts at
+# this tier because the bench set is tiny; at the big-filter tier it
+# becomes a shuffle join of survivors, which is exactly the cost the
+# bloom pass just bounded. tests/test_bloom.py pins the no-false-
+# negative property and the plan shape (filter before exchange).
+# ---------------------------------------------------------------------------
+
+_Q94_ORACLE = r"""
+WITH ws AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         UNNEST(list_transform(range(GREATEST(len(w) - 2, 0)),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM ws
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 10
+), corpus AS (
+  SELECT doc_id, lang, s FROM sh WHERE doc_id >= 10
+), sizes AS (
+  SELECT doc_id, lang, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id, lang
+), shared AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN bench b USING (s)
+  GROUP BY c.doc_id
+)
+SELECT z.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / z.n_shingles >= 0.2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_contaminated,
+       CAST(SUM(COALESCE(h.n_shared, 0)) AS BIGINT) AS shared_shingles,
+       CAST(ROUND(CAST(AVG(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / z.n_shingles)
+                       AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_overlap
+FROM sizes z LEFT JOIN shared h USING (doc_id)
+GROUP BY z.lang
+ORDER BY z.lang
+"""
+
+
+@query("q94_bloom_decontamination", oracle=_Q94_ORACLE)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language contamination summary via bloom-prefilter + exact
+    confirm join (the large-filter-set decontamination shape)."""
+    from cdc_example_spark.operators.bloom import bloom_build, bloom_might_contain
+    from cdc_example_spark.queries.llm import _SHINGLES
+
+    m_bits, k = 1 << 16, 4
+    toks = load_doc_tokens(spark, sf_dir)
+    sh = toks.select(
+        "doc_id", "lang", F.array_distinct(F.expr(_SHINGLES)).alias("sh")
+    )
+    bench_h = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.explode("sh").alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    words = bloom_build(bench_h, "h", m_bits=m_bits, k=k)
+    corpus = sh.filter(F.col("doc_id") >= 10).select(
+        "doc_id", "lang", "sh", F.size("sh").alias("n_shingles")
+    )
+    cand = (
+        corpus.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .filter(bloom_might_contain("h", words, m_bits=m_bits, k=k))
+    )
+    shared = (
+        cand.join(F.broadcast(bench_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = corpus.filter(F.col("n_shingles") > 0).select(
+        "doc_id", "lang", "n_shingles"
+    )
+    per_doc = sizes.join(shared, "doc_id", "left").select(
+        "lang",
+        "n_shingles",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((frac >= 0.2).cast("long")).alias("docs_contaminated"),
+            F.sum("n_shared").cast("long").alias("shared_shingles"),
+            dec2(F.avg(frac)).alias("avg_overlap"),
+        )
+        .transform(small_result_order, "lang")
+    )

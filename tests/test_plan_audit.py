@@ -293,3 +293,37 @@ def test_q87_allpairs_reuses_token_postings_exchange(spark, sf_dir):
     df.collect()  # AQE: reuse only materializes in the final plan
     s = plan_summary(df)
     assert s["reused_exchanges"] >= 1, s
+
+
+def test_q92_scd2_single_exchange_for_both_windows(spark, sf_dir):
+    """The run-collapse lag() and the validity lead() partition and
+    order identically (user_id / ts, event_id), so the physical plan
+    must pay ONE hash exchange on user_id — two would shuffle the
+    changelog twice for no new ordering. At 100 TB the single
+    changelog shuffle is the operator's whole cost."""
+    df = q("q92_scd2_history", spark, sf_dir)
+    s = plan_summary(df)
+    # one exchange for the windows + the final single-partition
+    # coalesce path for the bounded summary (partial/final agg pair
+    # may add its own); the load-bearing bound: no SECOND wide
+    # hashpartitioning on user_id
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    user_exchanges = len(
+        re.findall(r"hashpartitioning\(user_id", plan)
+    )
+    assert user_exchanges == 1, f"{user_exchanges} user_id exchanges\n{plan[:3000]}"
+    assert_no_cartesian(df)
+
+
+def test_q95_survivorship_reuses_q58_component_dataflow(spark, sf_dir):
+    """q95 = q58's CC dataflow + one member-rows window + a broadcast
+    join to documents for n_chars. The member join must broadcast the
+    doc-size side or the member side (both are id+int columns), never
+    sort-merge the corpus; and the window must partition on the
+    component id, not on anything document-sized."""
+    df = q("q95_canonical_dedup", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RowNumber" in plan or "row_number" in plan, plan[:2000]
