@@ -171,3 +171,43 @@ def test_quality_queries_schema_stable(spark, sf_dir, name):
     df = QUERIES[name].spark(spark, sf_dir)
     assert len(df.columns) >= 2
     assert df.count() >= 0
+
+
+def test_q92_current_versions_equal_lww_state(spark, sf_dir):
+    """SCD2's is_current=true version per user must agree with the
+    last-write-wins answer the CDC apply would give for the same
+    changelog: the latest event_type per user (ties: highest event_id)
+    — the invariant connecting q92's history build to the reference's
+    keyed LWW map (the SCD2 current slice IS that map, plus history)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lww = {
+        r.user_id: r.cur
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("cur")
+        )
+        .collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id", "event_type",
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .filter(F.col("valid_to").isNull())
+        .collect()
+    )
+    current = {r.user_id: r.event_type for r in versions}
+    assert current == lww
+    # exactly one open version per user with >=1 event
+    assert len(versions) == len(lww)
