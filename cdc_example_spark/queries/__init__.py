@@ -16,6 +16,7 @@ from cdc_example_spark.queries.registry import (
 from cdc_example_spark.queries import batch as _batch  # noqa: F401
 from cdc_example_spark.queries import curation as _curation  # noqa: F401
 from cdc_example_spark.queries import llm as _llm  # noqa: F401
+from cdc_example_spark.queries import pipeline as _pipeline  # noqa: F401
 from cdc_example_spark.queries import quality as _quality  # noqa: F401
 from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 
@@ -32,7 +33,12 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # new in round 6
+    # new in round 6 (late additions first — q96-q99 landed after the
+    # first r6 rotation)
+    "q96_snapshot_diff",
+    "q97_priority_sample",
+    "q98_token_lift",
+    "q99_zorder_box_scan",
     "q92_scd2_history",
     "q93_pii_redaction",
     "q94_bloom_decontamination",
@@ -86,16 +92,20 @@ DRIVER_PRIORITY = [
     "q58_dedup_components",
     "q63_right_outer_join",
     "q64_bucketed_colocated_join",
-    "q65_window_distribution",
-    "q67_sequence_packing",
-    "q68_json_schema_profile",
-    "q69_bigram_lm_perplexity",
 ]
-# 50 prioritized — the window is exactly full (10 new/changed in r6 +
-# the 5 centroid/operator-touched + the 35 parked-since-r4). After r6
-# no green row predates r5: the 35 parked names above get r6 rows, and
-# everything else (q01–q11, q14, q21–q24, q39, q41, q47–q57, q59–q61,
-# q71–q80, q82–q84) holds an r5 row. No overflow.
+# 50 prioritized — the window is exactly full: 14 new/changed in r6
+# (q96–q99 landed after the first r6 rotation and take the head per
+# rule 1) + the 5 centroid/operator-touched + 31 of the 35
+# parked-since-r4. DOCUMENTED OVERFLOW (VERDICT r5 item 5's "if so,
+# prioritize and document"): q65_window_distribution,
+# q67_sequence_packing, q68_json_schema_profile,
+# q69_bigram_lm_perplexity keep their r4 green rows one round longer —
+# rule 1 (new code must be driver-checked NOW) outranks rule 2's
+# 2-round rotation for exactly these four; their modules are
+# byte-unchanged since their r4 rows and tests/test_queries_oracle.py
+# still oracle-checks them locally every run. They head the r7 window.
+# Everything else (q01–q11, q14, q21–q24, q39, q41, q47–q57, q59–q61,
+# q71–q80, q82–q84) holds an r5 row.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

@@ -191,6 +191,9 @@ BNLJ_INTENTIONAL = {
     # sparse all-pairs cosine broadcasts its 1-row corpus-size frame
     # into the IDF weighting (the q52/q83 scalar pattern)
     "q87_sparse_allpairs_cosine",
+    # token-lift broadcasts its 1-row corpus-size frame into the lift
+    # expression (the q52/q83 scalar pattern)
+    "q98_token_lift",
     # the quality audit broadcasts its 1-row RI-violation frame into
     # the 1-row scalar-metrics frame before the stack() unpivot
     "q88_quality_constraint_audit",
