@@ -487,3 +487,51 @@ def blocked_levenshtein_pairs(
         # banded levenshtein reports "past threshold" as -1: exclude it.
         .filter(F.col("dist").between(0, max_dist))
     )
+
+
+def segment_dedup_stats(
+    toks: DataFrame, seg_len: int = 16, tokens_col: str = "ws"
+) -> DataFrame:
+    """Per-document cross-corpus SEGMENT dedup audit (C4/RefinedWeb
+    span-removal at fixed ``seg_len``-token chunk granularity).
+
+    Input: one row per document carrying ``doc_id`` plus a token-array
+    column; every other input column is carried through to the output.
+    Each document explodes into its non-overlapping ``seg_len``-token
+    segments (the trailing partial chunk counts as a segment); the
+    FIRST corpus-wide occurrence of each distinct segment — ordered by
+    (doc_id, position), a deterministic survivorship rule — is "kept",
+    every later occurrence (including repeats within one document) is
+    a dropped duplicate span.
+
+    Output: (carried columns..., n_segs, n_kept) per document.
+
+    Scale shape: segments cross the single segment-shuffle as their
+    sha2-256 — 32-byte keys, never segment text (the exact-dedup
+    discipline); the winner is a row_number window on that hash and
+    the stats are partial-aggregated per doc. At 100 TB the segment
+    table is corpus-sized but each row is (hash, doc_id, pos, carried
+    dims) — the wide text column never leaves the map side.
+    """
+    if seg_len < 1:
+        raise ValueError(f"segment_dedup_stats: seg_len must be >= 1, got {seg_len}")
+    carried = [c for c in toks.columns if c != tokens_col]
+    nseg = F.floor((F.size(tokens_col) + seg_len - 1) / seg_len)
+    seg_texts = F.transform(
+        F.sequence(F.lit(0), (nseg - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(F.col(tokens_col), i * seg_len + 1, seg_len), " "
+        ),
+    )
+    segs = toks.select(
+        *carried, F.posexplode(seg_texts).alias("pos", "seg")
+    ).select(*carried, "pos", F.sha2("seg", 256).alias("seg_h"))
+    w = Window.partitionBy("seg_h").orderBy("doc_id", "pos")
+    return (
+        segs.withColumn("rn", F.row_number().over(w))
+        .groupBy(*carried)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        )
+    )

@@ -617,3 +617,91 @@ def quantize_int8_stats(
             nsat.cast("long").alias("n_saturated"),
         )
     )
+
+
+def lloyd_refine(
+    vectors: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One FULL-CORPUS Lloyd iteration from broadcast ``centroids``.
+
+    ``train_ivf_centroids`` trains on a bounded sample — the honest
+    driver-side shape, but at 100 TB the sample sees one vector in a
+    million. This operator is the missing scale half: the classic
+    distributed k-means step where the corpus never moves and only the
+    centroids do.
+
+    Plan (all declarative, zero collects):
+      1. assign every vector to its nearest input centroid
+         (``centroid_cells_expr`` — inlined literals, broadcast by
+         construction, same (dot desc, cid asc) tie-break as every
+         other consumer);
+      2. recompute centroids as the per-cell element-wise mean via ONE
+         partially-aggregated ``groupBy(cell)`` with ``dim`` ``avg``
+         aggregates — the shuffle carries k·dim doubles per partition,
+         never a vector;
+      3. renormalize to unit length and ROUND each dimension to 6
+         decimals — the cross-engine determinism anchor: both engines'
+         means differ only at summation-order ulps (~1e-15), so both
+         land on the identical 6-dp double and the reassignment below
+         scores IDENTICAL centroid bits;
+      4. collapse the new centroids to ONE row
+         (``collect_list(struct)``), broadcast it, and reassign every
+         vector with a codegen higher-order-function argmax (score
+         rounded to 9 dp, ties to the lowest cid) — no second shuffle,
+         no window.
+
+    Returns (``id_col``, cell0, cell1, score1): the before/after
+    assignment of every vector and its rounded dot against the winning
+    refined centroid. Per-iteration cost at any scale: one corpus scan
+    + one k·dim-wide partial agg + one 1-row broadcast. Callers chain
+    iterations by feeding the refined centroids back in; the movement
+    stats (cell0 != cell1) are the convergence signal.
+    """
+    from cdc_example_spark.functions import vector as V
+
+    dim = len(centroids[0])
+    base = _as_double(vectors, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    )
+    assigned = base.withColumn(
+        "cell0", F.element_at(centroid_cells_expr(centroids, "v"), 1)["cid"]
+    )
+    means = assigned.groupBy("cell0").agg(
+        *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+    )
+    m = F.array(*[F.col(f"m{i}") for i in range(dim)])
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("m", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    refined = (
+        means.select(F.col("cell0").alias("cid"), m.alias("m"))
+        .select(
+            "cid",
+            F.transform("m", lambda x: F.round(x / nrm, 6)).alias("cv"),
+        )
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    )
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(V.dot(F.col("v"), c["cv"]), 9).alias("score"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+    )
+    return (
+        assigned.crossJoin(F.broadcast(refined))
+        .withColumn("best", best)
+        .select(
+            id_col,
+            "cell0",
+            (-F.col("best")["negcid"]).alias("cell1"),
+            F.col("best")["score"].alias("score1"),
+        )
+    )

@@ -478,3 +478,192 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "price", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — distributed Lloyd refinement audit: ONE full-corpus k-means
+# iteration from the trained (sampled) centroids, entirely in-plan.
+# The trainer (operators/similarity.train_ivf_centroids) sees a
+# bounded sample — the honest driver-side shape — but at 100 TB a
+# sample sees one vector in a million; the classic deployment runs
+# sample-seeded init + full-corpus Lloyd steps where only the
+# centroids move. operators/similarity.lloyd_refine is that step:
+# assign (inlined literals) → per-cell element-wise mean (ONE
+# partially-aggregated groupBy carrying k·dim doubles per partition,
+# never a vector) → renormalize + 6-dp round (the cross-engine
+# determinism anchor: both engines' means differ only at summation-
+# order ulps, so both score IDENTICAL refined-centroid bits) → 1-row
+# collect_list broadcast → codegen HOF argmax reassignment (score
+# rounded 9 dp, ties to lowest cid; NO second shuffle, no window).
+# The audit reports per-cell before/after population, arrivals, and
+# mean refined-dot — the convergence signal a training loop watches.
+# Both stat branches consume one tiny (cell0, cell1) pair frame so the
+# corpus-pass exchange is planned once and reused.
+# Oracle: training is iterative but deterministic and sf-scoped, so
+# the sf0.01 centroids are pinned literals (q62 discipline) and the
+# whole refinement replays as window + per-dim-avg SQL.
+# ---------------------------------------------------------------------------
+
+
+def _q100_oracle() -> str:
+    from cdc_example_spark.queries.llm import _pinned_centroid_values_sql
+
+    return f"""
+WITH cen(cid, cv) AS (
+  VALUES
+        {_pinned_centroid_values_sql()}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a0 AS (
+  SELECT vec_id, v, cid AS cell0 FROM (
+    SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, cv) DESC, cid) AS rn
+    FROM v CROSS JOIN cen) WHERE rn = 1
+), dims AS (
+  SELECT cell0, i, AVG(v[CAST(i AS BIGINT)]) AS mval
+  FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dim_idx
+  GROUP BY cell0, i
+), nrm AS (
+  SELECT cell0, sqrt(SUM(mval * mval)) AS nr FROM dims GROUP BY cell0
+), c1 AS (
+  SELECT d.cell0 AS cid, list(ROUND(d.mval / n.nr, 6) ORDER BY d.i) AS cv
+  FROM dims d JOIN nrm n USING (cell0) GROUP BY d.cell0
+), a1 AS (
+  SELECT vec_id, cell0, cid AS cell1, score FROM (
+    SELECT a0.vec_id, a0.cell0, c1.cid,
+           ROUND(list_inner_product(a0.v, c1.cv), 9) AS score,
+           ROW_NUMBER() OVER (PARTITION BY a0.vec_id
+                              ORDER BY ROUND(list_inner_product(a0.v, c1.cv), 9) DESC,
+                                       c1.cid) AS rn
+    FROM a0 CROSS JOIN c1) WHERE rn = 1
+), pairs AS (
+  SELECT cell0, cell1, COUNT(*) AS n, SUM(score) AS s
+  FROM a1 GROUP BY cell0, cell1
+), bef AS (
+  SELECT cell0 AS cell, SUM(n) AS n_before FROM pairs GROUP BY cell0
+), aft AS (
+  SELECT cell1 AS cell, SUM(n) AS n_after,
+         SUM(CASE WHEN cell1 <> cell0 THEN n ELSE 0 END) AS n_moved_in,
+         SUM(s) / SUM(n) AS mean_cos
+  FROM pairs GROUP BY cell1
+)
+SELECT CAST(COALESCE(b.cell, a.cell) AS BIGINT) AS cell,
+       CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(a.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+       CAST(ROUND(CAST(a.mean_cos AS DECIMAL(28,10)), 2) AS DOUBLE) AS mean_cos
+FROM bef b FULL OUTER JOIN aft a ON b.cell = a.cell
+ORDER BY cell
+"""
+
+
+@query("q100_kmeans_lloyd_refine", oracle=_q100_oracle(), oracle_sf="sf0.01")
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell audit of one full-corpus Lloyd step from the trained
+    centroids: population before/after, arrivals, mean refined-dot."""
+    from cdc_example_spark.operators.similarity import lloyd_refine
+    from cdc_example_spark.queries.llm import trained_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = lloyd_refine(emb, trained_centroids(spark, sf_dir))
+    pairs = ref.groupBy("cell0", "cell1").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("score1").alias("s")
+    )
+    bef = pairs.groupBy(F.col("cell0").alias("cell")).agg(
+        F.sum("n").alias("n_before")
+    )
+    aft = pairs.groupBy(F.col("cell1").alias("cell")).agg(
+        F.sum("n").alias("n_after"),
+        F.sum(
+            F.when(F.col("cell1") != F.col("cell0"), F.col("n")).otherwise(0)
+        ).alias("n_moved_in"),
+        (F.sum("s") / F.sum("n")).alias("mean_cos"),
+    )
+    return (
+        bef.join(aft, "cell", "full_outer")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_moved_in", F.lit(0)).cast("long").alias("n_moved_in"),
+            dec2(F.col("mean_cos")).alias("mean_cos"),
+        )
+        .transform(small_result_order, "cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — cross-document SEGMENT-level span dedup (the C4/RefinedWeb
+# "remove repeated spans across the corpus" pass, at fixed 16-token
+# chunk granularity since this corpus has no line structure): explode
+# every document into its non-overlapping 16-token segments, keep only
+# the FIRST occurrence of each distinct segment corpus-wide (ordered
+# by (doc_id, position) — deterministic survivorship), and report the
+# per-language removal audit a curation pipeline reviews before
+# committing the cleaned corpus.
+# Scale shape: segments are grouped by their sha2-256 — 32-byte keys
+# cross the one segment-shuffle, never segment text (the q21 exact-
+# dedup discipline); winner selection is a row_number window on that
+# hash, then per-doc and per-lang partial aggs. Exact-duplicate
+# documents (q21's groups) lose every segment; partially-copied
+# documents lose exactly the copied aligned spans.
+# Oracle groups by the raw segment TEXT — proving at driver scale that
+# the hash-keyed path is lossless (the q94 oracle-=-plain-join
+# pattern).
+# ---------------------------------------------------------------------------
+
+_Q101_SEG = 16
+
+_Q101_ORACLE = r"""
+WITH ws AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+), segs AS (
+  SELECT doc_id, lang, i AS pos,
+         array_to_string(list_slice(w, i*16 + 1, i*16 + 16), ' ') AS seg
+  FROM (SELECT doc_id, lang, w,
+               unnest(range(CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
+        FROM ws)
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_segs,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+  FROM ranked GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_segs) AS BIGINT) AS n_segments,
+       CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+       CAST(SUM(n_segs) - SUM(n_kept) AS BIGINT) AS n_dup_dropped,
+       CAST(SUM(CASE WHEN n_kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fully_dup,
+       CAST(ROUND(CAST(1.0 - CAST(SUM(n_kept) AS DOUBLE) / SUM(n_segs)
+            AS DECIMAL(28,10)), 2) AS DOUBLE) AS dup_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q101_segment_span_dedup", oracle=_Q101_ORACLE)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language audit of first-occurrence 16-token segment dedup."""
+    from cdc_example_spark.operators.dedup import segment_dedup_stats
+
+    toks = load_doc_tokens(spark, sf_dir)
+    per_doc = segment_dedup_stats(toks, seg_len=_Q101_SEG)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_segs").cast("long").alias("n_segments"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+            (F.sum("n_segs") - F.sum("n_kept")).cast("long").alias("n_dup_dropped"),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("n_docs_fully_dup"),
+            dec2(
+                F.lit(1.0) - F.sum("n_kept").cast("double") / F.sum("n_segs")
+            ).alias("dup_frac"),
+        )
+        .transform(small_result_order, "lang")
+    )

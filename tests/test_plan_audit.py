@@ -197,6 +197,9 @@ BNLJ_INTENTIONAL = {
     # the quality audit broadcasts its 1-row RI-violation frame into
     # the 1-row scalar-metrics frame before the stack() unpivot
     "q88_quality_constraint_audit",
+    # Lloyd refinement broadcasts its 1-row refined-centroids frame
+    # into the HOF argmax reassignment (the q52/q83 scalar pattern)
+    "q100_kmeans_lloyd_refine",
 }
 
 
