@@ -705,3 +705,278 @@ def lloyd_refine(
             F.col("best")["score"].alias("score1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse-quantizer) IVF — the declared scale path past the
+# flat index's ~4096-cell ceiling (see n_centroids_for: "beyond
+# ~4096·64 ≈ 256k vectors per index shard the deployment answer is a
+# two-level index — a different operator, not a bigger flat k").
+# Effective cell count = n_coarse × n_fine while every cost that the
+# flat design pays per-cell stays per-LEVEL: the trainer trains
+# n_coarse + Σ n_fine small k-means problems on one bounded sample,
+# assignment scores k1 + k2 centroids per vector instead of k1·k2, and
+# the inlined/broadcast centroid payload grows additively. The lake
+# layout gains a second partition directory (coarse=X/fine=Y/), so a
+# probe prunes MULTIPLICATIVELY: n_probe_coarse/k1 · n_probe_fine/k2
+# of the corpus.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf2_local(
+    vectors: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+    sample_size: int = 8192,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> "tuple[list[list[float]], list[list[list[float]]]]":
+    """Deterministic two-level residual-free spherical k-means trainer.
+
+    Level 1 reuses the flat trainer verbatim (same sampling, same
+    seeding — a two-level index with ``n_coarse`` matching a flat
+    index's k has the IDENTICAL coarse geometry). Level 2 re-reads the
+    SAME deterministic sample, partitions it by its coarse assignment
+    (argmax dot, ties to lowest cid — the one tie-break every consumer
+    uses), and trains an independent spherical k-means inside each
+    coarse cell; a cell with fewer sample members than ``n_fine``
+    trains what it can (min 1 centroid — the empty-cell case reseeds
+    from the coarse centroid itself so the layout always has every
+    (coarse, fine=0) directory it may be asked to serve).
+
+    Returns ``(coarse, fines)`` where ``fines[c]`` lists coarse cell
+    c's fine centroids (unit-norm). Everything is derived from one
+    bounded sample + NumPy, the documented offline-trainer shape.
+    """
+    coarse = train_ivf_centroids_local(
+        vectors, n_coarse, sample_size, n_iters, id_col, vec_col, seed
+    )
+    rows = (
+        _as_double(vectors, vec_col)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("vid")))
+        .orderBy("_h", "vid")
+        .limit(int(sample_size))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vid)
+    X = np.vstack([r.v for r in rows]).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C1 = np.asarray(coarse)
+    a = (X @ C1.T).argmax(axis=1)  # argmax ties -> lowest cid
+
+    fines: "list[list[list[float]]]" = []
+    for c in range(n_coarse):
+        members = X[a == c]
+        if len(members) == 0:
+            fines.append([list(map(float, C1[c]))])
+            continue
+        k = max(1, min(n_fine, len(members)))
+        rng = np.random.default_rng(seed + 7919 * (c + 1))
+        C2 = np.empty((k, X.shape[1]))
+        C2[0] = members[rng.integers(len(members))]
+        d = 1.0 - members @ C2[0]
+        for j in range(1, k):
+            p = np.maximum(d, 0)
+            p = p / p.sum() if p.sum() > 0 else np.full(len(members), 1.0 / len(members))
+            C2[j] = members[rng.choice(len(members), p=p)]
+            d = np.minimum(d, 1.0 - members @ C2[j])
+        for _ in range(n_iters):
+            sims = members @ C2.T
+            aa = sims.argmax(axis=1)
+            for j in range(k):
+                ms = members[aa == j]
+                if len(ms) == 0:
+                    C2[j] = members[sims.max(axis=1).argmin()]
+                else:
+                    m = ms.sum(axis=0)
+                    C2[j] = m / max(np.linalg.norm(m), 1e-12)
+        fines.append([[float(x) for x in C2[j]] for j in range(k)])
+    return coarse, fines
+
+
+def assign_cells2_vectorized(
+    coarse: "list[list[float]]", fines: "list[list[list[float]]]"
+):
+    """Arrow-batched two-level cell assignment: returns a pandas UDF
+    mapping an array<double> column to a struct<coarse int, fine int>.
+
+    Per batch: ONE BLAS matmul against the coarse matrix, then one
+    small matmul per occupied coarse group against that cell's fine
+    matrix — k1 + k2 dots per vector, never k1·k2. Ties break to the
+    lowest cid at both levels (np.argmax), matching the expr path and
+    the trainer.
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C1 = np.asarray(coarse, dtype=np.float64)
+    C2s = [np.asarray(f, dtype=np.float64) for f in fines]
+
+    out_t = StructType(
+        [
+            StructField("coarse", IntegerType()),
+            StructField("fine", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _cells(v: "pd.Series") -> "pd.DataFrame":
+        X = np.vstack(v.to_numpy())
+        a1 = (X @ C1.T).argmax(axis=1)
+        a2 = np.zeros(len(X), dtype=np.int64)
+        for c in np.unique(a1):
+            m = a1 == c
+            a2[m] = (X[m] @ C2s[int(c)].T).argmax(axis=1)
+        return pd.DataFrame({"coarse": a1.astype("int32"), "fine": a2.astype("int32")})
+
+    return _cells
+
+
+def build_ivf2_index(
+    vectors: DataFrame,
+    coarse: "list[list[float]]",
+    fines: "list[list[list[float]]]",
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the two-level index: ``path/coarse=X/fine=Y/``.
+
+    Assignment is the BLAS kernel (the measured 100 TB build shape —
+    build_ivf_index's vectorized path, extended to two levels); the
+    pre-write repartition clusters by BOTH partition columns so the
+    file count is bounded by the effective cell count, one file per
+    (coarse, fine) directory. Same single-path rebuild caveat as
+    build_ivf_index (versioned paths + pointer flip under concurrent
+    readers).
+    """
+    base = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cells = assign_cells2_vectorized(coarse, fines)(F.col("v"))
+    base = base.withColumn(
+        "coarse", cells["coarse"].cast("int")
+    ).withColumn("fine", cells["fine"].cast("int"))
+    # NOTE: two pandas_udf references — Catalyst collapses them into
+    # one ArrowEvalPython node (same UDF instance), so the kernel runs
+    # once per row, not twice; pinned in tests/test_ivf2.py.
+    base.repartition(F.col("coarse"), F.col("fine")).write.mode(
+        "overwrite"
+    ).partitionBy("coarse", "fine").parquet(path)
+
+
+def ivf2_probe_pairs(
+    qv: "np.ndarray",
+    coarse: "list[list[float]]",
+    fines: "list[list[list[float]]]",
+    n_probe_coarse: int,
+    n_probe_fine: int,
+) -> "list[tuple[int, int]]":
+    """Probe set for ONE query vector: the top ``n_probe_coarse``
+    coarse cells by dot, and within each the top ``n_probe_fine`` fine
+    cells. Driver-side NumPy — the serving request is bounded, never
+    corpus data. Ties: numpy argsort is stable on the negated scores,
+    so equal dots order by cid, matching the expr/BLAS tie-break."""
+    C1 = np.asarray(coarse, dtype=np.float64)
+    s1 = qv @ C1.T
+    top_c = np.argsort(-s1, kind="stable")[:n_probe_coarse]
+    pairs: "list[tuple[int, int]]" = []
+    for c in top_c:
+        C2 = np.asarray(fines[int(c)], dtype=np.float64)
+        s2 = qv @ C2.T
+        for f in np.argsort(-s2, kind="stable")[:n_probe_fine]:
+            pairs.append((int(c), int(f)))
+    return pairs
+
+
+def ivf2_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    coarse: "list[list[float]]",
+    fines: "list[list[list[float]]]",
+    k: int = 5,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a :func:`build_ivf2_index` layout.
+
+    The serving request (id, vector) is collected — bounded by the
+    request size, the ivf_topk_indexed precedent — probe (coarse,
+    fine) pairs are computed in NumPy, and the index read is pruned
+    with a disjunction of per-coarse partition predicates
+    (``coarse = c AND fine IN (...)``) that the scan turns into
+    two-level DIRECTORY pruning: a probe reads
+    n_probe_coarse·n_probe_fine of k1·k2 directories. Candidates join
+    the broadcast queries on their probe pairs and one window yields
+    the top-k, cosine-descending with the id tie-break — the exact
+    output contract of cosine_topk/ivf_topk.
+    """
+    q_rows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    per_query = []
+    all_pairs: "set[tuple[int, int]]" = set()
+    for r in q_rows:
+        qv = np.asarray(r.qv, dtype=np.float64)
+        pairs = ivf2_probe_pairs(qv, coarse, fines, n_probe_coarse, n_probe_fine)
+        per_query.append((r.query_id, r.qv, pairs))
+        all_pairs.update(pairs)
+
+    pred = None
+    by_coarse: "dict[int, list[int]]" = {}
+    for c, f in sorted(all_pairs):
+        by_coarse.setdefault(c, []).append(f)
+    for c, fs in by_coarse.items():
+        p = (F.col("coarse") == c) & F.col("fine").isin(fs)
+        pred = p if pred is None else (pred | p)
+    idx = spark.read.parquet(index_path).filter(pred)
+
+    qdf = spark.createDataFrame(
+        [
+            (qid, qv, [[int(c), int(f)] for c, f in pairs])
+            for qid, qv, pairs in per_query
+        ],
+        "query_id long, qv array<double>, probe_pairs array<array<int>>",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        idx.join(
+            F.broadcast(qdf),
+            (F.col("vec_id") != F.col("query_id"))
+            & F.array_contains(
+                F.col("probe_pairs"), F.array(F.col("coarse"), F.col("fine"))
+            ),
+        )
+        .withColumn("cos_sim", V.cosine("v", "qv"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rn")
+    )
+
+
+def ivf2_shape_for(n_vectors: int) -> "tuple[int, int]":
+    """Corpus-sized (n_coarse, n_fine) for the two-level index.
+
+    Same cell-count policy as the flat index (``n_centroids_for`` —
+    cells ≈ N / TARGET_CELL_SIZE) but with the ceiling raised to 65536
+    effective cells, split as a near-square k × k: the trainer solves
+    1 + k small k-means problems and assignment scores 2k centroids
+    per vector instead of k², which is what lifts the flat design's
+    ~4096-cell bound (~256k vectors/shard) to ~65536·64 ≈ 4M
+    vectors/shard before per-shard indexes take over.
+    """
+    import math
+
+    cells = n_centroids_for(n_vectors, hi=65536)
+    k = max(2, math.isqrt(cells - 1) + 1)  # ceil(sqrt(cells))
+    return k, k

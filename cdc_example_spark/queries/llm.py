@@ -1797,3 +1797,148 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — TWO-LEVEL (coarse-quantizer) persisted-IVF serving: the scale
+# path past the flat index's ~4096-cell ceiling (n_centroids_for names
+# it; operators/similarity.py implements it). The session builds the
+# coarse=X/fine=Y lake layout ONCE per (session, sf_dir) with the BLAS
+# two-level assignment kernel (the measured 100 TB build shape), and
+# serving probes the top-2 coarse cells × top-2 fine cells per query —
+# a read that prunes MULTIPLICATIVELY (4 of k1·k2 directories) via
+# two-level partition pruning. Shape policy is corpus-sized
+# (ivf2_shape_for: ~sqrt(N/cell_size) per level), so per-cell scans
+# stay bounded to ~TARGET_CELL_SIZE vectors at any corpus.
+# Oracle: the two-level trainer is iterative but deterministic and
+# sf-scoped, so the sf0.01 coarse+fine centroids are pinned literals
+# (queries/q102_ivf2_sf001.py, regenerated by
+# scripts/gen_q102_oracle_centroids.py, drift-checked in
+# tests/test_ivf2.py) and the whole assignment/probe/serve replays as
+# window SQL — the q62/q70 discipline, one level deeper.
+# ---------------------------------------------------------------------------
+
+_Q102_STATE: "dict[SparkSession, dict[str, tuple]] " = {}
+
+
+def trained_ivf2(spark: SparkSession, sf_dir: str):
+    """Memoized (coarse, fines, index_path) per (session, sf_dir) —
+    the q70 offline-build cadence, two levels deep."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    from cdc_example_spark.operators import similarity as S
+    from cdc_example_spark.queries.registry import record_session_build
+
+    per_session = _Q102_STATE.setdefault(spark, {})
+    key = _os.path.normpath(sf_dir)
+    if key not in per_session:
+        emb = load_table(spark, sf_dir, "embeddings")
+        nc, nf = S.ivf2_shape_for(emb.count())
+        t0 = _time.perf_counter()
+        coarse, fines = S.train_ivf2_local(
+            emb, n_coarse=nc, n_fine=nf, sample_size=512, n_iters=10
+        )
+        record_session_build("ivf2_training", _time.perf_counter() - t0)
+        tag = _hashlib.sha1(key.encode()).hexdigest()[:8]
+        path = _os.path.join(_tempfile.mkdtemp(prefix=f"cdc_ivf2_{tag}_"), "index")
+        t0 = _time.perf_counter()
+        S.build_ivf2_index(emb, coarse, fines, path)
+        record_session_build("ivf2_index_build", _time.perf_counter() - t0)
+        per_session[key] = (coarse, fines, path)
+    return per_session[key]
+
+
+def _q102_oracle() -> str:
+    from cdc_example_spark.queries.q102_ivf2_sf001 import (
+        COARSE_SF001,
+        FINES_SF001,
+    )
+
+    coarse_values = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(c, ", ".join(repr(x) for x in cv))
+        for c, cv in enumerate(COARSE_SF001)
+    )
+    fine_values = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(c, f, ", ".join(repr(x) for x in fv))
+        for c, cell in enumerate(FINES_SF001)
+        for f, fv in enumerate(cell)
+    )
+    return f"""
+WITH coarse(ccid, ccv) AS (
+  VALUES
+        {coarse_values}
+), fine(fcid, ffid, fv) AS (
+  VALUES
+        {fine_values}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a1 AS (
+  SELECT vec_id, v, ccid AS c1 FROM (
+    SELECT vec_id, v, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, ccv) DESC, ccid) AS rn
+    FROM v CROSS JOIN coarse) WHERE rn = 1
+), cand AS (
+  SELECT vec_id, v, c1, ffid AS f1 FROM (
+    SELECT a1.vec_id, a1.v, a1.c1, f.ffid,
+           ROW_NUMBER() OVER (PARTITION BY a1.vec_id
+                              ORDER BY list_inner_product(a1.v, f.fv) DESC, f.ffid) AS rn
+    FROM a1 JOIN fine f ON f.fcid = a1.c1) WHERE rn = 1
+), qv AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10
+), qc AS (
+  SELECT query_id, qv, ccid AS pc FROM (
+    SELECT query_id, qv, ccid,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY list_inner_product(qv, ccv) DESC, ccid) AS crn
+    FROM qv CROSS JOIN coarse) WHERE crn <= 2
+), probe_pairs AS (
+  SELECT query_id, pc, ffid AS pf FROM (
+    SELECT qc.query_id, qc.pc, f.ffid,
+           ROW_NUMBER() OVER (PARTITION BY qc.query_id, qc.pc
+                              ORDER BY list_inner_product(qc.qv, f.fv) DESC, f.ffid) AS frn
+    FROM qc JOIN fine f ON f.fcid = qc.pc) WHERE frn <= 2
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(c.v, q.qv) AS cos_sim
+  FROM cand c
+  JOIN probe_pairs p ON c.c1 = p.pc AND c.f1 = p.pf
+  JOIN qv q ON q.query_id = p.query_id AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       CAST(ROUND(CAST(cos_sim AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim,
+       rn
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+ORDER BY query_id, rn
+"""
+
+
+@query("q102_ivf2_persisted_serving", oracle=_q102_oracle(), oracle_sf="sf0.01")
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 at (2 coarse × 2 fine) probes from the persisted two-level
+    index."""
+    from cdc_example_spark.operators import similarity as S
+
+    coarse, fines, path = trained_ivf2(spark, sf_dir)
+    probes = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = S.ivf2_topk_indexed(
+        spark,
+        path,
+        probes,
+        coarse,
+        fines,
+        k=3,
+        n_probe_coarse=2,
+        n_probe_fine=2,
+    )
+    return out.select(
+        "query_id", "vec_id", dec2(F.col("cos_sim")).alias("cos_sim"), "rn"
+    ).transform(small_result_order, "query_id", "rn")

@@ -257,6 +257,13 @@ def main() -> None:
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
             s_times[name] = round(sorted(samples)[1], 3)
+            # incremental progress line: a crash later in the run (the
+            # k=100 DuckDB phase once filled the disk) must not lose
+            # the timings already measured.
+            print(
+                json.dumps({"k": k, "phase": "spark", "q": name, "sec": s_times[name]}),
+                flush=True,
+            )
             # the registry memoizes prepared plans per session, which
             # pins the COLD run's shuffle files too; each query runs
             # once here, so drop the memo and let GC reclaim them.
@@ -266,15 +273,40 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
         con = duckdb_con(sf_dir)
+        try:
+            # Bound DuckDB's spill: the k=100 run of one oracle (the
+            # q79 unrolled-CTE suspect) wrote >70 GB of .tmp spill and
+            # took the whole disk down, killing the run after every
+            # Spark timing was measured but before any was printed.
+            # With the cap, a spill-hungry oracle fails ITS query and
+            # is recorded as a DNF — an honest baseline datapoint —
+            # instead of killing the host.
+            con.execute("SET max_temp_directory_size='40GiB'")
+        except Exception as e:  # pragma: no cover - depends on duckdb ver
+            print(json.dumps({"k": k, "warn": f"temp cap unsupported: {e}"}), flush=True)
+        d_dnf: dict[str, str] = {}
         for name in QUERIES:
             sql = qs[name].oracle
-            con.execute(sql).fetchdf()  # warm OS cache / catalog
-            samples = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchdf()
-                samples.append(time.perf_counter() - t0)
-            d_times[name] = round(sorted(samples)[1], 3)
+            try:
+                con.execute(sql).fetchdf()  # warm OS cache / catalog
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchdf()
+                    samples.append(time.perf_counter() - t0)
+                d_times[name] = round(sorted(samples)[1], 3)
+                print(
+                    json.dumps(
+                        {"k": k, "phase": "duck", "q": name, "sec": d_times[name]}
+                    ),
+                    flush=True,
+                )
+            except Exception as e:
+                d_dnf[name] = str(e).split("\n")[0][:200]
+                print(
+                    json.dumps({"k": k, "phase": "duck", "q": name, "dnf": d_dnf[name]}),
+                    flush=True,
+                )
         con.close()
 
         ivf = ivf_build_tier(spark, sf_dir, k)
@@ -282,7 +314,12 @@ def main() -> None:
         n_li = duckdb.sql(
             f"SELECT count(*) FROM '{os.path.join(sf_dir, 'lineitem.parquet')}'"
         ).fetchone()[0]
-        st, dtt = round(sum(s_times.values()), 3), round(sum(d_times.values()), 3)
+        # totals compare only the queries BOTH engines finished; DNFs
+        # are reported alongside so a baseline failure can't silently
+        # flatter the ratio.
+        shared = [q_ for q_ in QUERIES if q_ in d_times]
+        st = round(sum(s_times[q_] for q_ in shared), 3)
+        dtt = round(sum(d_times[q_] for q_ in shared), 3)
         print(
             json.dumps(
                 {
@@ -290,8 +327,10 @@ def main() -> None:
                     "rows_lineitem": n_li,
                     "spark": s_times,
                     "duck": d_times,
+                    "duck_dnf": d_dnf,
                     "spark_total": st,
                     "duck_total": dtt,
+                    "shared_queries": len(shared),
                     "ratio": round(st / dtt, 3) if dtt else None,
                     "ivf_build": ivf,
                 }

@@ -200,6 +200,10 @@ BNLJ_INTENTIONAL = {
     # Lloyd refinement broadcasts its 1-row refined-centroids frame
     # into the HOF argmax reassignment (the q52/q83 scalar pattern)
     "q100_kmeans_lloyd_refine",
+    # two-level IVF serving joins the pruned index read to the
+    # broadcast probe frame on a non-equi probe-pair containment
+    # predicate (the q70 serving shape, one level deeper)
+    "q102_ivf2_persisted_serving",
 }
 
 
@@ -283,6 +287,21 @@ def test_q70_persisted_ivf_serving_prunes_cell_directories(spark, sf_dir):
     assert "cell" in pf, pf
     # the probe side broadcasts; the serving join must not shuffle the
     # index
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_q102_two_level_serving_prunes_both_partition_levels(spark, sf_dir):
+    """The two-level index read must prune on BOTH directory columns:
+    the probe predicate is a disjunction of (coarse = c AND fine IN
+    (...)) partition filters, so a probe opens n_probe_coarse ×
+    n_probe_fine of the k1·k2 directories — the multiplicative pruning
+    that lifts the flat design's cell ceiling. Join stays broadcast;
+    the index never shuffles."""
+    df = q("q102_ivf2_persisted_serving", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = plan.split("PartitionFilters", 1)[1][:400]
+    assert "coarse" in pf and "fine" in pf, pf
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
