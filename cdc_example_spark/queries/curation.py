@@ -667,3 +667,85 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — GROUPED_AGG pandas UDF (the vectorized UDAF surface — the one
+# pandas-UDF flavor q22/q31/q34/q35 don't cover): 10%-trimmed mean of
+# order value per market segment, the robust "average order" a
+# monitoring pipeline prefers when whale orders skew plain AVG.
+# The UDAF receives each group as ONE Arrow batch (Spark ships the
+# whole group to a single task — GROUPED_AGG has no partial-agg step
+# BY DESIGN), so it is the right tool exactly when groups are
+# dimension-bounded (5 segments here, each ~N/5 rows shuffled once).
+# At 100 TB with huge groups the same statistic is computed with the
+# SQL rank-filter formulation the oracle uses (two window passes,
+# partial-agg friendly) — the UDAF is the custom-aggregate API
+# surface, exercised and oracle-checked; the rewrite is the declared
+# scale path. trim fraction applies FLOOR(n·0.1) from each end,
+# matching the oracle's integer arithmetic exactly.
+# ---------------------------------------------------------------------------
+
+_Q103_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT segment, price,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY price, 1) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM j
+)
+SELECT segment,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(ROUND(CAST(AVG(CASE WHEN rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+                                 AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+                            THEN price END) AS DECIMAL(28,10)), 2) AS DOUBLE)
+           AS trimmed_mean
+FROM r GROUP BY segment ORDER BY segment
+"""
+
+
+@query("q103_grouped_udaf_trimmed_mean", oracle=_Q103_ORACLE)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean order value per segment via a GROUPED_AGG
+    pandas UDF (vectorized UDAF)."""
+    import numpy as np
+    import pandas as pd
+
+    # real (non-string) annotations: pandas_udf infers GROUPED_AGG from
+    # the Series -> scalar signature via typing.get_type_hints, which
+    # cannot resolve a quoted "pd.Series" against a function-local
+    # import.
+    def _tm(v):
+        x = np.sort(v.to_numpy(dtype="float64"), kind="stable")
+        k = int(len(x) // 10)  # FLOOR(n * 0.1), exact integer arithmetic
+        kept = x[k : len(x) - k]
+        return float(kept.mean()) if len(kept) else float("nan")
+
+    _tm.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = F.pandas_udf(_tm, "double")
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # group size rides a second tiny UDAF over the same single shuffle.
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_agg = F.pandas_udf(_n, "long")
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            n_agg(F.col("price")).alias("n_orders"),
+            dec2(trimmed_mean(F.col("price"))).alias("trimmed_mean"),
+        )
+        .transform(small_result_order, "segment")
+    )
