@@ -390,3 +390,110 @@ def test_state_store_is_rocksdb(spark, tmp_path):
         exts.update(os.path.splitext(f)[1] for f in files)
     assert ".delta" not in exts, exts  # default-provider artifact
     assert {".zip", ".changelog"} & exts, exts  # RocksDB artifacts
+
+
+def test_s11_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, sf_dir, tmp_path
+):
+    """S11: stream–stream LEFT OUTER interval join — the capability S7's
+    inner join doesn't cover: errors with NO click within the hour must
+    emit a null-padded row once the watermark passes their join window
+    (Spark holds the unmatched left in state until err_ts + interval <
+    watermark, THEN emits — the outer result is watermark-gated by
+    design). Two far-future sentinel rows (one per branch, fake users)
+    push both branches' watermarks past every real row's horizon, so
+    the stream's outer output must equal the batch left join exactly:
+    same matched pairs, same unmatched error set. Without the
+    sentinels the tail of the stream would stay in state forever — the
+    documented operational caveat this test also demonstrates."""
+    import datetime
+    import os
+    import time
+
+    from cdc_example_spark.streaming.windows import stream_stream_interval_join
+
+    replay_dir = str(tmp_path / "replay")
+    stream = replay_events_as_stream(spark, sf_dir, replay_dir, n_files=3)
+
+    # sentinels: one error-branch row (user -1) and one click-branch row
+    # (user -2), 30 days past the real data; they match nothing (fake
+    # users) and only advance each branch's watermark.
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + datetime.timedelta(days=30)
+    sent = spark.createDataFrame(
+        [
+            (10**12, far, -1, "error", 0.0, "{}"),
+            (10**12 + 1, far, -2, "click", 0.0, "{}"),
+        ],
+        ev.schema,
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{replay_dir}/f999")
+    for p in os.listdir(f"{replay_dir}/f999"):
+        if p.endswith(".parquet"):
+            full = os.path.join(replay_dir, "f999", p)
+            os.utime(full, (time.time() + 1000, time.time() + 1000))
+
+    errs = stream.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = stream_stream_interval_join(
+        errs,
+        clicks,
+        cond,
+        left_ts="err_ts",
+        right_ts="click_ts",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    matched: set = set()
+    unmatched: set = set()
+
+    def absorb(batch_df, _bid):
+        for r in batch_df.collect():
+            if r["click_id"] is None:
+                unmatched.add(r["err_id"])
+            else:
+                matched.add((r["err_id"], r["click_id"]))
+
+    q = (
+        joined.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    b_errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    b_clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = b_errs.join(b_clicks, cond, "left_outer").collect()
+    b_matched = {
+        (r["err_id"], r["click_id"]) for r in b if r["click_id"] is not None
+    }
+    b_unmatched = {r["err_id"] for r in b if r["click_id"] is None}
+
+    assert matched == b_matched and len(matched) > 0
+    # the error-branch sentinel's own horizon never passes the final
+    # watermark, so it stays in state — exclude it from the contract
+    assert unmatched == b_unmatched and len(unmatched) > 0
