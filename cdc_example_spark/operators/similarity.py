@@ -980,3 +980,74 @@ def ivf2_shape_for(n_vectors: int) -> "tuple[int, int]":
     cells = n_centroids_for(n_vectors, hi=65536)
     k = max(2, math.isqrt(cells - 1) + 1)  # ceil(sqrt(cells))
     return k, k
+
+
+def quantized_cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-arithmetic INT8 cosine top-k: the quantized serving path.
+
+    ``quantize_int8_stats`` (q57) audits the int8 representation; this
+    operator SERVES from it. Each side quantizes to symmetric int8
+    (q_i = round(x_i·127/s), s = max|x|) and the score is computed
+    entirely from the integer codes: with per-vector scales, cosine of
+    the DEQUANTIZED vectors collapses to
+
+        cos_q = Σ q_xi·q_yi / sqrt(Σ q_xi² · Σ q_yi²)
+
+    — the scales cancel, the sums are EXACT integer arithmetic (no
+    summation-order ulps, bit-identical on any engine or partitioning),
+    and only the final sqrt/divide touches floating point. That makes
+    the quantized kernel simultaneously the 4×-smaller/SIMD-friendly
+    serving path AND the most oracle-replayable scorer in the module.
+    Integer norms are precomputed per SIDE (the cosine_topk discipline)
+    so only the int dot runs per pair. Zero vectors (s = 0) are
+    excluded from both sides — they have no direction to score.
+
+    Output contract matches cosine_topk: (query_id, vec_id, cos_q, rn),
+    rn by (cos_q desc, vec_id).
+    """
+
+    def _q(df: DataFrame, out_id: str, out_q: str, out_n: str) -> DataFrame:
+        v = F.col("v")
+        s = F.array_max(F.transform(v, F.abs))
+        base = (
+            _as_double(df, vec_col)
+            .select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
+            .withColumn("s", s)
+            .filter(F.col("s") > 0)
+        )
+        qv = F.transform(
+            v, lambda x: F.round(x * 127 / F.col("s")).cast("long")
+        )
+        return base.withColumn(out_q, qv).select(
+            out_id,
+            out_q,
+            F.aggregate(
+                F.transform(out_q, lambda a: a * a), F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(out_n),
+        )
+
+    cand = _q(candidates, "vec_id", "qx", "nx")
+    qry = _q(queries, "query_id", "qy", "ny")
+    intdot = F.aggregate(
+        F.zip_with("qx", "qy", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("vec_id"))
+    return (
+        cand.join(F.broadcast(qry), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_q",
+            intdot / F.sqrt((F.col("nx") * F.col("ny")).cast("double")),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_q", "rn")
+    )

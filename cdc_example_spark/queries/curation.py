@@ -749,3 +749,67 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — INT8-quantized cosine serving (completes the quantization
+# story: q57 AUDITS the int8 representation, this SERVES from it).
+# With symmetric per-vector scales, cosine of the dequantized vectors
+# collapses to int_dot / sqrt(int_norm_x · int_norm_y) — the scales
+# cancel and every sum is EXACT integer arithmetic, immune to
+# summation-order ulps on any engine or partitioning; only the final
+# sqrt/divide is floating point (identical operands → identical
+# doubles on both engines). The serving join is the q22/q30 broadcast
+# shape with integer-code payloads: 4× smaller than float32 across
+# the broadcast and the scan, and the kernel is the SIMD-integer one
+# a 100 TB deployment wants. Oracle replays the identical quantize →
+# int-dot → rank pipeline; rank ties break by vec_id on both engines.
+# ---------------------------------------------------------------------------
+
+_Q104_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> ABS(x))) AS s
+  FROM v
+), enc AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(x * 127 / s) AS BIGINT)) AS qv
+  FROM q WHERE s > 0
+), nrm AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, a -> a * a)) AS BIGINT) AS n2
+  FROM enc
+), scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                                      i -> c.qv[i] * p.qv[i])) AS BIGINT)
+           / SQRT(CAST(c.n2 AS DOUBLE) * p.n2) AS cos_q
+  FROM nrm c JOIN nrm p ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(ROUND(CAST(cos_q AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_q,
+       rn
+FROM (
+  SELECT query_id, vec_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+ORDER BY query_id, rn
+"""
+
+
+@query("q104_quantized_cosine_topk", oracle=_Q104_ORACLE)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors served from int8 codes (exact-integer scoring)."""
+    from cdc_example_spark.operators.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = quantized_cosine_topk(emb, probes, k=3)
+    return out.select(
+        "query_id", "vec_id", dec2(F.col("cos_q")).alias("cos_q"), "rn"
+    ).transform(small_result_order, "query_id", "rn")

@@ -216,3 +216,42 @@ def test_q102_pinned_oracle_centroids_match_trainer(spark):
     )
     assert coarse == COARSE_SF001
     assert fines == FINES_SF001
+
+
+def test_quantized_topk_tracks_exact_topk(corpus, spark):
+    """INT8 serving (q104): on the clustered fixture the quantized
+    ranking must recover >= 80% of the exact float top-3 and every
+    quantized score must sit within the int8 resolution of the exact
+    cosine (|err| <= ~2/127 for unit vectors)."""
+    from cdc_example_spark.operators.similarity import quantized_cosine_topk
+
+    X, df = corpus
+    queries = df.filter(F.col("vec_id") < 8)
+    exact = {}
+    for r in cosine_topk(df, queries, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+        exact[(r.query_id, r.vec_id)] = r.cos_sim
+    got = {}
+    for r in quantized_cosine_topk(df, queries, k=3).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(r.cos_q - exact[(r.query_id, r.vec_id)]) <= 2.0 / 127
+    hits = sum(
+        len(exact[q] & got[q]) for q in range(8) if q in exact and q in got
+    )
+    assert hits / (3 * 8) >= 0.8
+
+
+def test_quantized_topk_drops_zero_vectors(spark):
+    from cdc_example_spark.operators.similarity import quantized_cosine_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector: no direction, must not score
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = quantized_cosine_topk(df, df.filter("vec_id = 0"), k=5).collect()
+    assert {r.vec_id for r in rows} == {1}

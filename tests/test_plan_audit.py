@@ -204,6 +204,9 @@ BNLJ_INTENTIONAL = {
     # broadcast probe frame on a non-equi probe-pair containment
     # predicate (the q70 serving shape, one level deeper)
     "q102_ivf2_persisted_serving",
+    # quantized serving is the q22/q30 broadcast-probe shape with
+    # int8-code payloads (vec_id != query_id non-equi condition)
+    "q104_quantized_cosine_topk",
 }
 
 
