@@ -1,0 +1,147 @@
+"""Avro/Schema-Registry envelope variant (streaming/avro_envelope.py).
+
+Three layers of checks, mirroring the JSON wire-contract suite:
+  1. codec round-trips (incl. varint edge values and truncation);
+  2. the Spark decode is column-for-column identical to the JSON
+     path's decode_envelope on the SAME logical change sequence —
+     the converter choice must be a one-line swap;
+  3. the decoded stream drives apply-side routing like the JSON path
+     (delete iff after IS NULL, unroutable keys dropped).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+
+from cdc_example_spark.streaming import avro_envelope as A
+from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+from tests.cdc_fixtures import envelope, row_image
+
+
+def test_varint_round_trip_edges():
+    for n in (0, -1, 1, 63, -64, 64, 2**31, -(2**31), 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        buf = bytearray()
+        A._write_long(buf, n)
+        got, pos = A._read_long(bytes(buf), 0)
+        assert (got, pos) == (n, len(buf)), n
+
+
+def test_record_union_round_trip():
+    img = {
+        "id": "u-1",
+        "create_time": "2025-10-26T23:21:07.999533Z",
+        "update_time": "2025-10-26T23:21:08.000000Z",
+        "message": "héllo wörld",  # utf-8 multibyte
+        "username": "alice",
+    }
+    val = {
+        "before": None,
+        "after": img,
+        "source": {
+            "version": "3.2.2.Final",
+            "connector": "postgresql",
+            "name": "messages",
+            "ts_ms": 1,
+            "lsn": 10016,
+        },
+        "op": "c",
+        "ts_ms": 1761523268027,
+    }
+    buf = A.avro_encode(A.VALUE_SCHEMA, val)
+    got, pos = A.avro_decode(A.VALUE_SCHEMA, buf)
+    assert pos == len(buf)
+    assert got == val
+
+
+def test_confluent_frame_and_truncation():
+    framed = A.confluent_frame(42, b"\x02hi")
+    assert framed[0] == 0 and len(framed) == 5 + 3
+    sid, body = A.confluent_unframe(framed)
+    assert (sid, body) == (42, b"\x02hi")
+    with pytest.raises(ValueError):
+        A.confluent_unframe(b"\x01\x00\x00\x00\x2a")  # bad magic
+    with pytest.raises(ValueError):
+        A.avro_decode(A.KEY_SCHEMA, b"\x10abc")  # string cut short
+
+
+def _changes():
+    img1 = row_image(
+        "k-1",
+        "2025-10-26T23:21:07.999533Z",
+        "2025-10-26T23:21:07.999533Z",
+        "first",
+        "alice",
+    )
+    img2 = dict(img1, update_time="2025-10-26T23:22:00.000000Z", message="second")
+    return [
+        ("c", "k-1", None, img1, 10008, 1761523268027),
+        ("u", "k-1", img1, img2, 10016, 1761523268130),
+        ("d", "k-1", img2, None, 10024, 1761523268254),
+    ]
+
+
+def _decoded_rows(df):
+    return [
+        (
+            r.key_id,
+            None if r.before is None else tuple(r.before),
+            None if r.after is None else tuple(r.after),
+            r.op,
+            r.lsn,
+            r.ts_ms,
+        )
+        for r in df.orderBy("lsn").collect()
+    ]
+
+
+def test_avro_decode_equals_json_decode(spark):
+    """The converter swap contract: identical typed rows from both
+    wire formats for the same logical change sequence."""
+    json_records = [
+        Row(**envelope(op, kid, before=b, after=a, lsn=lsn, ts_ms=ts))
+        for op, kid, b, a, lsn, ts in _changes()
+    ]
+    avro_records = [
+        Row(key=k, value=v)
+        for op, kid, b, a, lsn, ts in _changes()
+        for k, v in [A.encode_change(kid, op, b, a, lsn, ts)]
+    ]
+    jdf = decode_envelope(spark.createDataFrame(json_records))
+    adf = A.decode_avro_envelope(
+        spark.createDataFrame(avro_records, "key binary, value binary")
+    )
+    assert jdf.schema == adf.schema
+    assert _decoded_rows(jdf) == _decoded_rows(adf)
+
+
+def test_avro_routing_matches_reference_semantics(spark):
+    avro_records = [
+        Row(key=k, value=v)
+        for op, kid, b, a, lsn, ts in _changes()
+        for k, v in [A.encode_change(kid, op, b, a, lsn, ts)]
+    ]
+    # plus one unroutable record (garbage key) — must be dropped
+    avro_records.append(Row(key=b"\x00\x00\x00\x00\x01\xff", value=avro_records[0].value))
+    decoded = A.decode_avro_envelope(
+        spark.createDataFrame(avro_records, "key binary, value binary")
+    )
+    routed = route_changes(decoded).orderBy("lsn").collect()
+    assert [r.is_delete for r in routed] == [False, False, True]
+    assert routed[-1].after is None
+    assert routed[0].after.message == "first"
+
+
+def test_schema_id_is_carried_and_checked():
+    k, v = A.encode_change("k-9", "c", None, {
+        "id": "k-9",
+        "create_time": "2025-10-26T23:21:07Z",
+        "update_time": "2025-10-26T23:21:07Z",
+        "message": "m",
+        "username": "u",
+    }, 1, 2, key_schema_id=7, value_schema_id=9)
+    assert A.confluent_unframe(k)[0] == 7
+    assert A.confluent_unframe(v)[0] == 9
