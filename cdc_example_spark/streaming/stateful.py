@@ -217,3 +217,114 @@ def funnel_with_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization with EVENT-TIME TIMEOUT (S12): the
+# GroupStateTimeout surface the other two stateful operators don't
+# exercise. session_window (S6) gives declarative sessions; this is the
+# imperative twin a pipeline reaches for when sessions need custom
+# close logic — and the only way a session can EMIT on silence (no
+# further events for the user) is the state-store timeout: the state
+# registers last_event + gap as its timeout timestamp, and when the
+# WATERMARK passes it, Spark invokes the function with hasTimedOut for
+# exactly that key, with no new rows. Sessions whose closing gap is
+# visible inside the data (a later event > gap away) close inline
+# without waiting. In-order source contract, like S10.
+# ---------------------------------------------------------------------------
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_key_fn(gap_us: int):
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "start_us": start, "end_us": last, "n_events": n}]
+            )
+            return
+        ts = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in pdf["t"].to_numpy()
+        )
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        state.update(tuple(cur))
+        # timeout at last + gap; the API requires a value beyond the
+        # current watermark, so clamp forward when the key is already
+        # behind it (emission slips to the clamp, session bounds don't).
+        timeout_ms = max(
+            cur[1] // 1000 + gap_us // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "start_us": c[0],
+                        "end_us": c[1],
+                        "n_events": c[2],
+                    }
+                    for c in closed
+                ]
+            )
+
+    return fn
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    gap_us: int = 30 * 60 * 1_000_000,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-user sessions over (user_id, ts) with silence-triggered close.
+
+    Output (append mode): one row per CLOSED session. A session closes
+    either inline (a later event arrives > gap after the previous) or
+    via the event-time timeout when the watermark passes last + gap —
+    the mechanism that lets the pipeline flush sessions for users who
+    simply stopped, which no data-driven operator can do.
+    """
+    from pyspark.sql import functions as F
+
+    coded = events.withWatermark("ts", watermark_delay).select(
+        "user_id", F.unix_micros("ts").alias("t"), F.col("ts")
+    )
+    return coded.groupBy("user_id").applyInPandasWithState(
+        _session_key_fn(gap_us),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

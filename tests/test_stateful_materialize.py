@@ -155,3 +155,85 @@ def test_s10_streaming_funnel_matches_batch_fold(spark, tmp_path):
         got = last[uid]
         assert got[:3] == exp, (uid, got, exp)
         assert got[3] == sum(1 for t in exp if t >= 0)
+
+
+def test_s12_event_time_timeout_sessionization_matches_oracle(spark, tmp_path):
+    """sessionize_with_state over an in-order replay must emit exactly
+    the sessions a python fold of each user's full sequence computes —
+    inline-closed sessions (gap visible in the data) AND
+    timeout-closed ones (the user's final session, flushed when the
+    far-future sentinel advances the watermark past last + gap)."""
+    import json
+    import random
+
+    from cdc_example_spark.streaming.stateful import sessionize_with_state
+
+    GAP_US = 600 * 1_000_000  # 10 minutes
+    rng = random.Random(77)
+    events = []  # (user_id, t_micros)
+    base = 1_700_000_000_000_000
+    for uid in range(25):
+        t = base + rng.randint(0, 120) * 1_000_000
+        for _ in range(rng.randint(1, 20)):
+            # mixture of small steps (same session) and > gap jumps
+            step = rng.choice([5, 30, 200, 500, 700, 1500, 4000])
+            t += step * 1_000_000
+            events.append((uid, t))
+    events.sort(key=lambda e: e[1])
+
+    # independent oracle: same gap fold per user
+    expect = set()
+    for uid in range(25):
+        ts = sorted(t for u, t in events if u == uid)
+        if not ts:
+            continue
+        cur = [ts[0], ts[0], 1]
+        for t in ts[1:]:
+            if t - cur[1] > GAP_US:
+                expect.add((uid, cur[0], cur[1], cur[2]))
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        expect.add((uid, cur[0], cur[1], cur[2]))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    third = len(events) // 3
+    chunks = [events[:third], events[third : 2 * third], events[2 * third :]]
+    # sentinels LAST: a fake far-future user advances the watermark past
+    # every real session's last + gap — and a SECOND, later sentinel
+    # batch is required because timeouts fire during the batch AFTER
+    # the watermark advance (the operator evaluates hasTimedOut keys at
+    # batch start against the watermark the previous batch produced).
+    far = max(t for _, t in events) + 30 * 86400 * 1_000_000
+    chunks.append([(-1, far)])
+    chunks.append([(-2, far + 86400 * 1_000_000)])
+    for i, chunk in enumerate(chunks):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for uid, t in chunk:
+                f.write(json.dumps({"user_id": uid, "t": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, t long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .selectExpr("user_id", "timestamp_micros(t) AS ts")
+    )
+    q = (
+        sessionize_with_state(stream, gap_us=GAP_US, watermark_delay="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_s12")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_s12").collect()
+        if r.user_id >= 0
+    }
+    assert got == expect and len(expect) > 25  # real session splits occurred
