@@ -26,9 +26,9 @@ sys.path.insert(0, REPO)
 
 S_SUITE_FILES = [
     "tests/test_cdc_apply.py",            # S1–S3 (+ write-path invariants)
-    "tests/test_streaming_windows.py",    # S4–S7
+    "tests/test_streaming_windows.py",    # S4–S7 + S11 (outer interval join)
     "tests/test_incremental_agg.py",      # S8
-    "tests/test_stateful_materialize.py", # S9 (applyInPandasWithState)
+    "tests/test_stateful_materialize.py", # S9/S10/S12 (applyInPandasWithState)
 ]
 
 
