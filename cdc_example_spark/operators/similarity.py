@@ -930,13 +930,14 @@ def ivf2_topk_indexed(
         per_query.append((r.query_id, r.qv, pairs))
         all_pairs.update(pairs)
 
-    pred = None
+    # OR-of-partition-predicates; the False seed makes an empty request
+    # plan an empty (still correct) read instead of crashing on filter(None)
+    pred = F.lit(False)
     by_coarse: "dict[int, list[int]]" = {}
     for c, f in sorted(all_pairs):
         by_coarse.setdefault(c, []).append(f)
     for c, fs in by_coarse.items():
-        p = (F.col("coarse") == c) & F.col("fine").isin(fs)
-        pred = p if pred is None else (pred | p)
+        pred = pred | ((F.col("coarse") == c) & F.col("fine").isin(fs))
     idx = spark.read.parquet(index_path).filter(pred)
 
     qdf = spark.createDataFrame(
