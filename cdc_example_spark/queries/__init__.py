@@ -35,6 +35,7 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 DRIVER_PRIORITY = [
     # new in round 6 (late additions first — q100/q101 landed after
     # q96-q99, which landed after the first r6 rotation)
+    "q105_bpe_merge_rounds",
     "q104_quantized_cosine_topk",
     "q103_grouped_udaf_trimmed_mean",
     "q102_ivf2_persisted_serving",
@@ -91,20 +92,21 @@ DRIVER_PRIORITY = [
     "q40_grouping_sets",
     "q42_stats_profile",
     "q43_train_test_split",
-    "q44_pivot_event_counts",
 ]
-# 50 prioritized — the window is exactly full: 19 new/changed in r6
-# (q104/q103/q102/q100/q101 then q96–q99 landed after the first r6
-# rotation and take the head per rule 1) + the 5
-# centroid/operator-touched + 26 of the 35 parked-since-r4.
+# 50 prioritized — the window is exactly full: 20 new/changed in r6
+# (q105/q104/q103/q102/q100/q101 then q96–q99 landed after the first
+# r6 rotation and take the head per rule 1) + the 5
+# centroid/operator-touched + 25 of the 35 parked-since-r4.
 # DOCUMENTED OVERFLOW (VERDICT r5 item 5's "if so, prioritize and
-# document"): q45_subqueries, q46_range_frame, q58_dedup_components,
+# document"): q44_pivot_event_counts, q45_subqueries, q46_range_frame,
+# q58_dedup_components,
 # q63_right_outer_join, q64_bucketed_colocated_join,
 # q65_window_distribution, q67_sequence_packing,
 # q68_json_schema_profile, q69_bigram_lm_perplexity keep their r4
 # green rows one round longer — rule 1 (new code must be
 # driver-checked NOW) outranks rule 2's 2-round rotation for exactly
-# these nine; their modules are byte-unchanged since their r4 rows
+# these ten; their modules have only additive hunks since their r4
+# rows (the r5-verdict-accepted standard)
 # and tests/test_queries_oracle.py still oracle-checks them locally
 # every run. They head the r7 window. Everything else (q01–q11, q14,
 # q21–q24, q39, q41, q47–q57, q59–q61, q71–q80, q82–q84) holds an r5

@@ -602,3 +602,146 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — BPE-style iterative pair merging (the tokenizer-training core
+# op q54's static n-gram counts lead up to): two unrolled merge
+# rounds, each = count adjacent token pairs corpus-wide → pick the
+# top pair (count desc, pair text asc) → rewrite the corpus with the
+# pair fused into one token → recount. Entirely declarative on BOTH
+# engines: the winning pair is a 1-row broadcast crossJoined into a
+# column-argument `replace(corpus, ' a b ', ' a_b ')`, so no driver
+# hop and no UDF — the corpus rewrite is per-row codegen.
+# Declared merge semantics (identical on both engines by construction
+# of non-overlapping leftmost-first substring replace): an occurrence
+# whose leading space was consumed by the immediately preceding merge
+# is skipped this round — the word2phrase behavior, not full BPE
+# greedy re-scan; the NEXT round sees it. Counts are exact integers.
+# Scale: pair counting is map-side combined on pair strings (at 100 TB
+# you'd hash them — the q21 discipline); each round adds one corpus
+# scan + one 1-row broadcast; rounds are the explicit unroll knob the
+# way q58/q79 unroll their iterations.
+# ---------------------------------------------------------------------------
+
+_Q105_ORACLE = r"""
+WITH c0 AS (
+  SELECT doc_id, ' ' || array_to_string(
+           regexp_split_to_array(TRIM(LOWER(text)), '\s+'), ' ') || ' ' AS s
+  FROM documents
+), p1 AS (
+  SELECT pair, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT regexp_split_to_array(TRIM(s), '\s+') AS w FROM c0)
+  ) GROUP BY pair
+), m1 AS (
+  SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+), c1 AS (
+  SELECT doc_id,
+         replace(s, ' ' || m1.pair || ' ', ' ' || replace(m1.pair, ' ', '_') || ' ') AS s
+  FROM c0, m1
+), p2 AS (
+  SELECT pair, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT regexp_split_to_array(TRIM(s), '\s+') AS w FROM c1)
+  ) GROUP BY pair
+), m2 AS (
+  SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+), c2 AS (
+  SELECT doc_id,
+         replace(s, ' ' || m2.pair || ' ', ' ' || replace(m2.pair, ' ', '_') || ' ') AS s
+  FROM c1, m2
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+  FROM (SELECT unnest(regexp_split_to_array(TRIM(s), '\s+')) AS token FROM c2)
+  GROUP BY token
+)
+SELECT stage, item, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT 'merge1' AS stage, pair AS item, cnt, 1 AS rnk FROM m1
+  UNION ALL
+  SELECT 'merge2', pair, cnt, 1 FROM m2
+  UNION ALL
+  SELECT 'vocab', token, cnt, rnk FROM vocab WHERE rnk <= 10
+)
+ORDER BY stage, rnk, item
+"""
+
+
+def _pair_counts(corpus: DataFrame) -> DataFrame:
+    """Adjacent-pair counts of a one-column (' tok tok ... ') corpus."""
+    w = F.split(F.trim("s"), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(
+            F.element_at(w, i.cast("int")),
+            F.lit(" "),
+            F.element_at(w, (i + 1).cast("int")),
+        ),
+    )
+    return (
+        corpus.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_round(corpus: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """One merge round: (winning 1-row (pair, cnt) frame, rewritten corpus)."""
+    top = _pair_counts(corpus).orderBy(F.col("cnt").desc(), "pair").limit(1)
+    merged = corpus.crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+            F.concat(
+                F.lit(" "),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("_")),
+                F.lit(" "),
+            ),
+        ).alias("s"),
+    )
+    return top, merged
+
+
+@query("q105_bpe_merge_rounds", oracle=_Q105_ORACLE)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled BPE-style merges + the resulting top-10 vocabulary."""
+    from pyspark.sql.window import Window
+
+    toks = load_doc_tokens(spark, sf_dir)
+    c0 = toks.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")).alias("s"),
+    )
+    m1, c1 = _merge_round(c0)
+    m2, c2 = _merge_round(c1)
+    w = F.split(F.trim("s"), r"\s+")
+    # top-10 FIRST (TakeOrderedAndProject — never a vocabulary-sized
+    # single-task sort), then the unpartitioned rank window runs on 10
+    # rows only.
+    vocab = (
+        c2.select(F.explode(w).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token"))
+            ),
+        )
+    )
+    out = (
+        m1.select(F.lit("merge1").alias("stage"), F.col("pair").alias("item"), "cnt", F.lit(1).alias("rnk"))
+        .unionAll(
+            m2.select(F.lit("merge2").alias("stage"), F.col("pair").alias("item"), "cnt", F.lit(1).alias("rnk"))
+        )
+        .unionAll(
+            vocab.select(F.lit("vocab").alias("stage"), F.col("token").alias("item"), "cnt", "rnk")
+        )
+        .select("stage", "item", F.col("cnt").cast("long").alias("cnt"), F.col("rnk").cast("long").alias("rnk"))
+    )
+    return out.transform(small_result_order, "stage", "rnk", "item")
