@@ -1052,3 +1052,46 @@ def quantized_cosine_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_q", "rn")
     )
+
+
+def sharded_ivf2_topk(
+    spark,
+    shards: "list[tuple[str, list[list[float]], list[list[list[float]]]]]",
+    queries: DataFrame,
+    k: int = 5,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k across MANY two-level indexes — the ladder's last
+    rung (``ivf2_shape_for``: past ~65536 cells ≈ 4 M vectors/shard,
+    "per-shard indexes take over").
+
+    ``shards`` is [(index_path, coarse, fines), ...] — each shard is an
+    independently trained/built :func:`build_ivf2_index` over a
+    disjoint id-partition of the corpus. Every shard serves its own
+    probed top-k (each read prunes to its own probed directories), the
+    shard results union — a union of already-k-bounded frames, k·|shards|
+    rows per query, never corpus data — and ONE window re-ranks
+    globally. With full probes this is EXACTLY brute force over the
+    union of shards (pinned in tests/test_ivf2.py); with partial
+    probes the recall knobs stay per-shard.
+    """
+    per_shard = [
+        ivf2_topk_indexed(
+            spark, path, queries, coarse, fines,
+            k=k, n_probe_coarse=n_probe_coarse, n_probe_fine=n_probe_fine,
+            id_col=id_col, vec_col=vec_col,
+        )
+        for path, coarse, fines in shards
+    ]
+    merged = per_shard[0]
+    for df in per_shard[1:]:
+        merged = merged.unionAll(df)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        merged.select("query_id", "vec_id", "cos_sim")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

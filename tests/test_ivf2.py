@@ -255,3 +255,33 @@ def test_quantized_topk_drops_zero_vectors(spark):
     )
     rows = quantized_cosine_topk(df, df.filter("vec_id = 0"), k=5).collect()
     assert {r.vec_id for r in rows} == {1}
+
+
+def test_sharded_router_full_probe_equals_exact(corpus, spark, tmp_path_factory):
+    """Two disjoint shards, each with its own trained two-level index:
+    the router's full-probe serve must equal brute force over the whole
+    corpus — union-of-top-k + one re-rank window loses nothing."""
+    from cdc_example_spark.operators.similarity import sharded_ivf2_topk
+
+    X, df = corpus
+    queries = df.filter(F.col("vec_id") < 6)
+    half = len(X) // 2
+    shards = []
+    for i, part in enumerate(
+        (df.filter(F.col("vec_id") < half), df.filter(F.col("vec_id") >= half))
+    ):
+        coarse, fines = train_ivf2_local(part, 3, 2, sample_size=512, seed=5 + i)
+        path = str(tmp_path_factory.mktemp(f"shard{i}") / "index")
+        build_ivf2_index(part, coarse, fines, path)
+        shards.append((path, coarse, fines))
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rn): r.vec_id
+        for r in sharded_ivf2_topk(
+            spark, shards, queries, k=3, n_probe_coarse=3, n_probe_fine=2
+        ).collect()
+    }
+    assert got == exact
