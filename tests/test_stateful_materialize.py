@@ -122,6 +122,13 @@ def test_s10_streaming_funnel_matches_batch_fold(spark, tmp_path):
         with open(src / f"b{i}.jsonl", "w") as f:
             for uid, t, ty in chunk:
                 f.write(json.dumps({"user_id": uid, "t": t, "event_type": ty}) + "\n")
+    # explicit mtime spacing — the in-order source contract must not
+    # hinge on same-mtime tie-breaking (see S12's flake postmortem)
+    import os
+    import time
+
+    for i in range(3):
+        os.utime(src / f"b{i}.jsonl", (time.time() + i, time.time() + i))
 
     stream = (
         spark.readStream.schema("user_id long, t long, event_type string")
@@ -213,6 +220,15 @@ def test_s12_event_time_timeout_sessionization_matches_oracle(spark, tmp_path):
         with open(src / f"b{i}.jsonl", "w") as f:
             for uid, t in chunk:
                 f.write(json.dumps({"user_id": uid, "t": t}) + "\n")
+    # EXPLICIT mtime spacing (replay_events_as_stream's discipline): the
+    # file source orders same-mtime files arbitrarily, and a sentinel
+    # processed early blasts the watermark forward — every open session
+    # then times out prematurely (observed as a flaky split/miss set).
+    import os
+    import time
+
+    for i in range(len(chunks)):
+        os.utime(src / f"b{i}.jsonl", (time.time() + i, time.time() + i))
 
     stream = (
         spark.readStream.schema("user_id long, t long")
@@ -229,7 +245,8 @@ def test_s12_event_time_timeout_sessionization_matches_oracle(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    q.awaitTermination()  # availableNow terminates; a bounded wait
+    # can return early under full-suite load and read partial results
     assert q.exception() is None
     got = {
         (r.user_id, r.start_us, r.end_us, r.n_events)

@@ -474,7 +474,8 @@ def test_s11_stream_stream_left_outer_join_emits_unmatched_after_watermark(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    q.awaitTermination()  # availableNow terminates; a bounded wait
+    # can return early under full-suite load and read partial results
     assert q.exception() is None
 
     b_errs = ev.filter(F.col("event_type") == "error").select(
