@@ -1095,3 +1095,66 @@ def sharded_ivf2_topk(
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def ivf2_upsert(
+    vectors: DataFrame,
+    coarse: "list[list[float]]",
+    fines: "list[list[list[float]]]",
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, int]]":
+    """Incrementally ADD vectors to an existing :func:`build_ivf2_index`
+    layout — the nightly "append today's embeddings" maintenance op, so
+    a growing corpus never pays a full rebuild between retraining
+    cadences.
+
+    The new batch is assigned with the same BLAS kernel the build used,
+    unioned with the CURRENT contents of only its touched
+    (coarse, fine) cells, and written back with dynamic partition
+    overwrite — untouched cells are never read, listed, or rewritten
+    (the keyed_state bucket discipline applied to the ANN lake). The
+    read-back of touched cells is what keeps one file per cell instead
+    of one file per upsert batch per cell. Returns the touched pairs.
+
+    Caveats shared with build_ivf2_index: assignments use the CURRENT
+    centroids (drifted data degrades recall until the offline retrain,
+    never correctness — full-probe remains exact); single-path rebuild
+    is not safe under concurrent readers (versioned paths + pointer
+    flip in a real deployment).
+    """
+    spark = vectors.sparkSession
+    base = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cells = assign_cells2_vectorized(coarse, fines)(F.col("v"))
+    incoming = (
+        base.withColumn("coarse", cells["coarse"].cast("int"))
+        .withColumn("fine", cells["fine"].cast("int"))
+        .localCheckpoint()  # pin assignments; the write must not re-run the UDF
+    )
+    touched = sorted(
+        (int(r.coarse), int(r.fine))
+        for r in incoming.select("coarse", "fine").distinct().collect()
+    )
+    pred = F.lit(False)
+    by_coarse: "dict[int, list[int]]" = {}
+    for c, f in touched:
+        by_coarse.setdefault(c, []).append(f)
+    for c, fs in by_coarse.items():
+        pred = pred | ((F.col("coarse") == c) & F.col("fine").isin(fs))
+    current = spark.read.parquet(path).filter(pred).select(
+        "vec_id", "v", "coarse", "fine"
+    )
+    merged = current.unionAll(
+        incoming.select("vec_id", "v", "coarse", "fine")
+    ).localCheckpoint()  # materialize BEFORE overwriting what it reads
+    (
+        merged.repartition(F.col("coarse"), F.col("fine"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("coarse", "fine")
+        .parquet(path)
+    )
+    return touched

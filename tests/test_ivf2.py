@@ -285,3 +285,68 @@ def test_sharded_router_full_probe_equals_exact(corpus, spark, tmp_path_factory)
         ).collect()
     }
     assert got == exact
+
+
+def test_ivf2_upsert_touches_only_new_cells_and_serves_like_full_build(
+    corpus, trained, spark, tmp_path_factory
+):
+    """Build on the first half, upsert the second: (a) the index must
+    end up row-identical to a from-scratch full build (same cells, same
+    vectors), (b) untouched cells' files must NOT be rewritten, and (c)
+    full-probe serving from the upserted index equals brute force."""
+    import glob
+
+    from cdc_example_spark.operators.similarity import ivf2_upsert
+
+    X, df = corpus
+    coarse, fines = trained
+    half = len(X) // 2
+    path = str(tmp_path_factory.mktemp("upsert") / "index")
+    build_ivf2_index(df.filter(F.col("vec_id") < half), coarse, fines, path)
+
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    touched = ivf2_upsert(
+        df.filter(F.col("vec_id") >= half), coarse, fines, path
+    )
+    assert touched  # the second half lands somewhere
+
+    # (a) row-identical to the full build
+    full_path = str(tmp_path_factory.mktemp("full") / "index")
+    build_ivf2_index(df, coarse, fines, full_path)
+    got = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in spark.read.parquet(path).select("vec_id", "coarse", "fine").collect()
+    }
+    want = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in spark.read.parquet(full_path)
+        .select("vec_id", "coarse", "fine")
+        .collect()
+    }
+    assert got == want
+
+    # (b) untouched cells' files survive byte-date-identical
+    touched_dirs = {f"coarse={c}{os.sep}fine={f}" for c, f in touched}
+    for f, mt in before.items():
+        rel = os.path.relpath(f, path)
+        cell = os.sep.join(rel.split(os.sep)[:2])
+        if cell not in touched_dirs:
+            assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+
+    # (c) full-probe serving == brute force
+    queries = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    served = {
+        (r.query_id, r.rn): r.vec_id
+        for r in ivf2_topk_indexed(
+            spark, path, queries, coarse, fines, k=3,
+            n_probe_coarse=N_COARSE, n_probe_fine=N_FINE,
+        ).collect()
+    }
+    assert served == exact
