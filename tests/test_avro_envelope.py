@@ -145,3 +145,34 @@ def test_schema_id_is_carried_and_checked():
     }, 1, 2, key_schema_id=7, value_schema_id=9)
     assert A.confluent_unframe(k)[0] == 7
     assert A.confluent_unframe(v)[0] == 9
+
+
+def test_garbage_value_rows_decode_to_unapplied_nulls(spark):
+    """A record whose VALUE fails to decode must not kill the batch:
+    the row keeps its key but carries no image/lsn, so routing treats
+    it as nothing applicable (after NULL + lsn NULL) — the per-row
+    tolerance the JSON path has via from_json-returns-NULL."""
+    from pyspark.sql import Row
+
+    good_k, good_v = A.encode_change(
+        "k-ok", "c", None,
+        {
+            "id": "k-ok",
+            "create_time": "2025-10-26T23:21:07Z",
+            "update_time": "2025-10-26T23:21:07Z",
+            "message": "m",
+            "username": "u",
+        },
+        5, 6,
+    )
+    bad = Row(key=good_k, value=b"\x00\x00\x00\x00\x09\xff\xff")  # truncated body
+    rows = A.decode_avro_envelope(
+        spark.createDataFrame([Row(key=good_k, value=good_v), bad],
+                              "key binary, value binary")
+    ).collect()
+    assert len(rows) == 2
+    ok = [r for r in rows if r.lsn is not None]
+    broken = [r for r in rows if r.lsn is None]
+    assert len(ok) == 1 and ok[0].after.message == "m"
+    assert len(broken) == 1 and broken[0].key_id == "k-ok"
+    assert broken[0].after is None and broken[0].op is None
