@@ -673,10 +673,15 @@ def lloyd_refine(
         *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
     )
     m = F.array(*[F.col(f"m{i}") for i in range(dim)])
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("m", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-        )
+    # guarded like the trainer's update step: a perfectly cancelling
+    # cell (zero mean vector) must not divide by 0 into NaN centroids
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform("m", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+            )
+        ),
+        F.lit(1e-12),
     )
     refined = (
         means.select(F.col("cell0").alias("cid"), m.alias("m"))

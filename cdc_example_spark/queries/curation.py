@@ -525,7 +525,8 @@ WITH cen(cid, cv) AS (
   FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dim_idx
   GROUP BY cell0, i
 ), nrm AS (
-  SELECT cell0, sqrt(SUM(mval * mval)) AS nr FROM dims GROUP BY cell0
+  SELECT cell0, GREATEST(sqrt(SUM(mval * mval)), 1e-12) AS nr
+  FROM dims GROUP BY cell0
 ), c1 AS (
   SELECT d.cell0 AS cid, list(ROUND(d.mval / n.nr, 6) ORDER BY d.i) AS cv
   FROM dims d JOIN nrm n USING (cell0) GROUP BY d.cell0
