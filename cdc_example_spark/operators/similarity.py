@@ -393,18 +393,42 @@ def ivf_topk_indexed(
     HOF path because its DuckDB oracle replays those sequential folds
     exactly; top-k SETS are pinned equal across the two kernels in
     pytest.
+
+    Past 256 centroids the probe side switches to driver-side NumPy on
+    the collected request: the inlined expression is megabyte-scale at
+    corpus-sized k and measured 61 s of pure probe overhead at 3125
+    cells — slower than brute force. The switch cannot touch any
+    oracle tier (q70 serves at k ≤ ~80) and is the same bounded
+    request-side collect the expression path already does; ties break
+    (dot desc, cid asc) identically via stable argsort.
     """
-    qry = (
-        _as_double(queries, vec_col)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn(
-            "probe_cells",
-            F.transform(
-                F.slice(centroid_cells_expr(centroids, "qv"), 1, n_probe),
-                lambda s: s["cid"],
-            ),
+    if len(centroids) > 256:
+        C = np.asarray(centroids, dtype=np.float64)
+        q_rows = (
+            _as_double(queries, vec_col)
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+            .collect()
         )
-    )
+        qdf_rows = []
+        for r in q_rows:
+            s = np.asarray(r.qv, dtype=np.float64) @ C.T
+            cells = [int(c) for c in np.argsort(-s, kind="stable")[:n_probe]]
+            qdf_rows.append((r.query_id, r.qv, cells))
+        qry = spark.createDataFrame(
+            qdf_rows, "query_id long, qv array<double>, probe_cells array<int>"
+        )
+    else:
+        qry = (
+            _as_double(queries, vec_col)
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+            .withColumn(
+                "probe_cells",
+                F.transform(
+                    F.slice(centroid_cells_expr(centroids, "qv"), 1, n_probe),
+                    lambda s: s["cid"],
+                ),
+            )
+        )
     probe_cells = sorted(
         r[0]
         for r in qry.select(F.explode("probe_cells").alias("c")).distinct().collect()
