@@ -63,8 +63,17 @@ def materialize(
     trigger_once: bool = False,
     processing_time: str = "500 milliseconds",
     agg_sinks: "Sequence[object] | None" = None,
+    converter: str = "json",
 ) -> StreamingQuery:
     """Start the decode→route→apply query against ``sink``.
+
+    ``converter`` selects the envelope wire format — ``"json"``
+    (JsonConverter, the reference's active config) or ``"avro"``
+    (the Confluent AvroConverter variant the reference ships commented
+    out; ``streaming/avro_envelope.py``). The decoders share an output
+    contract, so everything downstream of the decode is literally the
+    same code — the one-line swap Kafka Connect users expect
+    (pipeline parity pinned end-to-end in tests/test_avro_envelope.py).
 
     ``on_batch`` is the in-process pub/sub analog (reference A7): extra
     listeners (websocket fan-out, metrics) observe each routed
@@ -81,7 +90,15 @@ def materialize(
     table already holds history bootstraps its first version from the
     pre-batch base snapshot, so attachment time doesn't matter.
     """
-    routed = route_changes(decode_envelope(raw_stream))
+    if converter == "avro":
+        from cdc_example_spark.streaming.avro_envelope import decode_avro_envelope
+
+        decoded = decode_avro_envelope(raw_stream)
+    elif converter == "json":
+        decoded = decode_envelope(raw_stream)
+    else:
+        raise ValueError(f"materialize: unknown converter {converter!r}")
+    routed = route_changes(decoded)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -102,3 +119,22 @@ def materialize(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def file_avro_cdc_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based AVRO CDC source (the ``converter="avro"`` test double):
+    parquet files carrying Confluent-framed binary (key, value) columns
+    — the byte-for-byte shape a Kafka source with AvroConverter
+    producers would deliver."""
+    return (
+        spark.readStream.schema("key BINARY, value BINARY")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # one parquet DIRECTORY per replayed batch (writers emit
+        # part files + _SUCCESS): recurse and glob like the S-test
+        # replay harness, or the source lists zero files
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

@@ -176,3 +176,82 @@ def test_garbage_value_rows_decode_to_unapplied_nulls(spark):
     assert len(ok) == 1 and ok[0].after.message == "m"
     assert len(broken) == 1 and broken[0].key_id == "k-ok"
     assert broken[0].after is None and broken[0].op is None
+
+
+def test_avro_pipeline_parity_with_json_materialize(spark, tmp_path):
+    """End-to-end converter swap: the SAME change sequence replayed
+    once as JSON lines and once as Confluent-framed Avro parquet must
+    materialize IDENTICAL final state through the same
+    decode→route→apply pipeline (materialize(converter=...))."""
+    import os
+    import time
+
+    from cdc_example_spark.operators.keyed_state import KeyedStateSink
+    from cdc_example_spark.streaming.materialize import (
+        file_avro_cdc_source,
+        file_cdc_source,
+        materialize,
+    )
+
+    changes = _changes() + [
+        ("c", "k-2", None, row_image(
+            "k-2", "2025-10-26T23:25:00Z", "2025-10-26T23:25:00Z", "other", "bob"
+        ), 10032, 1761523268400),
+    ]
+
+    # JSON replay
+    jsrc = tmp_path / "json_in"
+    jsrc.mkdir()
+    for i, (op, kid, b, a, lsn, ts) in enumerate(changes):
+        with open(jsrc / f"b{i}.jsonl", "w") as f:
+            f.write(json.dumps(envelope(op, kid, before=b, after=a, lsn=lsn, ts_ms=ts)) + "\n")
+        os.utime(jsrc / f"b{i}.jsonl", (time.time() + i, time.time() + i))
+    jsink = KeyedStateSink(path=str(tmp_path / "jstate"), num_buckets=4)
+    q = materialize(
+        file_cdc_source(spark, str(jsrc)),
+        jsink,
+        str(tmp_path / "jckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+
+    # Avro replay of the SAME changes
+    asrc = tmp_path / "avro_in"
+    asrc.mkdir()
+    from pyspark.sql import Row
+
+    for i, (op, kid, b, a, lsn, ts) in enumerate(changes):
+        k, v = A.encode_change(kid, op, b, a, lsn, ts)
+        spark.createDataFrame(
+            [Row(key=k, value=v)], "key binary, value binary"
+        ).coalesce(1).write.mode("overwrite").parquet(str(asrc / f"b{i:03d}"))
+    # mtime spacing (the S12 discipline)
+    paths = sorted(
+        os.path.join(r, fn)
+        for r, _d, fs in os.walk(asrc)
+        for fn in fs
+        if fn.endswith(".parquet")
+    )
+    for j, p in enumerate(paths):
+        os.utime(p, (time.time() + j, time.time() + j))
+    asink = KeyedStateSink(path=str(tmp_path / "astate"), num_buckets=4)
+    q2 = materialize(
+        file_avro_cdc_source(spark, str(asrc)),
+        asink,
+        str(tmp_path / "ackpt"),
+        trigger_once=True,
+        converter="avro",
+    )
+    q2.awaitTermination()
+    assert q2.exception() is None
+
+    def state(sink):
+        df = sink.snapshot(spark)  # MESSAGES schema: id is the key
+        return {
+            r.id: (str(r.create_time), str(r.update_time), r.message, r.username)
+            for r in df.collect()
+        }
+
+    js, as_ = state(jsink), state(asink)
+    assert js == as_ and "k-2" in js  # k-1 deleted, k-2 live, byte-equal
