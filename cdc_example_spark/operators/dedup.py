@@ -517,12 +517,19 @@ def segment_dedup_stats(
         raise ValueError(f"segment_dedup_stats: seg_len must be >= 1, got {seg_len}")
     carried = [c for c in toks.columns if c != tokens_col]
     nseg = F.floor((F.size(tokens_col) + seg_len - 1) / seg_len)
-    seg_texts = F.transform(
-        F.sequence(F.lit(0), (nseg - 1).cast("int")),
-        lambda i: F.array_join(
-            F.slice(F.col(tokens_col), i * seg_len + 1, seg_len), " "
+    # nseg == 0 (empty token array) must yield ZERO segments, but
+    # F.sequence(0, -1) defaults to step -1 and returns [0, -1] —
+    # two phantom segments that would pollute corpus-wide
+    # first-occurrence state. Guard with an explicit empty array.
+    seg_texts = F.when(
+        F.size(tokens_col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), (nseg - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(F.col(tokens_col), i * seg_len + 1, seg_len), " "
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     segs = toks.select(
         *carried, F.posexplode(seg_texts).alias("pos", "seg")
     ).select(*carried, "pos", F.sha2("seg", 256).alias("seg_h"))

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from cdc_example_spark.functions import vector as V
@@ -414,8 +415,25 @@ def ivf_topk_indexed(
             s = np.asarray(r.qv, dtype=np.float64) @ C.T
             cells = [int(c) for c in np.argsort(-s, kind="stable")[:n_probe]]
             qdf_rows.append((r.query_id, r.qv, cells))
+        # Derive query_id's type from the input schema: the expr path
+        # (and cosine_topk/ivf_topk) accept any id type, and a
+        # hardcoded 'long' would silently narrow this path's contract
+        # for string/int ids (ADVICE r6).
         qry = spark.createDataFrame(
-            qdf_rows, "query_id long, qv array<double>, probe_cells array<int>"
+            qdf_rows,
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[id_col].dataType, True
+                    ),
+                    T.StructField(
+                        "qv", T.ArrayType(T.DoubleType(), True), True
+                    ),
+                    T.StructField(
+                        "probe_cells", T.ArrayType(T.IntegerType(), True), True
+                    ),
+                ]
+            ),
         )
     else:
         qry = (

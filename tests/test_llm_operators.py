@@ -776,6 +776,43 @@ def test_vectorized_index_build_matches_expr_assignment(spark, sf_dir, tmp_path)
     assert joined.count() == emb.count()
 
 
+def test_ivf_indexed_driver_probe_path_keeps_generic_id_type(spark, tmp_path):
+    """The >256-centroid driver-side NumPy probe path must honor the
+    function's generic id contract (ADVICE r6: a hardcoded 'long'
+    createDataFrame schema broke string/int query ids that the expr
+    path accepts). Serve with STRING query ids through the driver path
+    at full probe and require exact agreement with brute-force
+    cosine_topk on ids, ranks, and the preserved id type. (String ids
+    on BOTH sides — the self-match exclusion compares vec_id to
+    query_id directly, so id types must agree across the two inputs.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_centroids, dim, n_vecs = 300, 4, 24
+    C = [[float(x) for x in row] for row in rng.normal(size=(n_centroids, dim))]
+    vecs = spark.createDataFrame(
+        [
+            (f"v-{i:02d}", [float(x) for x in rng.normal(size=dim)])
+            for i in range(n_vecs)
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    path = str(tmp_path / "idx300")
+    S.build_ivf_index(vecs, C, path)
+
+    queries = vecs.filter(F.col("vec_id") < F.lit("v-03"))
+    out = S.ivf_topk_indexed(
+        spark, path, queries, C, k=3, n_probe=n_centroids
+    )
+    assert dict(out.dtypes)["query_id"] == "string"
+    got = {(r["query_id"], r["vec_id"], r["rn"]) for r in out.collect()}
+    brute = {
+        (r["query_id"], r["vec_id"], r["rn"])
+        for r in S.cosine_topk(vecs, queries, k=3).collect()
+    }
+    assert got == brute and len(got) == 9
+
+
 def test_ivf_indexed_serving_pandas_kernel_matches_hof(spark, sf_dir, tmp_path):
     """ivf_topk_indexed(use_pandas_udf=True) — the Arrow serve kernel —
     must return the same top-k SETS as the HOF-expression path (values

@@ -145,6 +145,24 @@ def test_segment_dedup_trailing_partial_chunk_counts(spark):
     assert stats == {0: (2, 2), 1: (1, 1)}
 
 
+def test_segment_dedup_empty_token_array_yields_no_segments(spark):
+    """A zero-token doc must contribute ZERO segments (ADVICE r6:
+    F.sequence(0, -1) defaults to step -1 and would emit [0, -1] — two
+    phantom empty-string segments poisoning first-occurrence state).
+    The empty doc emits no output row (oracle parity) and must not
+    steal first-occurrence from a real doc's segments either.
+    """
+    docs = spark.createDataFrame(
+        [(0, "en", []), (1, "en", ["a", "b", "c", "d", "e"])],
+        "doc_id long, lang string, ws array<string>",
+    )
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept)
+        for r in segment_dedup_stats(docs, seg_len=4).collect()
+    }
+    assert got == {1: (2, 2)}
+
+
 def test_segment_dedup_rejects_bad_seg_len(spark):
     docs = _mk_docs(spark, [("en", "a b")])
     with pytest.raises(ValueError):
