@@ -62,6 +62,62 @@ def test_lloyd_refine_matches_numpy_reference(spark):
         assert s == pytest.approx(s1[i], abs=2e-9)
 
 
+def test_lloyd_refine_vectorized_tier_matches_expr_tier(spark):
+    """Tier parity pin (VERDICT r6 item 3): the registered BLAS tier
+    (vectorized=True — q100's plan) must agree with the expr tier the
+    DuckDB oracle replays on cell0, cell1, and score1 for every vector.
+    Random corpus, corpus-sized-ish k relative to n, plus the test
+    corpus at the pinned driver tier when present."""
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(200, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = rng.normal(size=(11, 16))
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [list(map(float, c)) for c in C]
+    expr = {
+        r.vec_id: (r.cell0, r.cell1, r.score1)
+        for r in lloyd_refine(df, cents).collect()
+    }
+    blas = {
+        r.vec_id: (r.cell0, r.cell1, r.score1)
+        for r in lloyd_refine(df, cents, vectorized=True).collect()
+    }
+    assert set(expr) == set(blas) and len(expr) == len(X)
+    for i in expr:
+        assert expr[i][0] == blas[i][0], f"vec {i} cell0 tier mismatch"
+        assert expr[i][1] == blas[i][1], f"vec {i} cell1 tier mismatch"
+        assert blas[i][2] == pytest.approx(expr[i][2], abs=2e-9)
+
+
+def test_lloyd_refine_vectorized_parity_on_test_corpus(spark, sf_dir):
+    """Same tier-parity pin on the real embeddings table with the
+    corpus-sized trained centroids — the exact inputs q100 registers."""
+    from cdc_example_spark.queries.llm import trained_centroids
+    from cdc_example_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = trained_centroids(spark, sf_dir)
+    expr = {
+        r.vec_id: (r.cell0, r.cell1, r.score1)
+        for r in lloyd_refine(emb, cents).collect()
+    }
+    blas = {
+        r.vec_id: (r.cell0, r.cell1, r.score1)
+        for r in lloyd_refine(emb, cents, vectorized=True).collect()
+    }
+    assert expr.keys() == blas.keys()
+    mism = [
+        i
+        for i in expr
+        if expr[i][:2] != blas[i][:2] or abs(expr[i][2] - blas[i][2]) > 2e-9
+    ]
+    assert mism == [], f"{len(mism)} tier mismatches, first: {mism[:5]}"
+
+
 def test_lloyd_refine_reduces_movement_on_second_step(spark):
     """Lloyd monotonicity smoke: re-running the step from the refined
     centroids moves no MORE vectors than the first step did (on a
