@@ -19,7 +19,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_example_spark.operators.percentiles import grouped_exact_percentiles
+from cdc_example_spark.operators.percentiles import (
+    grouped_exact_percentiles,  # noqa: F401 - GK tier, kept available
+    grouped_exact_percentiles_bucketed,
+)
 from cdc_example_spark.queries.registry import query
 from cdc_example_spark.queries.util import day_str, dec2, hour_str, small_result_order
 from cdc_example_spark.sources.catalog import load_table
@@ -1162,20 +1165,22 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays registered for tests, which pin both tiers np-identical.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # accuracy trades GK sketch cost against bracket width, never
-    # exactness (wider brackets only grow the in-bracket histogram:
-    # 2·margin·n ≈ 4n/1000 rows per pair — trivial at any n). A/B at
-    # the 60 M-row shard: 14.7 s at 10000 vs 11.6 s at 2048.
-    per = grouped_exact_percentiles(
+    # r7 registered tier: EXACT bucket brackets (VERDICT r6 item 5).
+    # The GK sketch was the measured bottleneck — an ObjectHashAggregate
+    # paying per-row insert cost (2.9–7.0 s warm at the 60 M shard vs
+    # 1.3 s for the min/max + bucket-count passes that replace it), and
+    # its dedicated below-bracket counting scan disappears because the
+    # bucket cumsum IS the exact below count. Exactness is pinned
+    # against np.percentile for both regimes incl. an adversarial-
+    # distribution property test (tests/test_percentiles.py); the GK
+    # tier (grouped_exact_percentiles, accuracy=2048 — A/B history in
+    # BASELINE.md r5) stays available for adversarial value
+    # distributions where the equi-width histogram state bound degrades.
+    per = grouped_exact_percentiles_bucketed(
         li.select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag",
         [("l_extendedprice", [0.5, 0.95]), ("l_quantity", [0.5])],
-        accuracy=2048,
-        # cache_input measured NEGATIVE here (k=100: 13.4 → 21 s warm;
-        # local parquet + OS page cache beats InMemoryRelation for a
-        # 3-column projection) — see the operator docstring; the
-        # group-cardinality stats persist inside the operator is the
-        # lever that holds.
+        n_buckets=2048,
     )
     return per.select(
         "l_returnflag",

@@ -507,13 +507,15 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q100_oracle() -> str:
-    from cdc_example_spark.queries.llm import _pinned_centroid_values_sql
-
+def q100_oracle_sql(cent_values_sql: str, dim: int = 64) -> str:
+    """q100's oracle parameterized on the centroid VALUES literals —
+    the registered oracle pins the sf0.01-trained set (q62 discipline);
+    scripts/bench_scaling.py re-renders it with the shard-trained
+    centroids so both engines refine the SAME corpus-sized k."""
     return f"""
 WITH cen(cid, cv) AS (
   VALUES
-        {_pinned_centroid_values_sql()}
+        {cent_values_sql}
 ), v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), a0 AS (
@@ -524,7 +526,7 @@ WITH cen(cid, cv) AS (
     FROM v CROSS JOIN cen) WHERE rn = 1
 ), dims AS (
   SELECT cell0, i, AVG(v[CAST(i AS BIGINT)]) AS mval
-  FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dim_idx
+  FROM a0 CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) dim_idx
   GROUP BY cell0, i
 ), nrm AS (
   SELECT cell0, GREATEST(sqrt(SUM(mval * mval)), 1e-12) AS nr
@@ -559,6 +561,12 @@ SELECT CAST(COALESCE(b.cell, a.cell) AS BIGINT) AS cell,
 FROM bef b FULL OUTER JOIN aft a ON b.cell = a.cell
 ORDER BY cell
 """
+
+
+def _q100_oracle() -> str:
+    from cdc_example_spark.queries.llm import _pinned_centroid_values_sql
+
+    return q100_oracle_sql(_pinned_centroid_values_sql())
 
 
 @query("q100_kmeans_lloyd_refine", oracle=_q100_oracle(), oracle_sf="sf0.01")

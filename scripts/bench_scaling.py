@@ -100,6 +100,10 @@ QUERIES = [
     "q55_decontamination",
     "q58_dedup_components",
     "q79_pagerank",
+    # r7 (VERDICT r6 item 4): both carried "the unrolled-iteration
+    # stage floor amortizes" as prose — measure it like q79's.
+    "q100_kmeans_lloyd_refine",
+    "q105_bpe_merge_rounds",
 ]
 
 TABLES = list(_REPLACE)
@@ -222,6 +226,30 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         _Dataset = spark._jvm.org.apache.spark.sql.classic.Dataset
 
+        # q100's registered oracle pins the sf0.01-trained centroid
+        # literals; at this shard both engines must refine the SAME
+        # shard-trained corpus-sized set, so re-render the oracle from
+        # the centroids the Spark query itself will use (training runs
+        # here, OUTSIDE every timed window — bench.py's session-build
+        # attribution).
+        from cdc_example_spark.queries.curation import q100_oracle_sql
+        from cdc_example_spark.queries.llm import trained_centroids
+
+        cents = trained_centroids(spark, sf_dir)
+        cent_vals = ",\n        ".join(
+            "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(x) for x in c))
+            for j, c in enumerate(cents)
+        )
+        oracle_override = {
+            "q100_kmeans_lloyd_refine": q100_oracle_sql(cent_vals)
+        }
+        print(
+            json.dumps(
+                {"k": k, "phase": "setup", "q100_centroids": len(cents)}
+            ),
+            flush=True,
+        )
+
         def replan(df):
             jdf = df._jdf
             return DataFrame(
@@ -235,14 +263,28 @@ def main() -> None:
             except Exception:
                 df.collect()
 
+        # q100's BLAS tier folds the refined-centroid means collect into
+        # plan CONSTRUCTION (a bounded driver-side collect, like the IVF
+        # probe-cell computation); a replan-style fresh sample would
+        # therefore time only the output pass while the DuckDB oracle
+        # replays the FULL two-pass refinement. Rebuild the whole plan
+        # per sample for it so both engines are timed on the same work
+        # (training itself stays memoized on both sides — literals).
+        FULL_REBUILD = {"q100_kmeans_lloyd_refine"}
+
         s_times, d_times = {}, {}
         for name in QUERIES:
             prepared = qs[name].spark(spark, sf_dir)
             collect(prepared)  # cold: plan + JIT + cache warm
             samples = []
             for _ in range(3):
-                fresh = replan(prepared)
-                t0 = time.perf_counter()
+                if name in FULL_REBUILD:
+                    registry.invalidate(spark)
+                    t0 = time.perf_counter()
+                    fresh = qs[name].spark(spark, sf_dir)
+                else:
+                    fresh = replan(prepared)
+                    t0 = time.perf_counter()
                 collect(fresh)
                 samples.append(time.perf_counter() - t0)
                 # release this sample's shuffle files NOW (outside the
@@ -286,7 +328,7 @@ def main() -> None:
             print(json.dumps({"k": k, "warn": f"temp cap unsupported: {e}"}), flush=True)
         d_dnf: dict[str, str] = {}
         for name in QUERIES:
-            sql = qs[name].oracle
+            sql = oracle_override.get(name) or qs[name].oracle
             try:
                 con.execute(sql).fetchdf()  # warm OS cache / catalog
                 samples = []

@@ -197,6 +197,12 @@ BNLJ_INTENTIONAL = {
     # the quality audit broadcasts its 1-row RI-violation frame into
     # the 1-row scalar-metrics frame before the stack() unpivot
     "q88_quality_constraint_audit",
+    # bucket-bracket exact percentiles crossJoin two 1-row broadcast
+    # frames (global min/max, global bracket range) into the corpus
+    # scans — the q52/q83 scalar pattern; the design exists precisely
+    # to avoid per-row hash-join probes (measured 4–5 s each at the
+    # 60 M shard)
+    "q41_percentiles",
     # Lloyd refinement broadcasts its 1-row refined-centroids frame
     # into the HOF argmax reassignment (the q52/q83 scalar pattern)
     "q100_kmeans_lloyd_refine",
