@@ -225,45 +225,69 @@ _FLAT_SCHEMA = (
 )
 
 
-def _decode_batches(batches):
-    for pdf in batches:
-        rows = []
-        for kb, vb in zip(pdf["key"], pdf["value"]):
-            row: "dict[str, Any]" = {}
-            try:
-                _, kbody = confluent_unframe(bytes(kb))
-                key, _ = avro_decode(KEY_SCHEMA, kbody)
-                row["key_id"] = key["id"]
-            except Exception:
-                row["key_id"] = None  # unroutable — dropped at routing
-            try:
-                sid, vbody = confluent_unframe(bytes(vb))
-                val, _ = avro_decode(VALUE_SCHEMA, vbody)
-                row["schema_id"] = sid
-                for side in ("before", "after"):
-                    img = val[side]
-                    for f, _s in ROW_SCHEMA[1]:
-                        row[f"{side}_{f}"] = None if img is None else img[f]
-                row["op"] = val["op"]
-                row["lsn"] = val["source"]["lsn"]
-                row["ts_ms"] = val["ts_ms"]
-            except Exception:
-                # a value that fails to decode cannot be applied; the
-                # key-only row routes as nothing (after stays NULL and
-                # lsn NULL orders it out) — mirrors the JSON path's
-                # per-row tolerance.
-                row.setdefault("schema_id", None)
-            rows.append(row)
-        out = pd.DataFrame(rows)
-        for col in (
-            ["key_id", "schema_id"]
-            + [f"before_{f}" for f, _ in ROW_SCHEMA[1]]
-            + [f"after_{f}" for f, _ in ROW_SCHEMA[1]]
-            + ["op", "lsn", "ts_ms"]
-        ):
-            if col not in out.columns:
-                out[col] = None
-        yield out
+def _decoder_for(registry_url: "str | None"):
+    """Build the mapInPandas decode function.
+
+    With ``registry_url`` set, each frame's schema id resolves through
+    :class:`~cdc_example_spark.streaming.schema_registry.SchemaRegistryClient`
+    (one HTTP round trip per DISTINCT id per executor process, cached),
+    falling back to the pinned KEY_SCHEMA/VALUE_SCHEMA when the lookup
+    fails — decode never stalls on registry availability. Without it,
+    the pinned schemas are used directly (the r6 behavior)."""
+    client_box: "list[Any]" = []  # lazy per-process construction
+
+    def _resolve(sid: int, fallback):
+        if registry_url is None:
+            return fallback
+        if not client_box:
+            from cdc_example_spark.streaming.schema_registry import (
+                SchemaRegistryClient,
+            )
+
+            client_box.append(SchemaRegistryClient(registry_url))
+        return client_box[0].resolve(sid, fallback)
+
+    def _decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for kb, vb in zip(pdf["key"], pdf["value"]):
+                row: "dict[str, Any]" = {}
+                try:
+                    ksid, kbody = confluent_unframe(bytes(kb))
+                    key, _ = avro_decode(_resolve(ksid, KEY_SCHEMA), kbody)
+                    row["key_id"] = key["id"]
+                except Exception:
+                    row["key_id"] = None  # unroutable — dropped at routing
+                try:
+                    sid, vbody = confluent_unframe(bytes(vb))
+                    val, _ = avro_decode(_resolve(sid, VALUE_SCHEMA), vbody)
+                    row["schema_id"] = sid
+                    for side in ("before", "after"):
+                        img = val[side]
+                        for f, _s in ROW_SCHEMA[1]:
+                            row[f"{side}_{f}"] = None if img is None else img.get(f)
+                    row["op"] = val["op"]
+                    row["lsn"] = val["source"]["lsn"]
+                    row["ts_ms"] = val["ts_ms"]
+                except Exception:
+                    # a value that fails to decode cannot be applied; the
+                    # key-only row routes as nothing (after stays NULL and
+                    # lsn NULL orders it out) — mirrors the JSON path's
+                    # per-row tolerance.
+                    row.setdefault("schema_id", None)
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            for col in (
+                ["key_id", "schema_id"]
+                + [f"before_{f}" for f, _ in ROW_SCHEMA[1]]
+                + [f"after_{f}" for f, _ in ROW_SCHEMA[1]]
+                + ["op", "lsn", "ts_ms"]
+            ):
+                if col not in out.columns:
+                    out[col] = None
+            yield out
+
+    return _decode_batches
 
 
 def _typed_image_flat(prefix: str) -> F.Column:
@@ -283,7 +307,10 @@ def _typed_image_flat(prefix: str) -> F.Column:
 
 
 def decode_avro_envelope(
-    raw: DataFrame, key_col: str = "key", value_col: str = "value"
+    raw: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    registry_url: "str | None" = None,
 ) -> DataFrame:
     """Confluent-framed Avro (key, value) binaries → typed change rows.
 
@@ -295,10 +322,17 @@ def decode_avro_envelope(
     expressible as JVM columns; this is the declared Python-boundary
     exception, like the multimodal codecs); the typed struct rebuild
     and timestamp casts stay JVM-side.
+
+    ``registry_url`` (VERDICT r6 item 8): resolve each frame's schema
+    id against a Confluent Schema Registry
+    (``streaming/schema_registry.py`` — cached per executor process),
+    falling back to the pinned schemas on any lookup failure. ``None``
+    keeps the pinned-schema behavior, matching the reference's
+    compose.yaml:57-64 converter config being shipped commented out.
     """
     flat = raw.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("value")
-    ).mapInPandas(_decode_batches, _FLAT_SCHEMA)
+    ).mapInPandas(_decoder_for(registry_url), _FLAT_SCHEMA)
     return flat.select(
         "key_id",
         _typed_image_flat("before").alias("before"),

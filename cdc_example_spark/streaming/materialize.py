@@ -64,6 +64,7 @@ def materialize(
     processing_time: str = "500 milliseconds",
     agg_sinks: "Sequence[object] | None" = None,
     converter: str = "json",
+    registry_url: "str | None" = None,
 ) -> StreamingQuery:
     """Start the decode→route→apply query against ``sink``.
 
@@ -93,7 +94,9 @@ def materialize(
     if converter == "avro":
         from cdc_example_spark.streaming.avro_envelope import decode_avro_envelope
 
-        decoded = decode_avro_envelope(raw_stream)
+        # registry_url: per-frame schema-id resolution against a
+        # Confluent Schema Registry, pinned-schema fallback (item 8)
+        decoded = decode_avro_envelope(raw_stream, registry_url=registry_url)
     elif converter == "json":
         decoded = decode_envelope(raw_stream)
     else:

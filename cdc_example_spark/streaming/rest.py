@@ -17,6 +17,13 @@ as ``streaming/websocket.py``):
 - ``GET /api/messages`` → the materialized snapshot ordered by
   create_time — the read side the reference serves from its
   materialized view (A8); handy for smoke tests and demos.
+- ``GET /`` and ``GET /debug`` (once ``ws_url`` is attached) → the
+  browser live-view twin of the reference's static pages
+  (``index.html:87-216`` / ``debug.html:59-90``): a client-side Map
+  applying UPSERT/DELETE from the WebSocket feed, rendered
+  createTime-descending, and a raw-frame tap. Original
+  implementations in ``streaming/static/`` — behavior parity, not
+  copied markup.
 
 Update of a non-existent id maps ``KeyNotFoundError`` → **404** with the
 error text (the reference's ``MessageNotFoundException`` is an unmapped
@@ -44,6 +51,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import SparkSession
 
 from cdc_example_spark.operators.keyed_state import KeyedStateSink, KeyNotFoundError
+
+
+def _static_page(name: str) -> str:
+    """Load one of the packaged live-view pages (streaming/static/)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static", name)
+    with open(path, encoding="utf-8") as f:
+        return f.read()
 
 
 def _row_json(row) -> dict:
@@ -76,6 +92,11 @@ class MessageRestServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.port: int | None = None
+        # set (e.g. "ws://127.0.0.1:<hub port>") to serve the live-view
+        # pages at "/" and "/debug"; the WsHub is started separately and
+        # attached here so the page and the API share one origin while
+        # only the WebSocket crosses ports (WS handshakes have no CORS).
+        self.ws_url: str | None = None
 
     # -- service twins, serialized like the reference's transaction ----
 
@@ -146,9 +167,26 @@ class MessageRestServer:
                 return self._send(204)
 
             def do_GET(self):
-                if self.path.rstrip("/") != "/api/messages":
+                if self.path.rstrip("/") == "/api/messages":
+                    return self._send(200, server._list())
+                # browser live-view twin of the reference's static pages
+                # (index.html / debug.html): serve the engine's own
+                # pages with the WebSocket URL substituted. 503 until a
+                # hub is attached — the page is meaningless without the
+                # change feed it renders.
+                page = {"": "liveview.html", "/": "liveview.html",
+                        "/debug": "debug.html"}.get(self.path.rstrip("/") or "/")
+                if page is None:
                     return self._send(404, {"error": "not found"})
-                return self._send(200, server._list())
+                if server.ws_url is None:
+                    return self._send(503, {"error": "no WebSocket hub attached"})
+                html = _static_page(page).replace("__WS_URL__", server.ws_url)
+                body = html.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
