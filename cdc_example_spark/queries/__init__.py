@@ -33,84 +33,80 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # new in round 6 (late additions first — q100/q101 landed after
-    # q96-q99, which landed after the first r6 rotation)
-    "q105_bpe_merge_rounds",
-    "q104_quantized_cosine_topk",
-    "q103_grouped_udaf_trimmed_mean",
-    "q102_ivf2_persisted_serving",
+    # CHANGED in round 7 (rule 1 — green must never mean green for an
+    # older build): q41 switched to the join-free bucket-bracket exact
+    # tier; q100 registered the BLAS Lloyd tier + explode/groupBy stat
+    # tail; q105 collects each round's 1-row winner instead of the
+    # re-executing all-in-one-plan unroll; q101's segment explode
+    # gained the empty-token-array guard; q70 shares ivf_topk_indexed,
+    # whose >256-centroid probe path now derives the query-id type
+    # from the input schema (ADVICE r6).
+    "q41_percentiles",
     "q100_kmeans_lloyd_refine",
+    "q105_bpe_merge_rounds",
     "q101_segment_span_dedup",
-    "q96_snapshot_diff",
-    "q97_priority_sample",
-    "q98_token_lift",
-    "q99_zorder_box_scan",
-    "q92_scd2_history",
-    "q93_pii_redaction",
-    "q94_bloom_decontamination",
-    "q95_canonical_dedup",
-    "q85_wav_audio_stats",
-    "q87_sparse_allpairs_cosine",
-    "q88_quality_constraint_audit",
-    "q89_touch_attribution",
-    "q90_sketch_rollup_distinct",
-    "q91_psi_value_drift",
-    # modified in round 6: q81's oracle threshold cast + the MG
-    # operator's typed output schema; q86's guarded-window rewrite;
-    # q62/q66/q70 share trained_centroids, whose k is now corpus-sized
-    # (pinned at 8 for the sf0.01 tier, but the code changed — "green
-    # must never mean green for an older build")
-    "q81_heavy_hitters",
-    "q86_skyline_parts",
-    "q62_ivf_trained_topk",
-    "q66_semantic_dedup",
     "q70_ivf_persisted_serving",
-    # parked since their r4 green rows (2 rounds old — rotate in, rule
-    # 2; VERDICT r5 item 5 names exactly these 35)
-    "q12_top20_lineitems",
-    "q13_set_ops",
-    "q15_string_functions",
-    "q16_orders_by_month",
-    "q17_case_math_bands",
-    "q18_hourly_event_windows",
-    "q19_sessionization",
-    "q20_json_buckets",
-    "q25_rolling_fingerprints",
-    "q26_token_counts",
-    "q27_lang_id_confusion",
-    "q28_quality_scores",
-    "q29_simhash",
-    "q30_cosine_topk_multi",
-    "q31_embedding_neardup_pairs",
-    "q32_minhash_lsh_candidates",
-    "q33_binary_media_meta",
-    "q34_multimodal_features",
-    "q35_pandas_cosine_topk",
-    "q36_ivf_topk",
-    "q37_ranking_family",
-    "q38_approx_distinct",
-    "q40_grouping_sets",
-    "q42_stats_profile",
-    "q43_train_test_split",
+    # the 10 documented r6-overflow queries (r4 green rows — promised
+    # to head the r7 window in the r6 rotation note; VERDICT r6 item 2)
+    "q44_pivot_event_counts",
+    "q45_subqueries",
+    "q46_range_frame",
+    "q58_dedup_components",
+    "q63_right_outer_join",
+    "q64_bucketed_colocated_join",
+    "q65_window_distribution",
+    "q67_sequence_packing",
+    "q68_json_schema_profile",
+    "q69_bigram_lm_perplexity",
+    # 35 of the 45 r5-green queries (rule 2, staged now so r8 never
+    # needs a 45-slot window — VERDICT r6 item 9)
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_customers_per_region",
+    "q05_customers_without_orders",
+    "q06_semi_join_having",
+    "q07_rollup_nation_segment",
+    "q08_cube_status_priority",
+    "q09_top3_per_nation",
+    "q10_order_gaps",
+    "q11_cumulative_spend",
+    "q14_count_distinct",
+    "q21_exact_dedup_stats",
+    "q22_cosine_top5",
+    "q23_dedup_survivors",
+    "q24_jaccard_neardup_pairs",
+    "q39_array_ops",
+    "q47_simhash_near_pairs",
+    "q48_asof_join",
+    "q49_snapshot_at",
+    "q50_range_join",
+    "q51_tfidf_top_terms",
+    "q52_bm25_search",
+    "q53_stratified_sample",
+    "q54_bigram_vocab",
+    "q55_decontamination",
+    "q56_repetition_bands",
+    "q57_quantization_audit",
+    "q59_full_outer_join",
+    "q60_set_ops_all",
+    "q61_salted_skew_join",
+    "q71_event_funnel",
+    "q82_fuzzy_dedup_pairs",
+    "q83_pps_sample",
+    "q84_markov_transitions",
 ]
-# 50 prioritized — the window is exactly full: 20 new/changed in r6
-# (q105/q104/q103/q102/q100/q101 then q96–q99 landed after the first
-# r6 rotation and take the head per rule 1) + the 5
-# centroid/operator-touched + 25 of the 35 parked-since-r4.
-# DOCUMENTED OVERFLOW (VERDICT r5 item 5's "if so, prioritize and
-# document"): q44_pivot_event_counts, q45_subqueries, q46_range_frame,
-# q58_dedup_components,
-# q63_right_outer_join, q64_bucketed_colocated_join,
-# q65_window_distribution, q67_sequence_packing,
-# q68_json_schema_profile, q69_bigram_lm_perplexity keep their r4
-# green rows one round longer — rule 1 (new code must be
-# driver-checked NOW) outranks rule 2's 2-round rotation for exactly
-# these ten; their modules have only additive hunks since their r4
-# rows (the r5-verdict-accepted standard)
-# and tests/test_queries_oracle.py still oracle-checks them locally
-# every run. They head the r7 window. Everything else (q01–q11, q14,
-# q21–q24, q39, q41, q47–q57, q59–q61, q71–q80, q82–q84) holds an r5
-# row.
+# 50 prioritized — the window is exactly full: 5 changed-in-r7 (rule
+# 1) + the 10 promised r4-overflow (rule 2) + 35 of the 45 r5-green.
+# DOCUMENTED OVERFLOW: q72_cohort_retention, q73_zipf_slope,
+# q74_ntile_deciles, q75_curation_funnel, q76_hashed_linear_score,
+# q77_hourly_anomalies, q78_resample_interpolate, q79_pagerank,
+# q80_embedding_audit keep their r5 green rows one more round (9
+# queries, within VERDICT r6 item 9's ≤20 budget); their modules diff
+# additive-only since r5 and tests/test_queries_oracle.py still
+# oracle-checks them locally every run. They head the r8 window
+# together with the r6-green block (q85–q104, due at r8 by the
+# 2-round rule).
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

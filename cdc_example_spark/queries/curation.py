@@ -519,14 +519,20 @@ WITH cen(cid, cv) AS (
 ), v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), a0 AS (
-  SELECT vec_id, v, cid AS cell0 FROM (
-    SELECT vec_id, v, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY list_inner_product(v, cv) DESC, cid) AS rn
-    FROM v CROSS JOIN cen) WHERE rn = 1
+  -- argmax dot, ties to lowest cid, as an AGGREGATE (lexicographic
+  -- MAX over the [dot, -cid] key) rather than a ROW_NUMBER window:
+  -- the window plan sorts |v|·|cen| rows CARRYING the vector payload
+  -- (measured 47 s at the 200 k-pair k=10 scaling shard, and it is
+  -- what made the k=100 tier infeasible); same ordering semantics.
+  SELECT vec_id,
+         CAST(-MAX([list_inner_product(v, cv), -CAST(cid AS DOUBLE)])[2]
+              AS BIGINT) AS cell0
+  FROM v CROSS JOIN cen GROUP BY vec_id
+), a0v AS (
+  SELECT a0.vec_id, a0.cell0, v.v FROM a0 JOIN v USING (vec_id)
 ), dims AS (
   SELECT cell0, i, AVG(v[CAST(i AS BIGINT)]) AS mval
-  FROM a0 CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) dim_idx
+  FROM a0v CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) dim_idx
   GROUP BY cell0, i
 ), nrm AS (
   SELECT cell0, GREATEST(sqrt(SUM(mval * mval)), 1e-12) AS nr
@@ -535,13 +541,15 @@ WITH cen(cid, cv) AS (
   SELECT d.cell0 AS cid, list(ROUND(d.mval / n.nr, 6) ORDER BY d.i) AS cv
   FROM dims d JOIN nrm n USING (cell0) GROUP BY d.cell0
 ), a1 AS (
-  SELECT vec_id, cell0, cid AS cell1, score FROM (
-    SELECT a0.vec_id, a0.cell0, c1.cid,
-           ROUND(list_inner_product(a0.v, c1.cv), 9) AS score,
-           ROW_NUMBER() OVER (PARTITION BY a0.vec_id
-                              ORDER BY ROUND(list_inner_product(a0.v, c1.cv), 9) DESC,
-                                       c1.cid) AS rn
-    FROM a0 CROSS JOIN c1) WHERE rn = 1
+  SELECT vec_id, cell0,
+         CAST(-m[2] AS BIGINT) AS cell1,
+         m[1] AS score
+  FROM (
+    SELECT a0v.vec_id, a0v.cell0,
+           MAX([ROUND(list_inner_product(a0v.v, c1.cv), 9),
+                -CAST(c1.cid AS DOUBLE)]) AS m
+    FROM a0v CROSS JOIN c1 GROUP BY a0v.vec_id, a0v.cell0
+  )
 ), pairs AS (
   SELECT cell0, cell1, COUNT(*) AS n, SUM(score) AS s
   FROM a1 GROUP BY cell0, cell1

@@ -606,13 +606,17 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q105 — BPE-style iterative pair merging (the tokenizer-training core
-# op q54's static n-gram counts lead up to): two unrolled merge
-# rounds, each = count adjacent token pairs corpus-wide → pick the
-# top pair (count desc, pair text asc) → rewrite the corpus with the
-# pair fused into one token → recount. Entirely declarative on BOTH
-# engines: the winning pair is a 1-row broadcast crossJoined into a
-# column-argument `replace(corpus, ' a b ', ' a_b ')`, so no driver
-# hop and no UDF — the corpus rewrite is per-row codegen.
+# op q54's static n-gram counts lead up to): two merge rounds, each =
+# count adjacent token pairs corpus-wide → pick the top pair (count
+# desc, pair text asc) → rewrite the corpus with the pair fused into
+# one token → recount. Each round's 1-row winner is COLLECTED and
+# re-enters as string literals (the iterative-algorithm discipline —
+# q58's lineage checkpoints, q62's pinned centroids): the r6
+# all-in-one-plan form re-executed round 1's pair-count scan ~5×
+# through the final union's chained references (no cross-DAG subtree
+# reuse in Spark; measured 17.8 s vs the collected form's
+# once-per-round scans at the k=10 shard). The rewrite itself stays
+# per-row codegen — `replace(corpus, ' a b ', ' a_b ')`, no UDF.
 # Declared merge semantics (identical on both engines by construction
 # of non-overlapping leftmost-first substring replace): an occurrence
 # whose leading space was consumed by the immediately preceding merge
@@ -687,42 +691,52 @@ def _pair_counts(corpus: DataFrame) -> DataFrame:
     )
 
 
-def _merge_round(corpus: DataFrame) -> "tuple[DataFrame, DataFrame]":
-    """One merge round: (winning 1-row (pair, cnt) frame, rewritten corpus)."""
-    top = _pair_counts(corpus).orderBy(F.col("cnt").desc(), "pair").limit(1)
-    merged = corpus.crossJoin(F.broadcast(top)).select(
-        "doc_id",
-        F.replace(
-            F.col("s"),
-            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-            F.concat(
-                F.lit(" "),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("_")),
-                F.lit(" "),
-            ),
-        ).alias("s"),
-    )
-    return top, merged
-
-
 @query("q105_bpe_merge_rounds", oracle=_Q105_ORACLE)
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two unrolled BPE-style merges + the resulting top-10 vocabulary."""
+    """Two BPE-style merges + the resulting top-10 vocabulary.
+
+    Each round's winning pair is COLLECTED (one row — bounded by
+    construction, the q58-lineage/q62-literal discipline for iterative
+    algorithms) and re-enters the next round as string literals. The
+    r6 shape kept every round declarative inside one plan instead;
+    measured at the k=10 scaling shard that re-executed round 1's
+    pair-count scan ~5× through the final union's m1/c1/m2/c2/vocab
+    references (Spark has no cross-DAG subtree reuse) — 17.8 s where
+    the collected form runs each round's scan exactly once. At 100 TB
+    per-round materialization of the 1-row winner IS the deployment
+    shape (nobody re-derives round 1 on every reference); rounds stay
+    the explicit unroll knob the way q58/q79 unroll their iterations.
+    """
     from pyspark.sql.window import Window
 
     toks = load_doc_tokens(spark, sf_dir)
-    c0 = toks.select(
+    corpus = toks.select(
         "doc_id",
         F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")).alias("s"),
     )
-    m1, c1 = _merge_round(c0)
-    m2, c2 = _merge_round(c1)
+    merges = []
+    for r in (1, 2):
+        top = (
+            _pair_counts(corpus)
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((f"merge{r}", top["pair"], int(top["cnt"]), 1))
+        corpus = corpus.select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['pair']} "),
+                F.lit(" " + top["pair"].replace(" ", "_") + " "),
+            ).alias("s"),
+        )
     w = F.split(F.trim("s"), r"\s+")
     # top-10 FIRST (TakeOrderedAndProject — never a vocabulary-sized
     # single-task sort), then the unpartitioned rank window runs on 10
     # rows only.
     vocab = (
-        c2.select(F.explode(w).alias("token"))
+        corpus.select(F.explode(w).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "token")
@@ -734,14 +748,14 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = (
-        m1.select(F.lit("merge1").alias("stage"), F.col("pair").alias("item"), "cnt", F.lit(1).alias("rnk"))
-        .unionAll(
-            m2.select(F.lit("merge2").alias("stage"), F.col("pair").alias("item"), "cnt", F.lit(1).alias("rnk"))
+    out = spark.createDataFrame(
+        merges, "stage string, item string, cnt long, rnk long"
+    ).unionAll(
+        vocab.select(
+            F.lit("vocab").alias("stage"),
+            F.col("token").alias("item"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("rnk").cast("long").alias("rnk"),
         )
-        .unionAll(
-            vocab.select(F.lit("vocab").alias("stage"), F.col("token").alias("item"), "cnt", "rnk")
-        )
-        .select("stage", "item", F.col("cnt").cast("long").alias("cnt"), F.col("rnk").cast("long").alias("rnk"))
     )
     return out.transform(small_result_order, "stage", "rnk", "item")

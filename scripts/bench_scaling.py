@@ -270,7 +270,9 @@ def main() -> None:
         # replays the FULL two-pass refinement. Rebuild the whole plan
         # per sample for it so both engines are timed on the same work
         # (training itself stays memoized on both sides — literals).
-        FULL_REBUILD = {"q100_kmeans_lloyd_refine"}
+        # (q105 likewise collects each round's 1-row winning pair at
+        # construction — both engines must be timed on all three scans)
+        FULL_REBUILD = {"q100_kmeans_lloyd_refine", "q105_bpe_merge_rounds"}
 
         s_times, d_times = {}, {}
         for name in QUERIES:
@@ -326,16 +328,34 @@ def main() -> None:
             con.execute("SET max_temp_directory_size='40GiB'")
         except Exception as e:  # pragma: no cover - depends on duckdb ver
             print(json.dumps({"k": k, "warn": f"temp cap unsupported: {e}"}), flush=True)
+        # wall-clock watchdog per oracle RUN: a baseline query that
+        # cannot finish inside the cap is recorded as a DNF (like the
+        # spill cap) instead of stalling the whole tier — q100's
+        # ROW_NUMBER-window oracle burned 15+ min at k=10 before the
+        # arg-max rewrite, and the cap keeps any future such shape from
+        # eating the k=100 run.
+        DUCK_RUN_CAP_S = 300.0
+
+        def run_capped(sql: str) -> float:
+            import threading as _th
+
+            timer = _th.Timer(DUCK_RUN_CAP_S, con.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchdf()
+            finally:
+                timer.cancel()
+            return time.perf_counter() - t0
+
         d_dnf: dict[str, str] = {}
         for name in QUERIES:
             sql = oracle_override.get(name) or qs[name].oracle
             try:
-                con.execute(sql).fetchdf()  # warm OS cache / catalog
+                run_capped(sql)  # warm OS cache / catalog
                 samples = []
                 for _ in range(3):
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchdf()
-                    samples.append(time.perf_counter() - t0)
+                    samples.append(run_capped(sql))
                 d_times[name] = round(sorted(samples)[1], 3)
                 print(
                     json.dumps(

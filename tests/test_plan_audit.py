@@ -213,9 +213,6 @@ BNLJ_INTENTIONAL = {
     # quantized serving is the q22/q30 broadcast-probe shape with
     # int8-code payloads (vec_id != query_id non-equi condition)
     "q104_quantized_cosine_topk",
-    # each BPE merge round crossJoins its 1-row winning-pair frame into
-    # the corpus rewrite (the q52/q83 scalar pattern, twice)
-    "q105_bpe_merge_rounds",
 }
 
 
