@@ -673,21 +673,34 @@ ORDER BY stage, rnk, item
 """
 
 
-def _pair_counts(corpus: DataFrame) -> DataFrame:
-    """Adjacent-pair counts of a one-column (' tok tok ... ') corpus."""
-    w = F.split(F.trim("s"), r"\s+")
+def _top_pair(df: DataFrame, arr) -> DataFrame:
+    """1-row (pair, cnt) winner of adjacent-pair counting over a token
+    ARRAY column expression.
+
+    Hot-path discipline (the k=100 measurement behind it): the
+    corpus-sized explode emits (t1, t2) STRUCTS and the agg groups on
+    them — the per-row ``concat(t1, ' ', t2)`` alloc is deferred to the
+    agg OUTPUT (distinct pairs only). The winner still orders by the
+    concatenated pair TEXT (cnt desc, pair asc) — the oracle's order —
+    because struct lexicographic order is NOT the same relation for
+    tokens containing sub-space control chars."""
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat(
-            F.element_at(w, i.cast("int")),
-            F.lit(" "),
-            F.element_at(w, (i + 1).cast("int")),
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(
+            F.element_at(arr, i.cast("int")).alias("t1"),
+            F.element_at(arr, (i + 1).cast("int")).alias("t2"),
         ),
     )
     return (
-        corpus.select(F.explode(pairs).alias("pair"))
-        .groupBy("pair")
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(F.col("p.t1"), F.lit(" "), F.col("p.t2")).alias("pair"),
+            "cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
     )
 
 
@@ -714,14 +727,17 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")).alias("s"),
     )
+    # round 1 counts straight off the token ARRAYS (no join→re-split
+    # round trip); post-rewrite rounds split the corpus string on the
+    # literal single space it was joined with — never the \s+ regex.
+    arrs = [toks.select(F.col("ws").alias("a")),
+            None]  # round-2 source filled below
     merges = []
     for r in (1, 2):
-        top = (
-            _pair_counts(corpus)
-            .orderBy(F.col("cnt").desc(), "pair")
-            .limit(1)
-            .collect()[0]
+        src = arrs[r - 1] or corpus.select(
+            F.split(F.trim("s"), " ").alias("a")
         )
+        top = _top_pair(src, F.col("a")).collect()[0]
         merges.append((f"merge{r}", top["pair"], int(top["cnt"]), 1))
         corpus = corpus.select(
             "doc_id",
@@ -731,7 +747,7 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" " + top["pair"].replace(" ", "_") + " "),
             ).alias("s"),
         )
-    w = F.split(F.trim("s"), r"\s+")
+    w = F.split(F.trim("s"), " ")
     # top-10 FIRST (TakeOrderedAndProject — never a vocabulary-sized
     # single-task sort), then the unpartitioned rank window runs on 10
     # rows only.
