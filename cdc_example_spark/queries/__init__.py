@@ -41,6 +41,10 @@ DRIVER_PRIORITY = [
     # gained the empty-token-array guard; q70 shares ivf_topk_indexed,
     # whose >256-centroid probe path now derives the query-id type
     # from the input schema (ADVICE r6).
+    # NEW in round 7 (rule 1): RAG chunking audit + Matryoshka
+    # truncation-retention audit
+    "q106_rag_chunking",
+    "q107_matryoshka_audit",
     "q41_percentiles",
     "q100_kmeans_lloyd_refine",
     "q105_bpe_merge_rounds",
@@ -93,20 +97,19 @@ DRIVER_PRIORITY = [
     "q61_salted_skew_join",
     "q71_event_funnel",
     "q82_fuzzy_dedup_pairs",
-    "q83_pps_sample",
-    "q84_markov_transitions",
 ]
-# 50 prioritized — the window is exactly full: 5 changed-in-r7 (rule
-# 1) + the 10 promised r4-overflow (rule 2) + 35 of the 45 r5-green.
+# 50 prioritized — the window is exactly full: 2 new + 5 changed in
+# r7 (rule 1) + the 10 promised r4-overflow (rule 2) + 33 of the 45
+# r5-green.
 # DOCUMENTED OVERFLOW: q72_cohort_retention, q73_zipf_slope,
 # q74_ntile_deciles, q75_curation_funnel, q76_hashed_linear_score,
 # q77_hourly_anomalies, q78_resample_interpolate, q79_pagerank,
-# q80_embedding_audit keep their r5 green rows one more round (9
-# queries, within VERDICT r6 item 9's ≤20 budget); their modules diff
-# additive-only since r5 and tests/test_queries_oracle.py still
-# oracle-checks them locally every run. They head the r8 window
-# together with the r6-green block (q85–q104, due at r8 by the
-# 2-round rule).
+# q80_embedding_audit, q83_pps_sample, q84_markov_transitions keep
+# their r5 green rows one more round (11 queries, within VERDICT r6
+# item 9's ≤20 budget); their modules diff additive-only since r5 and
+# tests/test_queries_oracle.py still oracle-checks them locally every
+# run. They head the r8 window together with the r6-green block
+# (q85–q104, due at r8 by the 2-round rule).
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

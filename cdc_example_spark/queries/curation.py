@@ -867,3 +867,68 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", dec2(F.col("cos_q")).alias("cos_q"), "rn"
     ).transform(small_result_order, "query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q107 — Matryoshka truncation-retention audit: how much of each
+# embedding's energy survives keeping only the FIRST 16 of 64
+# dimensions (the MRL serving trick: truncate + renormalize to cut
+# index cost; Kusupati et al. 2022). For a vector v the cosine between
+# v and its zero-padded truncation is exactly ||v[:16]|| / ||v|| —
+# the retention ratio — so the audit is pure per-row lambda math: per
+# label, avg/min retention and the fraction of vectors retaining
+# ≥ 60% (safe to serve truncated). JVM-side transform/aggregate folds
+# (the q80 discipline: fold order is left-to-right on BOTH engines, so
+# per-row doubles are bit-identical and dec2 absorbs group-agg order).
+# Scale: one narrow scan, vectors never shuffle, only scalar stats
+# cross the small lang-key exchange.
+# ---------------------------------------------------------------------------
+
+_Q107_DIM_KEEP = 16
+
+_Q107_ORACLE = f"""
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT label,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_slice(e, 1, {_Q107_DIM_KEEP}), x -> x * x)),
+              (a, b) -> a + b))
+         / GREATEST(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e, x -> x * x)), (a, b) -> a + b)), 1e-12)
+           AS retention
+  FROM v
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(ROUND(CAST(AVG(retention) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_retention,
+       CAST(ROUND(CAST(MIN(retention) AS DECIMAL(28,10)), 2) AS DOUBLE) AS min_retention,
+       CAST(SUM(CASE WHEN retention >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_servable
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+@query("q107_matryoshka_audit", oracle=_Q107_ORACLE)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label energy retention of 16-of-64-dim embedding truncation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = lambda col: F.aggregate(  # noqa: E731 - local fold helper
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    retention = F.sqrt(sumsq(F.slice("e", 1, _Q107_DIM_KEEP))) / F.greatest(
+        F.sqrt(sumsq(F.col("e"))), F.lit(1e-12)
+    )
+    return (
+        emb.withColumn("e", e)
+        .select("label", retention.alias("retention"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            dec2(F.avg("retention")).alias("avg_retention"),
+            dec2(F.min("retention")).alias("min_retention"),
+            F.sum((F.col("retention") >= 0.6).cast("long")).alias("n_servable"),
+        )
+        .transform(small_result_order, "label")
+    )

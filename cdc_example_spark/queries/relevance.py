@@ -787,3 +787,77 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.transform(small_result_order, "stage", "rnk", "item")
+
+
+# ---------------------------------------------------------------------------
+# q106 — RAG-style document chunking audit: split every document into
+# fixed-size overlapping token windows (chunk=64 tokens, stride=48 →
+# 16-token overlap, the standard retrieval-corpus prep), and report
+# the per-language audit a pipeline reviews before embedding the
+# chunks: document/chunk counts, chunks per document, tail-chunk
+# shapes. Chunk count per doc: 1 + ceil(max(0, n-64)/48) — the last
+# window may be short but is never empty; short docs (< chunk) yield
+# exactly one chunk of n tokens.
+# Scale shape: one scan, per-row sequence/transform into (start,
+# length) pairs — the chunk TEXT never materializes here (the
+# downstream embedder reads it per chunk); only per-doc scalars cross
+# the one partial-aggregated exchange on the small lang key.
+# ---------------------------------------------------------------------------
+
+_Q106_CHUNK = 64
+_Q106_STRIDE = 48
+
+_Q106_ORACLE = rf"""
+WITH d AS (
+  SELECT lang, len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n
+  FROM documents
+), c AS (
+  SELECT lang, n,
+         1 + CAST(CEIL(GREATEST(n - {_Q106_CHUNK}, 0) / {_Q106_STRIDE}.0) AS BIGINT) AS n_chunks
+  FROM d
+), t AS (
+  SELECT lang, n, n_chunks,
+         n - (n_chunks - 1) * {_Q106_STRIDE} AS tail_len
+  FROM c
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(ROUND(CAST(AVG(n_chunks) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_chunks_per_doc,
+       CAST(SUM(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_chunk_docs,
+       CAST(MIN(tail_len) AS BIGINT) AS min_tail_tokens,
+       CAST(ROUND(CAST(AVG(tail_len) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_tail_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q106_rag_chunking", oracle=_Q106_ORACLE)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language audit of 64-token/48-stride overlapping chunking."""
+    toks = load_doc_tokens(spark, sf_dir)
+    n = F.size("ws")
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - _Q106_CHUNK, F.lit(0)).cast("double") / _Q106_STRIDE
+        )
+    ).cast("long")
+    per_doc = toks.select(
+        "lang",
+        n.alias("n"),
+        n_chunks.alias("n_chunks"),
+    ).withColumn(
+        "tail_len", F.col("n") - (F.col("n_chunks") - 1) * _Q106_STRIDE
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            dec2(F.avg("n_chunks")).alias("avg_chunks_per_doc"),
+            F.sum((F.col("n_chunks") > 1).cast("long")).alias("n_multi_chunk_docs"),
+            F.min("tail_len").cast("long").alias("min_tail_tokens"),
+            dec2(F.avg("tail_len")).alias("avg_tail_tokens"),
+        )
+        .transform(small_result_order, "lang")
+    )
