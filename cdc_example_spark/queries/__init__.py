@@ -41,10 +41,13 @@ DRIVER_PRIORITY = [
     # gained the empty-token-array guard; q70 shares ivf_topk_indexed,
     # whose >256-centroid probe path now derives the query-id type
     # from the input schema (ADVICE r6).
-    # NEW in round 7 (rule 1): RAG chunking audit + Matryoshka
-    # truncation-retention audit
+    # NEW in round 7 (rule 1): RAG chunking audit, Matryoshka
+    # truncation-retention audit, cross-split n-gram leakage matrix,
+    # source-mix KL divergence monitor
     "q106_rag_chunking",
     "q107_matryoshka_audit",
+    "q108_split_leakage",
+    "q109_source_mix_divergence",
     "q41_percentiles",
     "q100_kmeans_lloyd_refine",
     "q105_bpe_merge_rounds",
@@ -95,17 +98,16 @@ DRIVER_PRIORITY = [
     "q59_full_outer_join",
     "q60_set_ops_all",
     "q61_salted_skew_join",
-    "q71_event_funnel",
-    "q82_fuzzy_dedup_pairs",
 ]
-# 50 prioritized — the window is exactly full: 2 new + 5 changed in
-# r7 (rule 1) + the 10 promised r4-overflow (rule 2) + 33 of the 45
+# 50 prioritized — the window is exactly full: 4 new + 5 changed in
+# r7 (rule 1) + the 10 promised r4-overflow (rule 2) + 31 of the 45
 # r5-green.
-# DOCUMENTED OVERFLOW: q72_cohort_retention, q73_zipf_slope,
-# q74_ntile_deciles, q75_curation_funnel, q76_hashed_linear_score,
-# q77_hourly_anomalies, q78_resample_interpolate, q79_pagerank,
-# q80_embedding_audit, q83_pps_sample, q84_markov_transitions keep
-# their r5 green rows one more round (11 queries, within VERDICT r6
+# DOCUMENTED OVERFLOW: q71_event_funnel, q72_cohort_retention,
+# q73_zipf_slope, q74_ntile_deciles, q75_curation_funnel,
+# q76_hashed_linear_score, q77_hourly_anomalies,
+# q78_resample_interpolate, q79_pagerank, q80_embedding_audit,
+# q82_fuzzy_dedup_pairs, q83_pps_sample, q84_markov_transitions keep
+# their r5 green rows one more round (13 queries, within VERDICT r6
 # item 9's ≤20 budget); their modules diff additive-only since r5 and
 # tests/test_queries_oracle.py still oracle-checks them locally every
 # run. They head the r8 window together with the r6-green block

@@ -593,3 +593,253 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — cross-split n-gram leakage matrix: the BETWEEN-SPLITS twin of
+# benchmark decontamination (q55/q94 guard against an EXTERNAL eval
+# set; this guards the pipeline's own train/val/test boundary — the
+# leakage a q43-style hash split can still admit through duplicated
+# or near-duplicated documents). Every document contributes its
+# distinct 5-token shingles under its q43 split; per shingle one
+# groupBy computes the split-membership flags, and a single global
+# agg yields, per split pair, the distinct-shingle overlap and the
+# leakage fraction relative to the smaller side.
+# Scale shape: the shingle explode groups on a (t1..t5) STRUCT key —
+# never a concatenated string (the q105 lesson: per-row concat allocs
+# dominate the hot explode); at 100 TB the key would be the shingle's
+# xxhash64 (the q21 discipline — 8-byte keys across the exchange),
+# kept as raw tokens here so the oracle replays the grouping exactly.
+# The flags agg is map-side partial; the pair matrix is ONE row.
+# ---------------------------------------------------------------------------
+
+_Q108_ORACLE = r"""
+WITH d AS (
+  SELECT CASE WHEN ((doc_id % 1000003) * 2654435761
+              + (doc_id // 1000003) * 40503) % 1000 < 800 THEN 'train'
+              WHEN ((doc_id % 1000003) * 2654435761
+              + (doc_id // 1000003) * 40503) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split,
+         regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT split, ws[i] AS t1, ws[i+1] AS t2, ws[i+2] AS t3,
+         ws[i+3] AS t4, ws[i+4] AS t5
+  FROM (SELECT split, ws, unnest(range(1, len(ws) - 3)) AS i FROM d
+        WHERE len(ws) >= 5)
+), f AS (
+  SELECT t1, t2, t3, t4, t5,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+         MAX(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS in_va,
+         MAX(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS in_te
+  FROM g GROUP BY t1, t2, t3, t4, t5
+), m AS (
+  SELECT SUM(in_tr) AS n_tr, SUM(in_va) AS n_va, SUM(in_te) AS n_te,
+         SUM(in_tr * in_va) AS tr_va, SUM(in_tr * in_te) AS tr_te,
+         SUM(in_va * in_te) AS va_te
+  FROM f
+)
+SELECT pair,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(shared AS BIGINT) AS n_shared,
+       CAST(ROUND(CAST(100.0 * shared / LEAST(n_a, n_b)
+            AS DECIMAL(28,10)), 2) AS DOUBLE) AS leak_pct
+FROM (
+  SELECT 'train_test' AS pair, n_tr AS n_a, n_te AS n_b, tr_te AS shared FROM m
+  UNION ALL
+  SELECT 'train_val', n_tr, n_va, tr_va FROM m
+  UNION ALL
+  SELECT 'val_test', n_va, n_te, va_te FROM m
+)
+ORDER BY pair
+"""
+
+
+@query("q108_split_leakage", oracle=_Q108_ORACLE)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 5-gram overlap between the q43 train/val/test splits."""
+    toks = load_doc_tokens(spark, sf_dir)
+    lo = (F.col("doc_id") % F.lit(1000003)) * F.lit(2654435761)
+    hi = F.expr("doc_id DIV 1000003") * F.lit(40503)
+    bucket = (lo + hi) % F.lit(1000)
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    grams = F.when(
+        F.size("ws") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 4),
+            lambda i: F.struct(
+                *[
+                    F.element_at("ws", (i + off).cast("int")).alias(f"t{off + 1}")
+                    for off in range(5)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string,t3:string,t4:string,t5:string>>"))
+    flags = (
+        toks.select(split.alias("split"), F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(
+            F.max((F.col("split") == "train").cast("int")).alias("in_tr"),
+            F.max((F.col("split") == "val").cast("int")).alias("in_va"),
+            F.max((F.col("split") == "test").cast("int")).alias("in_te"),
+        )
+    )
+    m = flags.agg(
+        F.sum("in_tr").alias("n_tr"),
+        F.sum("in_va").alias("n_va"),
+        F.sum("in_te").alias("n_te"),
+        F.sum(F.col("in_tr") * F.col("in_va")).alias("tr_va"),
+        F.sum(F.col("in_tr") * F.col("in_te")).alias("tr_te"),
+        F.sum(F.col("in_va") * F.col("in_te")).alias("va_te"),
+    )
+    pairs = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("train_test").alias("pair"),
+                    F.col("n_tr").alias("n_a"),
+                    F.col("n_te").alias("n_b"),
+                    F.col("tr_te").alias("shared"),
+                ),
+                F.struct(
+                    F.lit("train_val").alias("pair"),
+                    F.col("n_tr").alias("n_a"),
+                    F.col("n_va").alias("n_b"),
+                    F.col("tr_va").alias("shared"),
+                ),
+                F.struct(
+                    F.lit("val_test").alias("pair"),
+                    F.col("n_va").alias("n_a"),
+                    F.col("n_te").alias("n_b"),
+                    F.col("va_te").alias("shared"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return pairs.select(
+        "pair",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("shared").cast("long").alias("n_shared"),
+        dec2(
+            F.lit(100.0) * F.col("shared") / F.least("n_a", "n_b")
+        ).alias("leak_pct"),
+    ).transform(small_result_order, "pair")
+
+
+# ---------------------------------------------------------------------------
+# q109 — source-mix divergence monitor: per-source KL divergence of
+# the token distribution against the corpus mixture, restricted to the
+# top-200 global tokens (deterministic cutoff: count desc, token asc)
+# — the domain-mix dashboard a training-data pipeline watches when new
+# crawl sources land. KL(p_src ‖ m) = Σ p·ln(p/m) over tokens the
+# source emits (absent tokens contribute 0; m > 0 by construction of
+# the global-top cut), plus the source's coverage of the top set.
+# Determinism: p and m are ratios of exact integer counts, the ln()
+# per-term cross-engine skew is ≤1 ulp on identical doubles, and dec2
+# absorbs the 200-term sum-order wobble (the q51 discipline).
+# Scale shape: one token-count agg per (source, token) restricted by a
+# 200-row broadcast semi-join, partial-aggregated map-side; per-source
+# totals ride the SAME pre-explode array sizes (no second token scan,
+# the q81 discipline); output is |sources| rows.
+# ---------------------------------------------------------------------------
+
+_Q109_TOP = 200
+
+_Q109_ORACLE = rf"""
+WITH d AS (
+  SELECT source, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ws
+  FROM documents
+), tot AS (
+  SELECT source, SUM(len(ws)) AS n_tok FROM d GROUP BY source
+), t AS (
+  SELECT source, unnest(ws) AS token FROM d
+), gc AS (
+  SELECT token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+  FROM t GROUP BY token
+), top AS (
+  SELECT token, cnt FROM gc WHERE rnk <= {_Q109_TOP}
+), gtot AS (
+  SELECT SUM(n_tok) * 1.0 AS n FROM tot
+), sc AS (
+  SELECT t.source, t.token, COUNT(*) AS cnt
+  FROM t JOIN top USING (token)
+  GROUP BY t.source, t.token
+), kl AS (
+  SELECT sc.source,
+         SUM((sc.cnt * 1.0 / tot.n_tok)
+             * LN((sc.cnt * 1.0 / tot.n_tok) / (top.cnt / gtot.n))) AS kl,
+         COUNT(*) AS n_top_present,
+         SUM(sc.cnt) AS n_top_tokens
+  FROM sc
+  JOIN top USING (token)
+  JOIN tot USING (source)
+  CROSS JOIN gtot
+  GROUP BY sc.source
+)
+SELECT tot.source,
+       CAST(tot.n_tok AS BIGINT) AS n_tokens,
+       CAST(COALESCE(kl.n_top_present, 0) AS BIGINT) AS n_top_present,
+       CAST(ROUND(CAST(100.0 * COALESCE(kl.n_top_tokens, 0) / tot.n_tok
+            AS DECIMAL(28,10)), 2) AS DOUBLE) AS top_coverage_pct,
+       CAST(ROUND(CAST(COALESCE(kl.kl, 0.0) AS DECIMAL(28,10)), 2) AS DOUBLE)
+         AS kl_vs_mixture
+FROM tot LEFT JOIN kl USING (source)
+ORDER BY source
+"""
+
+
+@query("q109_source_mix_divergence", oracle=_Q109_ORACLE)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence vs the corpus mixture (top-200 tokens)."""
+    toks_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    toks = load_doc_tokens(spark, sf_dir).join(toks_src, "doc_id")
+    tot = toks.groupBy("source").agg(
+        F.sum(F.size("ws")).alias("n_tok")
+    )
+    t = toks.select("source", F.explode("ws").alias("token"))
+    top = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .orderBy(F.col("gcnt").desc(), "token")
+        .limit(_Q109_TOP)
+    )
+    gtot = tot.agg(F.sum("n_tok").cast("double").alias("n"))
+    sc = (
+        t.join(F.broadcast(top), "token")
+        .groupBy("source", "token", "gcnt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    kl = (
+        sc.join(F.broadcast(tot.withColumnRenamed("source", "_s")),
+                F.col("source") == F.col("_s"))
+        .crossJoin(F.broadcast(gtot))
+        .withColumn("p", F.col("cnt").cast("double") / F.col("n_tok"))
+        .withColumn("m", F.col("gcnt").cast("double") / F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("p") * F.log(F.col("p") / F.col("m"))).alias("kl"),
+            F.count(F.lit(1)).alias("n_top_present"),
+            F.sum("cnt").alias("n_top_tokens"),
+        )
+    )
+    return (
+        tot.join(kl.withColumnRenamed("source", "_s2"),
+                 F.col("source") == F.col("_s2"), "left")
+        .select(
+            "source",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.coalesce("n_top_present", F.lit(0)).cast("long").alias("n_top_present"),
+            dec2(
+                F.lit(100.0) * F.coalesce("n_top_tokens", F.lit(0)) / F.col("n_tok")
+            ).alias("top_coverage_pct"),
+            dec2(F.coalesce("kl", F.lit(0.0))).alias("kl_vs_mixture"),
+        )
+        .transform(small_result_order, "source")
+    )

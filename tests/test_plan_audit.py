@@ -197,6 +197,9 @@ BNLJ_INTENTIONAL = {
     # the quality audit broadcasts its 1-row RI-violation frame into
     # the 1-row scalar-metrics frame before the stack() unpivot
     "q88_quality_constraint_audit",
+    # source-mix divergence broadcasts its 1-row corpus-token-total
+    # frame into the mixture expression (the q52/q83 scalar pattern)
+    "q109_source_mix_divergence",
     # bucket-bracket exact percentiles crossJoin two 1-row broadcast
     # frames (global min/max, global bracket range) into the corpus
     # scans — the q52/q83 scalar pattern; the design exists precisely
