@@ -211,3 +211,28 @@ def test_q92_current_versions_equal_lww_state(spark, sf_dir):
     assert current == lww
     # exactly one open version per user with >=1 event
     assert len(versions) == len(lww)
+
+
+def test_q108_hashed_shingle_key_is_lossless(spark, sf_dir):
+    """VERDICT r7 item 2's pin: the registered q108 plan shuffles the
+    shingle's xxhash64 (8-byte key), and that grouping must be LOSSLESS
+    vs the raw (t1..t5) struct grouping the oracle replays — same
+    distinct-shingle population (no 64-bit collision on the real
+    corpus) and identical split-membership sums."""
+    from cdc_example_spark.queries.quality import _q108_split_flags
+    from cdc_example_spark.sources.catalog import load_doc_tokens
+
+    toks = load_doc_tokens(spark, sf_dir)
+    sums = [
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("in_tr").alias("n_tr"),
+        F.sum("in_va").alias("n_va"),
+        F.sum("in_te").alias("n_te"),
+        F.sum(F.col("in_tr") * F.col("in_va")).alias("tr_va"),
+        F.sum(F.col("in_tr") * F.col("in_te")).alias("tr_te"),
+        F.sum(F.col("in_va") * F.col("in_te")).alias("va_te"),
+    ]
+    raw = _q108_split_flags(toks, hashed=False).agg(*sums).collect()[0]
+    hashed = _q108_split_flags(toks, hashed=True).agg(*sums).collect()[0]
+    assert raw.asDict() == hashed.asDict()
+    assert raw["n_shingles"] > 0
