@@ -861,3 +861,190 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — BPE APPLY: encode the full corpus with a trained merge table
+# (VERDICT r7 item 6 — q105 trains merges; this is the tokenizer-
+# APPLICATION half every training pipeline then runs at full corpus
+# scale). The merge table is trained on the deterministic 5%
+# tokenizer-training sample (doc_id % 20 = 0 — tokenizers train on a
+# sample, encode everything) with q105's exact per-round semantics:
+# count adjacent pairs → winner (count desc, pair asc) → non-
+# overlapping leftmost replace — each round's 1-row winner COLLECTED
+# and re-entering as string literals (the q58/q62/q100/q105
+# iterative-algorithm discipline). The ENCODE is the registered plan:
+# ONE corpus scan + K chained column-argument `replace` rewrites — no
+# UDF, no join, pure codegen projection — then a per-language token
+# audit (raw vs encoded counts, compression). The oracle replays the
+# identical training rounds and the identical K-deep replace chain.
+# Scale shape: at 100 TB the encode is embarrassingly parallel (per-
+# row rewrites, lang-keyed partial agg); training cost is sample-
+# sized and paid once at construction, exactly like deployment.
+# ---------------------------------------------------------------------------
+
+_Q110_MERGES = 6
+_Q110_SAMPLE_MOD = 20
+
+
+def _q110_oracle() -> str:
+    k = _Q110_MERGES
+    parts = [
+        "WITH s0 AS (",
+        "  SELECT ' ' || array_to_string(",
+        r"           regexp_split_to_array(TRIM(LOWER(text)), '\s+'), ' ') || ' ' AS s",
+        f"  FROM documents WHERE doc_id % {_Q110_SAMPLE_MOD} = 0",
+        ")",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f", p{r} AS (\n"
+            "  SELECT pair, COUNT(*) AS cnt FROM (\n"
+            "    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair\n"
+            rf"    FROM (SELECT regexp_split_to_array(TRIM(s), '\s+') AS w FROM s{r - 1})"
+            "\n  ) GROUP BY pair\n"
+            f"), m{r} AS (\n"
+            f"  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1\n"
+            ")"
+        )
+        if r < k:
+            parts.append(
+                f", s{r} AS (\n"
+                f"  SELECT replace(s, ' ' || m{r}.pair || ' ',\n"
+                f"                 ' ' || replace(m{r}.pair, ' ', '_') || ' ') AS s\n"
+                f"  FROM s{r - 1}, m{r}\n"
+                ")"
+            )
+    chain = "' ' || array_to_string(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'), ' ') || ' '"
+    for r in range(1, k + 1):
+        chain = (
+            f"replace({chain}, ' ' || m{r}.pair || ' ', "
+            f"' ' || replace(m{r}.pair, ' ', '_') || ' ')"
+        )
+    froms = ", ".join(f"m{r}" for r in range(1, k + 1))
+    parts.append(
+        ", fe AS (\n"
+        "  SELECT lang,\n"
+        r"         len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n_raw,"
+        "\n"
+        f"         {chain} AS s\n"
+        f"  FROM documents, {froms}\n"
+        "), st AS (\n"
+        "  SELECT lang, SUM(n_raw) AS tok_raw,\n"
+        "         SUM(CASE WHEN n_raw = 0 THEN 0\n"
+        r"             ELSE len(regexp_split_to_array(TRIM(s), '\s+')) END) AS tok_enc"
+        "\n"
+        "  FROM fe GROUP BY lang\n"
+        ")"
+    )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS stage, {r} AS rnk, pair AS item, cnt AS n_a,\n"
+        f"       0 AS n_b, CAST(0.0 AS DOUBLE) AS pct FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(
+        "SELECT stage, CAST(rnk AS BIGINT) AS rnk, item,\n"
+        "       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, pct\n"
+        "FROM (\n"
+        f"{merge_rows}\n"
+        "UNION ALL\n"
+        "SELECT 'encode', 0, lang, tok_raw, tok_enc,\n"
+        "       CASE WHEN tok_raw = 0 THEN CAST(0.0 AS DOUBLE)\n"
+        "            ELSE CAST(ROUND(CAST(100.0 * (tok_raw - tok_enc) / tok_raw\n"
+        "                 AS DECIMAL(28,10)), 2) AS DOUBLE) END FROM st\n"
+        ")\n"
+        "ORDER BY stage, rnk, item"
+    )
+    return "\n".join(parts)
+
+
+_Q110_ORACLE = _q110_oracle()
+
+
+@query("q110_bpe_encode_corpus", oracle=_Q110_ORACLE)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with 6 sample-trained BPE merges; audit per lang.
+
+    Training (construction time, the collect-tiny-winners discipline):
+    6 rounds of q105's pair-count → 1-row winner → literal replace on
+    the 5% doc_id-hash sample. Registered plan: ONE documents scan +
+    6 chained literal ``replace`` projections + a lang-keyed partial
+    agg — the full-corpus tokenizer application, no UDF, no join.
+    """
+    toks = load_doc_tokens(spark, sf_dir)
+    sample = toks.filter(F.col("doc_id") % _Q110_SAMPLE_MOD == 0)
+    scorpus = sample.select(
+        F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")).alias("s")
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, _Q110_MERGES + 1):
+        # round 1 counts straight off the token arrays; later rounds
+        # split the rewritten corpus string on its literal join space
+        src = (
+            sample.select(F.col("ws").alias("a"))
+            if r == 1
+            else scorpus.select(F.split(F.trim("s"), " ").alias("a"))
+        )
+        top = _top_pair(src, F.col("a")).collect()[0]
+        merges.append((r, top["pair"], int(top["cnt"])))
+        scorpus = scorpus.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['pair']} "),
+                F.lit(" " + top["pair"].replace(" ", "_") + " "),
+            ).alias("s")
+        )
+    # ---- the registered plan: full-corpus encode ----------------------
+    enc = toks.select(
+        "lang",
+        F.size("ws").alias("n_raw"),
+        F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")).alias("s"),
+    )
+    s = F.col("s")
+    for _, pair, _cnt in merges:
+        s = F.replace(
+            s,
+            F.lit(f" {pair} "),
+            F.lit(" " + pair.replace(" ", "_") + " "),
+        )
+    n_enc = F.when(F.col("n_raw") == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(s), " "))
+    )
+    st = (
+        enc.select("lang", "n_raw", n_enc.alias("n_enc"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_raw").alias("tok_raw"),
+            F.sum("n_enc").alias("tok_enc"),
+        )
+    )
+    encode_rows = st.select(
+        F.lit("encode").alias("stage"),
+        F.lit(0).cast("long").alias("rnk"),
+        F.col("lang").alias("item"),
+        F.col("tok_raw").cast("long").alias("n_a"),
+        F.col("tok_enc").cast("long").alias("n_b"),
+        F.when(F.col("tok_raw") == 0, F.lit(0.0))
+        .otherwise(
+            dec2(
+                F.lit(100.0)
+                * (F.col("tok_raw") - F.col("tok_enc"))
+                / F.col("tok_raw")
+            )
+        )
+        .alias("pct"),
+    )
+    mrows = None
+    for r, pair, cnt in merges:
+        row = spark.range(0, 1, 1, 1).select(
+            F.lit("merge").alias("stage"),
+            F.lit(r).cast("long").alias("rnk"),
+            F.lit(pair).alias("item"),
+            F.lit(cnt).cast("long").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+            F.lit(0.0).alias("pct"),
+        )
+        mrows = row if mrows is None else mrows.unionAll(row)
+    return mrows.unionAll(encode_rows).transform(
+        small_result_order, "stage", "rnk", "item"
+    )

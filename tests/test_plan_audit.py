@@ -399,3 +399,18 @@ def test_q109_explodes_documents_once(spark, sf_dir):
     s = plan_summary(df)
     # one column-pruned corpus scan: the exploded probe stream
     assert s["scans"] == 1, s
+
+
+def test_q110_encode_is_one_scan_no_udf_no_join(spark, sf_dir):
+    """VERDICT r7 item 6's plan contract: the registered BPE-apply plan
+    is ONE corpus scan + K chained literal replace projections + a
+    lang-keyed partial agg (plus the literal merge-row spine) — no
+    Python UDF, no join; training happened at construction."""
+    df = q("q110_bpe_encode_corpus", spark, sf_dir)
+    s = plan_summary(df)
+    assert s["scans"] == 1, s
+    assert s["broadcast_joins"] + s["sort_merge_joins"] == 0, s
+    plan = explain_formatted(df)
+    assert "replace" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert_no_cartesian(df)
