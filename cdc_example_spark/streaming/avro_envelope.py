@@ -261,14 +261,32 @@ def _decoder_for(registry_url: "str | None"):
                 try:
                     sid, vbody = confluent_unframe(bytes(vb))
                     val, _ = avro_decode(_resolve(sid, VALUE_SCHEMA), vbody)
-                    row["schema_id"] = sid
+                    flat: "dict[str, Any]" = {"schema_id": sid}
                     for side in ("before", "after"):
                         img = val[side]
+                        if img is not None:
+                            # Lenient lookup covers APPENDED-field
+                            # evolution ONLY (ADVICE r7): a registry-
+                            # resolved writer schema that REMOVED a
+                            # pinned field must route through the
+                            # per-row decode-failure tolerance below,
+                            # never materialize a silently-NULLed
+                            # applied row.
+                            missing = [
+                                f for f, _s in ROW_SCHEMA[1] if f not in img
+                            ]
+                            if missing:
+                                raise KeyError(
+                                    f"writer schema lacks pinned fields {missing}"
+                                )
                         for f, _s in ROW_SCHEMA[1]:
-                            row[f"{side}_{f}"] = None if img is None else img.get(f)
-                    row["op"] = val["op"]
-                    row["lsn"] = val["source"]["lsn"]
-                    row["ts_ms"] = val["ts_ms"]
+                            flat[f"{side}_{f}"] = None if img is None else img[f]
+                    flat["op"] = val["op"]
+                    flat["lsn"] = val["source"]["lsn"]
+                    flat["ts_ms"] = val["ts_ms"]
+                    # assign atomically: a failure anywhere above must
+                    # leave NO half-decoded image fields on the row
+                    row.update(flat)
                 except Exception:
                     # a value that fails to decode cannot be applied; the
                     # key-only row routes as nothing (after stays NULL and

@@ -339,13 +339,33 @@ def main() -> None:
         def run_capped(sql: str) -> float:
             import threading as _th
 
-            timer = _th.Timer(DUCK_RUN_CAP_S, con.interrupt)
+            # ADVICE r7: a watchdog firing in the window after
+            # fetchdf() returns but before timer.cancel() would land a
+            # stray interrupt on the SHARED connection and DNF the
+            # NEXT oracle run. Guard with a done-flag inside the
+            # callback, and absorb any interrupt that still slipped
+            # through with a sacrificial no-op before returning.
+            done = _th.Event()
+            fired = _th.Event()
+
+            def _interrupt():
+                if not done.is_set():
+                    fired.set()
+                    con.interrupt()
+
+            timer = _th.Timer(DUCK_RUN_CAP_S, _interrupt)
             timer.start()
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchdf()
             finally:
+                done.set()
                 timer.cancel()
+                if fired.is_set():
+                    try:
+                        con.execute("SELECT 1")
+                    except Exception:
+                        pass
             return time.perf_counter() - t0
 
         d_dnf: dict[str, str] = {}

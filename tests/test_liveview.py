@@ -136,3 +136,75 @@ def test_liveview_pages_served_and_feed_applies(spark, tmp_path):
     finally:
         rest.stop()
         hub.close()
+
+
+def _bootstrap(snapshot_rows, gap_frames):
+    """The page's dial()/onopen contract after ADVICE r7: the feed is
+    open (buffering) BEFORE the snapshot request resolves; the snapshot
+    applies first, then the buffered gap frames replay on top."""
+    view = {m["id"]: m for m in snapshot_rows}
+    for raw in gap_frames:
+        ev = json.loads(raw)
+        if ev.get("type") == "UPSERT" and ev.get("content"):
+            view[ev["id"]] = ev["content"]
+        elif ev.get("type") == "DELETE":
+            view.pop(ev["id"], None)
+    return view
+
+
+def test_liveview_subscribe_then_snapshot_gap(spark, tmp_path):
+    """ADVICE r7: events delivered while the snapshot request is in
+    flight must not be lost (missed UPSERT) or resurrected (ghost row
+    after a gap DELETE). Drives the real hub + REST server; the gap is
+    modeled by snapshotting BEFORE the gap traffic, exactly what the
+    page sees when the fetch resolves against pre-gap state."""
+    sink = KeyedStateSink(path=str(tmp_path / "db"), num_buckets=8)
+    clock = {"t": dt.datetime(2025, 10, 26, 23, 21, 7, tzinfo=UTC)}
+    rest = MessageRestServer(spark, sink, clock=lambda: clock["t"]).start()
+    hub = WsHub()
+    ws_port = hub.start()
+    try:
+        rest.ws_url = f"ws://127.0.0.1:{ws_port}"
+        # the served page must carry the subscribe-then-snapshot
+        # bootstrap, not the old fetch-then-dial one
+        code, body = _call(rest.port, "GET", "/")
+        html = body.decode("utf-8")
+        assert code == 200 and "subscribe-then-snapshot" in html
+        assert ".catch(dial)" not in html
+
+        def write(method, path, body=None, expect=200):
+            code, raw = _call(rest.port, method, path, body)
+            assert code == expect, (code, raw)
+            return json.loads(raw) if raw else None
+
+        # pre-gap state: one row, visible in the snapshot
+        a = write("POST", "/api/messages", {"username": "ann", "message": "first"})
+        code, raw = _call(rest.port, "GET", "/api/messages")
+        snapshot = json.loads(raw)  # <- what the in-flight fetch returns
+
+        # subscription is ALREADY open: gap traffic lands as frames
+        client = RawWsClient(ws_port)
+        import time as _time
+        deadline = _time.time() + 5
+        while hub.n_clients < 1 and _time.time() < deadline:
+            _time.sleep(0.05)
+        gap: list[str] = []
+        clock["t"] += dt.timedelta(seconds=5)
+        b = write("POST", "/api/messages", {"username": "bo", "message": "in-gap"})
+        hub.broadcast(json.dumps({"type": "UPSERT", "id": b["id"], "content": b}))
+        gap.append(client.read_frame())
+        write("DELETE", f"/api/messages/{a['id']}", expect=204)
+        hub.broadcast(json.dumps({"type": "DELETE", "id": a["id"]}))
+        gap.append(client.read_frame())
+
+        view = _bootstrap(snapshot, gap)
+        assert b["id"] in view, "UPSERT in the snapshot gap was lost"
+        assert a["id"] not in view, "DELETE in the snapshot gap left a ghost row"
+        # and the converged view equals the server's current snapshot
+        code, raw = _call(rest.port, "GET", "/api/messages")
+        now = json.loads(raw)
+        assert {m["id"] for m in now} == set(view)
+        client.close()
+    finally:
+        rest.stop()
+        hub.close()

@@ -216,3 +216,52 @@ def test_registry_path_decodes_evolved_schema(spark):
     # unapplied row (schema mismatch -> per-row tolerance), not crash
     rows = A.decode_avro_envelope(raw).collect()
     assert len(rows) == 1 and rows[0].key_id == "m9"
+
+
+def test_registry_schema_with_removed_field_degrades_not_nulls(spark):
+    """ADVICE r7: a registry-resolved writer schema that REMOVED a
+    pinned field (here `username`) must route the frame through the
+    per-row decode-failure tolerance — an UNAPPLIED row (NULL after,
+    NULL lsn) — never materialize an applied row whose missing column
+    is silently NULL."""
+    reduced_row = (
+        "record",
+        [(f, s) for f, s in A.ROW_SCHEMA[1] if f != "username"],
+    )
+    reduced_value = (
+        "record",
+        [
+            ("before", ("union_null", reduced_row)),
+            ("after", ("union_null", reduced_row)),
+            ("source", A.SOURCE_SCHEMA),
+            ("op", "string"),
+            ("ts_ms", ("union_null", "long")),
+        ],
+    )
+    t0 = "2025-10-26T10:00:00.000000Z"
+    img = {"id": "m9", "create_time": t0, "update_time": t0, "message": "hey"}
+    value = {
+        "before": None, "after": img,
+        "source": {"version": "x", "connector": "postgresql",
+                   "name": "messages", "ts_ms": 1, "lsn": 2000},
+        "op": "c", "ts_ms": 5,
+    }
+    key = A.confluent_frame(1, A.avro_encode(A.KEY_SCHEMA, {"id": "m9"}))
+    val = A.confluent_frame(9, A.avro_encode(reduced_value, value))
+    raw = spark.createDataFrame(
+        [Row(key=key, value=val)], "key binary, value binary"
+    )
+
+    reg = StubRegistry({
+        1: tree_to_avro_json(A.KEY_SCHEMA),
+        9: tree_to_avro_json(reduced_value),
+    })
+    try:
+        rows = A.decode_avro_envelope(raw, registry_url=reg.url).collect()
+    finally:
+        reg.close()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.key_id == "m9"            # key still routes
+    assert r.after is None and r.before is None  # NOT a half-NULL image
+    assert r.lsn is None               # unapplied: ordered out downstream
