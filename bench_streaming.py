@@ -34,7 +34,7 @@ def run(
     spark=None,
     n_events: int | None = None,
     n_files: int = 5,
-    num_buckets: int = 32,
+    num_buckets: "int | None" = None,
     scoped_read: bool = True,
 ) -> dict:
     """Run the CDC apply benchmark; returns the metrics dict.
@@ -122,7 +122,8 @@ def run(
         if batch_times
         else None,
         "events_per_batch": per_file,
-        "num_buckets": num_buckets,
+        "num_buckets": sink.num_buckets,
+        "auto_sized": num_buckets is None,
         "final_state_rows": visible,
         "wall_s": round(wall, 2),
     }

@@ -107,13 +107,34 @@ class KeyNotFoundError(Exception):
     """
 
 
+#: AUTO bucket-sizing bounds (VERDICT r7 item 5): a fresh auto-sized
+#: sink starts at the MIN (each bucket directory costs ~15 ms/batch of
+#: small-file overhead, so a toy state must not pay for 32) and grows
+#: by power-of-two re-bucketing as observed state rows per bucket
+#: exceed the target — the same direction-scaling discipline as
+#: SemDeDup's ``n_centroids_for``. The MAX is a runaway backstop; a
+#: 100 TB deployment sets ``num_buckets`` explicitly.
+AUTO_MIN_BUCKETS = 8
+AUTO_MAX_BUCKETS = 4096
+#: bucket count state written BEFORE the meta file existed (the
+#: historical constructor default) — resolved for legacy layouts.
+LEGACY_DEFAULT_BUCKETS = 32
+
+
 @dataclass
 class KeyedStateSink:
     """Bucket-partitioned parquet materialization of a keyed stream."""
 
     path: str
     key: str = "id"
-    num_buckets: int = 32
+    #: ``None`` (the default) = AUTO: start at :data:`AUTO_MIN_BUCKETS`
+    #: for fresh state, resolve the persisted count for existing state,
+    #: and grow by re-bucketing when observed rows per touched bucket
+    #: exceed ``rows_per_bucket_target`` (VERDICT r7 item 5 — the sized
+    #: tier's p50 becomes the default path). An explicit int pins the
+    #: count (and must match any persisted count — changing the bucket
+    #: count of live state silently mis-addresses every key).
+    num_buckets: int | None = None
     #: VERDICT r5 item 9 (default-tier T3): when True, the per-batch
     #: state read pins the schema and enumerates ONLY the touched
     #: bucket directories (``basePath`` + explicit dirs), so untouched
@@ -121,6 +142,30 @@ class KeyedStateSink:
     #: discovery, no parquet footer schema inference, no isin filter.
     #: False keeps the whole-table-read shape for A/B comparison.
     scoped_read: bool = True
+    #: auto-mode growth threshold: rows per TOUCHED bucket observed on
+    #: the merge write (free — rides the existing Observation) above
+    #: which the state re-buckets to the next power of two. ~2^18 rows
+    #: ≈ tens of MB per bucket file at this row shape.
+    rows_per_bucket_target: int = 262_144
+
+    def __post_init__(self):
+        self._auto = self.num_buckets is None
+        persisted = self._read_meta()
+        if persisted is not None:
+            if self.num_buckets is not None and self.num_buckets != persisted:
+                raise ValueError(
+                    f"KeyedStateSink({self.path}): requested num_buckets="
+                    f"{self.num_buckets} but existing state is bucketed "
+                    f"{persisted}-way — changing the count on live state "
+                    "mis-addresses every key (pass num_buckets=None to "
+                    "resolve the persisted count)"
+                )
+            self.num_buckets = persisted
+        elif self.num_buckets is None:
+            self.num_buckets = (
+                LEGACY_DEFAULT_BUCKETS if self.exists() else AUTO_MIN_BUCKETS
+            )
+        self._meta_written = persisted is not None
 
     # ------------------------------------------------------------------
     # helpers
@@ -186,6 +231,26 @@ class KeyedStateSink:
     # ------------------------------------------------------------------
     # the CDC apply (foreachBatch body)
     # ------------------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_num_buckets")
+
+    def _read_meta(self) -> "int | None":
+        try:
+            with open(self._meta_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_meta(self) -> None:
+        # write-then-rename, same torn-write discipline as the batch
+        # marker; persisted so a restarted process (or another sink
+        # object) resolves the count the state was actually hashed with.
+        tmp = self._meta_path() + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(self.num_buckets))
+        os.replace(tmp, self._meta_path())
 
     def _marker_path(self) -> str:
         return os.path.join(self.path, "_applied_batch_id")
@@ -313,6 +378,11 @@ class KeyedStateSink:
                 self._overwrite_touched(out, buckets, already_partitioned=True)
             if batch_id is not None:
                 self._record_batch_id(batch_id)
+        # auto-mode growth check runs OUTSIDE the micro-batch conf scope
+        # (the re-bucket rewrite is a table-scale maintenance job, not a
+        # micro-batch), and after the marker: a crash mid-resize simply
+        # retries the resize on the next batch.
+        self._maybe_grow(spark)
 
     def _merge(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
         """Rewrite only the buckets containing ``touched_keys``."""
@@ -373,7 +443,14 @@ class KeyedStateSink:
         # job count). (With a lakehouse table format this whole method is
         # a single MERGE INTO.)
         obs = Observation()
-        observed = out.observe(obs, F.collect_set("bucket").alias("nonempty"))
+        # n_rows rides the same write-job Observation for free: in auto
+        # mode it is the growth signal (state rows of the touched
+        # buckets after this merge).
+        observed = out.observe(
+            obs,
+            F.collect_set("bucket").alias("nonempty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
         if not already_partitioned:
             # the streaming path arrives hash-partitioned by bucket from
             # its window exchange — re-repartitioning there would add a
@@ -386,8 +463,11 @@ class KeyedStateSink:
             .partitionBy("bucket")
             .parquet(self.path)
         )
+        written: "int | None" = None
         try:
-            nonempty = set(obs.get["nonempty"])
+            metrics = obs.get
+            nonempty = set(metrics["nonempty"])
+            written = int(metrics["n_rows"])
         except Exception:
             # PropagateEmptyRelation elides the CollectMetrics node when
             # `out` is statically empty (write-path deletes against
@@ -404,6 +484,74 @@ class KeyedStateSink:
         for b in buckets:
             if b not in nonempty:
                 shutil.rmtree(os.path.join(self.path, f"bucket={b}"), ignore_errors=True)
+        # growth signal for auto mode + persist the count the state was
+        # hashed with (once — later writes see the flag)
+        self._last_write_rows = written
+        self._last_write_touched = len(buckets)
+        if not getattr(self, "_meta_written", False):
+            self._write_meta()
+            self._meta_written = True
+
+    def _maybe_grow(self, spark: SparkSession) -> None:
+        """AUTO mode: re-bucket to the next power of two when the last
+        merge observed more state rows per touched bucket than the
+        target.
+
+        The signal rides the write-job Observation (zero extra jobs):
+        rows written / buckets touched is exactly the per-bucket state
+        density the next batch's read+rewrite pays. Re-bucketing reads
+        the table once and rewrites it — the classic amortized hash
+        resize: O(log(final/initial)) rewrites over the table's
+        lifetime, each paid for by the growth that triggered it. A
+        100 TB deployment pins ``num_buckets`` explicitly and never
+        enters this path.
+        """
+        if not self._auto:
+            return
+        written = getattr(self, "_last_write_rows", None)
+        touched = getattr(self, "_last_write_touched", 0)
+        if not written or not touched or self.num_buckets >= AUTO_MAX_BUCKETS:
+            return
+        per_bucket = written / touched
+        if per_bucket <= self.rows_per_bucket_target:
+            return
+        est_total = per_bucket * self.num_buckets
+        new_count = self.num_buckets
+        while (
+            new_count < AUTO_MAX_BUCKETS
+            and est_total / new_count > self.rows_per_bucket_target
+        ):
+            new_count *= 2
+        if new_count != self.num_buckets:
+            self._rebucket(spark, new_count)
+
+    def _rebucket(self, spark: SparkSession, new_count: int) -> None:
+        """Rewrite the state hashed ``new_count``-way: staged write +
+        directory swap, so a crash never leaves mixed addressing; the
+        batch marker travels with the swap."""
+        snap = self.snapshot(spark)
+        staged = self.path + ".rebucket"
+        shutil.rmtree(staged, ignore_errors=True)
+        (
+            snap.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(new_count))
+            )
+            .repartition(min(new_count, 32), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staged)
+        )
+        marker = self._marker_path()
+        if os.path.exists(marker):
+            shutil.copy2(marker, os.path.join(staged, os.path.basename(marker)))
+        old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(staged, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.num_buckets = new_count
+        self._write_meta()
+        self._meta_written = True
 
     # ------------------------------------------------------------------
     # write-path operators (A12/A13): service-level upsert/delete

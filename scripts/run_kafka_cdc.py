@@ -56,7 +56,7 @@ def main() -> None:
     raw = kafka_cdc_source(
         spark, args.brokers, args.topic, starting_offsets=args.starting_offsets
     ).selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
-    sink = KeyedStateSink(spark, args.state_dir)
+    sink = KeyedStateSink(path=args.state_dir)
     query = materialize(raw, sink, checkpoint_dir=args.checkpoint)
     print(f"materializing {args.topic} from {args.brokers} -> {args.state_dir}")
     query.awaitTermination()

@@ -297,3 +297,91 @@ def test_microbatch_conf_scopes_and_restores(spark):
         pass
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+
+# ---------------------------------------------------------------------------
+# AUTO bucket sizing (VERDICT r7 item 5): the default path starts at 8
+# buckets, persists the count it hashed with, and grows by re-bucketing
+# from the observed per-bucket state rows.
+# ---------------------------------------------------------------------------
+
+
+def _insert_records(n, tag=""):
+    t = "2025-10-26T23:21:07.598794Z"
+    return [
+        envelope(
+            "i",
+            f"k{tag}{i:05d}",
+            after=row_image(f"k{tag}{i:05d}", t, t, f"m{i}", "ann"),
+            lsn=1000 + i,
+            ts_ms=1000 + i,
+        )
+        for i in range(n)
+    ]
+
+
+def test_auto_bucket_count_resolves_and_persists(spark, tmp_path):
+    from cdc_example_spark.operators.keyed_state import (
+        AUTO_MIN_BUCKETS,
+        LEGACY_DEFAULT_BUCKETS,
+    )
+
+    path = str(tmp_path / "state")
+    s1 = KeyedStateSink(path=path)
+    assert s1.num_buckets == AUTO_MIN_BUCKETS
+    apply_batch(spark, s1, _insert_records(20))
+    # the count the state was hashed with is persisted and resolved by
+    # a fresh sink object (restart semantics)
+    s2 = KeyedStateSink(path=path)
+    assert s2.num_buckets == AUTO_MIN_BUCKETS
+    assert len(rows_by_id(spark, s2)) == 20
+    # an explicit matching count is accepted; a conflicting one fails
+    # loud instead of silently mis-addressing every key
+    KeyedStateSink(path=path, num_buckets=AUTO_MIN_BUCKETS)
+    with pytest.raises(ValueError, match="bucketed"):
+        KeyedStateSink(path=path, num_buckets=16)
+    # legacy layout (state dirs, no meta file): resolves the historical
+    # constructor default
+    import os
+
+    os.remove(os.path.join(path, "_num_buckets"))
+    s3 = KeyedStateSink(path=path)
+    assert s3.num_buckets == LEGACY_DEFAULT_BUCKETS or s3.num_buckets == AUTO_MIN_BUCKETS
+    # (8 == min here only if exists() were False; state exists, so it
+    # must be the legacy default)
+    assert s3.num_buckets == LEGACY_DEFAULT_BUCKETS
+
+
+def test_auto_bucket_growth_rebuckets_and_preserves_state(spark, tmp_path):
+    from cdc_example_spark.operators.keyed_state import AUTO_MIN_BUCKETS
+
+    path = str(tmp_path / "state")
+    sink = KeyedStateSink(path=path, rows_per_bucket_target=25)
+    assert sink._auto and sink.num_buckets == AUTO_MIN_BUCKETS
+    # 600 keys over 8 buckets = 75 rows/bucket > 25 → grow; estimated
+    # total 600 → next power of two with ≤25 rows/bucket is 32
+    apply_batch(spark, sink, _insert_records(600))
+    assert sink.num_buckets == 32, sink.num_buckets
+    # state fully preserved through the re-bucket
+    rows = rows_by_id(spark, sink)
+    assert len(rows) == 600
+    assert rows["k00007"]["message"] == "m7"
+    # the grown count is persisted; a fresh object resolves it
+    s2 = KeyedStateSink(path=path)
+    assert s2.num_buckets == 32
+    # addressing stays correct after growth: update + delete land on
+    # the right keys through the new hash
+    t2 = "2025-10-26T23:59:27.585446Z"
+    apply_batch(spark, s2, [
+        envelope("u", "k00007",
+                 after=row_image("k00007", t2, t2, "edited", "ann"),
+                 lsn=90_000, ts_ms=90_000),
+        envelope("d", "k00008", after=None, lsn=90_001, ts_ms=90_001),
+    ])
+    rows = rows_by_id(spark, s2)
+    assert rows["k00007"]["message"] == "edited"
+    assert "k00008" not in rows and len(rows) == 599
+    # growth is monotonic and idempotent: re-applying small traffic
+    # does not shrink or re-bucket again
+    apply_batch(spark, s2, _insert_records(5, tag="x"))
+    assert s2.num_buckets == 32
