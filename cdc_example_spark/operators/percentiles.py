@@ -583,3 +583,197 @@ def grouped_exact_percentiles_bucketed(
     )
 
     return _locate_and_interpolate(carriers, hist, pairs, g, "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Executable tier choice (VERDICT r7 item 7): the bucket tier's state
+# bound is DISTRIBUTIONAL (~2n/B per pair for roughly-uniform mass)
+# while the GK tier's is adversarial — the selection between them used
+# to be prose. These helpers make it executable: one bounded estimator
+# job measures, for the exact bucket geometry the bucket tier would
+# use, how many rows its pass-3 histogram would carry, and the auto
+# wrapper dispatches on that measurement. The expressions below
+# intentionally REPLAY grouped_exact_percentiles_bucketed's geometry
+# (same _bucket clamp, same marginal, same bracket ranges) so the
+# registered q41 tier stays byte-identical; the replay is pinned
+# against it by tests/test_percentiles.py.
+# ---------------------------------------------------------------------------
+
+
+def bucket_tier_occupancy(
+    df: DataFrame,
+    group_col: str,
+    specs: "list[tuple[str, list[float]]]",
+    n_buckets: int = 2048,
+) -> "tuple[int, int]":
+    """(histogram_rows, scanned_rows) the bucket tier would pay.
+
+    ``histogram_rows``: total rows, summed over (col, q) pairs, that
+    fall inside the pairwise GLOBAL bracket-bucket range — exactly the
+    rows grouped_exact_percentiles_bucketed's pass 3 emits into its
+    per-value histogram. ``scanned_rows``: total non-null rows per
+    pair (the denominator the ~2n/B bound is stated against). ONE
+    Spark action; its plan executes the bucket-count scan twice (once
+    under the bracket-range agg, once under the occupancy sum — no
+    cross-DAG subtree reuse), which is the estimator's honest cost and
+    why the hot q41 path registers the bucket tier directly for
+    TPC-H-shaped measures instead of paying the guard per run.
+    """
+    pairs = [(c, q) for c, qs in specs for q in qs]
+    cols = [c for c, _ in specs]
+    B = int(n_buckets)
+    g = group_col
+    df = df.select(g, *cols)
+    gstats = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+
+    def _bucket(c):
+        v = F.col(c).cast("double")
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        raw = F.floor((v - lo) * F.lit(float(B)) / (hi - lo))
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(B - 1))
+        return (
+            F.when(v.isNotNull() & (hi > lo), clamped)
+            .when(v.isNotNull(), F.lit(0))
+            .cast("long")
+        )
+
+    joint = (
+        df.crossJoin(F.broadcast(gstats))
+        .groupBy(g, *[_bucket(c).alias(f"_bk_{j}") for j, c in enumerate(cols)])
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    marg = (
+        joint.select(
+            g,
+            "_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("ci"), F.col(f"_bk_{j}").alias("b")
+                        )
+                        for j in range(len(cols))
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(g, F.col("s.ci").alias("ci"), F.col("s.b").alias("b"), "_cnt")
+        .groupBy(g, "ci", "b")
+        .agg(F.sum("_cnt").alias("cnt"))
+    )
+    cntn = F.when(F.col("b").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+    wn = Window.partitionBy(g, "ci")
+    wcum = Window.partitionBy(g, "ci").orderBy("b")
+    mc = (
+        marg.withColumn("C", F.sum(cntn).over(wcum))
+        .withColumn("n", F.sum(cntn).over(wn))
+        .withColumn("cntn", cntn)
+    )
+
+    def _pair_preds(t):
+        c, q = pairs[t]
+        j = cols.index(c)
+        p = (F.col("n") - 1).cast("double") * F.lit(float(q))
+        run_lo = F.col("C") - F.col("cntn")
+        m = (F.col("ci") == j) & F.col("b").isNotNull() & (F.col("n") > 0)
+        m_lo = m & (run_lo <= F.floor(p)) & (F.floor(p) < F.col("C"))
+        m_hi = m & (run_lo <= F.ceil(p)) & (F.ceil(p) < F.col("C"))
+        return m_lo, m_hi
+
+    grange = (
+        mc.groupBy(g)
+        .agg(
+            *[
+                a
+                for t in range(len(pairs))
+                for a in (
+                    F.max(F.when(_pair_preds(t)[0], F.col("b"))).alias(f"_blo_{t}"),
+                    F.max(F.when(_pair_preds(t)[1], F.col("b"))).alias(f"_bhi_{t}"),
+                )
+            ]
+        )
+        .agg(
+            *[
+                a
+                for t in range(len(pairs))
+                for a in (
+                    F.min(F.col(f"_blo_{t}")).alias(f"_gmin_{t}"),
+                    F.max(F.col(f"_bhi_{t}")).alias(f"_gmax_{t}"),
+                )
+            ]
+        )
+    )
+
+    est = mc.crossJoin(F.broadcast(grange))
+    aggs = []
+    for t, (c, _q) in enumerate(pairs):
+        j = cols.index(c)
+        inr = (
+            (F.col("ci") == j)
+            & F.col("b").isNotNull()
+            & (F.col("b") >= F.col(f"_gmin_{t}"))
+            & (F.col("b") <= F.col(f"_gmax_{t}"))
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(inr, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias(f"_h_{t}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("ci") == j, F.col("cntn"))), F.lit(0))
+            .cast("long")
+            .alias(f"_n_{t}")
+        )
+    r = est.agg(*aggs).first()
+    hist_rows = sum(int(r[f"_h_{t}"]) for t in range(len(pairs)))
+    n_rows = sum(int(r[f"_n_{t}"]) for t in range(len(pairs)))
+    return hist_rows, n_rows
+
+
+def choose_percentile_tier(
+    df: DataFrame,
+    group_col: str,
+    specs: "list[tuple[str, list[float]]]",
+    n_buckets: int = 2048,
+    max_hist_frac: float = 0.05,
+) -> str:
+    """'bucket' when the measured histogram stays within budget
+    (``max_hist_frac`` of the scanned rows — the distributional ~2n/B
+    bound holding in practice), else 'gk' (the rank-guaranteed,
+    adversarial-safe tier)."""
+    hist_rows, n_rows = bucket_tier_occupancy(df, group_col, specs, n_buckets)
+    if n_rows == 0 or hist_rows <= max_hist_frac * n_rows:
+        return "bucket"
+    return "gk"
+
+
+def grouped_exact_percentiles_auto(
+    df: DataFrame,
+    group_col: str,
+    specs: "list[tuple[str, list[float]]]",
+    n_buckets: int = 2048,
+    accuracy: int = 10_000,
+    max_hist_frac: float = 0.05,
+) -> DataFrame:
+    """Measured tier dispatch: run the occupancy estimator, then the
+    tier it selects. Both tiers share the output contract, so the
+    result is np.percentile-identical either way — the guard only
+    decides COST (a mass-concentrated distribution that would degrade
+    the bucket histogram toward O(n) rows routes to GK's
+    rank-guaranteed brackets). q41 registers the bucket tier directly
+    — TPC-H measures are the guaranteed-uniform case and the estimator
+    costs one extra two-scan job per run; deployments on unknown
+    distributions register THIS wrapper."""
+    tier = choose_percentile_tier(df, group_col, specs, n_buckets, max_hist_frac)
+    if tier == "bucket":
+        return grouped_exact_percentiles_bucketed(df, group_col, specs, n_buckets)
+    return grouped_exact_percentiles(df, group_col, specs, accuracy)

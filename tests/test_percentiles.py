@@ -180,3 +180,65 @@ def test_bucket_regime_exact_on_adversarial_distributions(spark, groups, q):
     for i, vs in enumerate(groups):
         expect = float(np.percentile(vs, q * 100))
         assert out[f"g{i}"] == pytest.approx(expect, abs=1e-9), (i, q)
+
+
+# ---------------------------------------------------------------------------
+# Executable tier choice (VERDICT r7 item 7): the guard must MEASURE
+# the bucket tier's histogram occupancy and route mass-concentrated
+# distributions to GK, uniform ones to the bucket tier — and the auto
+# wrapper must stay np.percentile-exact on both.
+# ---------------------------------------------------------------------------
+
+
+def test_tier_guard_routes_by_measured_occupancy(spark):
+    from cdc_example_spark.operators.percentiles import (
+        bucket_tier_occupancy,
+        choose_percentile_tier,
+        grouped_exact_percentiles_auto,
+    )
+
+    rng = np.random.default_rng(23)
+    # uniform mass: bracket buckets carry ~n/B rows → bucket tier
+    uni_rows = [("a", float(x), 0.0) for x in rng.uniform(0, 1000, 8000)]
+    # adversarial mass: 99% of values identical at 0 with a 1e9 outlier
+    # tail — the median's bracket bucket holds ~99% of all rows, the
+    # documented bucket-tier degeneracy
+    adv_rows = (
+        [("a", 0.0, 0.0)] * 7920
+        + [("a", float(x), 0.0) for x in rng.uniform(1e8, 1e9, 80)]
+    )
+    specs = [("x", [0.5, 0.95])]
+
+    uni = spark.createDataFrame(uni_rows, "g string, x double, y double")
+    adv = spark.createDataFrame(adv_rows, "g string, x double, y double")
+
+    h_u, n_u = bucket_tier_occupancy(uni, "g", specs)
+    h_a, n_a = bucket_tier_occupancy(adv, "g", specs)
+    assert n_u == 16000 and n_a == 16000  # 2 pairs × 8000 non-null rows
+    assert h_u <= 0.05 * n_u, (h_u, n_u)
+    assert h_a > 0.4 * n_a, (h_a, n_a)
+    assert choose_percentile_tier(uni, "g", specs) == "bucket"
+    assert choose_percentile_tier(adv, "g", specs) == "gk"
+
+    # the dispatch changes COST only, never the value
+    for rows, df in ((uni_rows, uni), (adv_rows, adv)):
+        out = grouped_exact_percentiles_auto(df, "g", specs).collect()[0]
+        vals = [x for _, x, _ in rows]
+        for q in (0.5, 0.95):
+            expect = float(np.percentile(vals, q * 100))
+            assert out[f"x_p{int(q * 100)}"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_tier_guard_occupancy_matches_registered_geometry(spark):
+    """The estimator replays grouped_exact_percentiles_bucketed's exact
+    bucket geometry: on a distribution where the bracket range spans
+    the whole table (2 rows, B buckets), occupancy must be total."""
+    from cdc_example_spark.operators.percentiles import bucket_tier_occupancy
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 1.0, 0.0)], "g string, x double, y double"
+    )
+    h, n = bucket_tier_occupancy(df, "g", [("x", [0.5])], n_buckets=64)
+    # median of 2 rows interpolates between bucket 0 and bucket 63:
+    # the global range covers both rows
+    assert (h, n) == (2, 2)
