@@ -104,6 +104,12 @@ QUERIES = [
     # stage floor amortizes" as prose — measure it like q79's.
     "q100_kmeans_lloyd_refine",
     "q105_bpe_merge_rounds",
+    # r8: the round's plan rewrites and the new BPE apply, measured at
+    # scale the round they land (hashed shingle key; collect-at-
+    # construction mixture monitor; sample-train + full-corpus encode)
+    "q108_split_leakage",
+    "q109_source_mix_divergence",
+    "q110_bpe_encode_corpus",
 ]
 
 TABLES = list(_REPLACE)
@@ -271,8 +277,15 @@ def main() -> None:
         # per sample for it so both engines are timed on the same work
         # (training itself stays memoized on both sides — literals).
         # (q105 likewise collects each round's 1-row winning pair at
-        # construction — both engines must be timed on all three scans)
-        FULL_REBUILD = {"q100_kmeans_lloyd_refine", "q105_bpe_merge_rounds"}
+        # construction — both engines must be timed on all three scans;
+        # r8: q109 collects its top-200 + per-source totals and q110
+        # trains its 6 merges at construction — same accounting)
+        FULL_REBUILD = {
+            "q100_kmeans_lloyd_refine",
+            "q105_bpe_merge_rounds",
+            "q109_source_mix_divergence",
+            "q110_bpe_encode_corpus",
+        }
 
         s_times, d_times = {}, {}
         for name in QUERIES:
