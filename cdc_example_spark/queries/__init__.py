@@ -43,6 +43,11 @@ DRIVER_PRIORITY = [
     # registered plan explodes documents exactly once (item 3)
     "q108_split_leakage",
     "q109_source_mix_divergence",
+    # q41's registered functions are byte-identical this round, but
+    # operators/percentiles.py gained the executable tier guard
+    # (VERDICT r7 item 7) — by the r7 q70 precedent (module-shared
+    # code moved → the query re-verifies), it re-enters the window
+    "q41_percentiles",
     # the 13 documented r7-overflow queries (r5 green rows, 3 rounds
     # stale — promised to head the r8 window in the r7 rotation note;
     # VERDICT r7 item 1)
@@ -96,24 +101,24 @@ DRIVER_PRIORITY = [
     "q38_approx_distinct",
     "q40_grouping_sets",
     "q42_stats_profile",
-    "q43_train_test_split",
 ]
-# 50 prioritized — the window is exactly full: 1 new + 2 changed in
-# r8 (rule 1) + the 13 promised r5-overflow (rule 2) + 34 of the 46
-# r6-green rows due this round.
+# 50 prioritized — the window is exactly full: 1 new + 2 changed + 1
+# module-neighbor re-verify (q41) in r8 (rule 1) + the 13 promised
+# r5-overflow (rule 2) + 33 of the 46 r6-green rows due this round.
 # DOCUMENTED OVERFLOW (r8 → r9): q12_top20_lineitems, q13_set_ops,
 # q15_string_functions, q16_orders_by_month, q17_case_math_bands,
 # q18_hourly_event_windows, q19_sessionization, q20_json_buckets,
 # q25_rolling_fingerprints, q26_token_counts, q27_lang_id_confusion,
-# q28_quality_scores keep their r6 green rows one more round (12
-# queries, within the ≤14 r9-carry budget VERDICT r7 item 1 set);
+# q28_quality_scores, q43_train_test_split keep their r6 green rows
+# one more round (13 queries — q43 displaced by q41's module-neighbor
+# re-verify — within the ≤14 r9-carry budget VERDICT r7 item 1 set);
 # their modules (queries/batch.py scalar/window/set families,
 # operators/text_analysis.py) are untouched this round and
 # tests/test_queries_oracle.py still oracle-checks them locally every
 # run. They MUST head the r9 window together with the r7-green block
-# (q01–q11, q14, q21–q24, q39, q41, q44–q61, q63–q70, q100, q101,
-# q105–q107 — due at r9 by the 2-round rule); r9 should keep its own
-# new/changed count ≤4 to fit.
+# (q01–q11, q14, q21–q24, q39, q44–q61, q63–q70, q100, q101,
+# q105–q107 — due at r9 by the 2-round rule; q41 is r8-green); r9
+# should keep its own new/changed count ≤4 to fit.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]
