@@ -150,6 +150,19 @@ class KeyedStateSink:
 
     def __post_init__(self):
         self._auto = self.num_buckets is None
+        # crash recovery for the re-bucket swap: a crash between
+        # `rename(path, path.old)` and `rename(path.rebucket, path)`
+        # leaves only `.old` (the pre-resize state, fully valid) —
+        # restore it; a crash after the second rename leaves a stale
+        # `.old` beside the live dir — drop it. The staged `.rebucket`
+        # dir is always discardable (the swap is the commit point).
+        old = self.path + ".old"
+        if os.path.isdir(old):
+            if not os.path.isdir(self.path):
+                os.rename(old, self.path)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.path + ".rebucket", ignore_errors=True)
         persisted = self._read_meta()
         if persisted is not None:
             if self.num_buckets is not None and self.num_buckets != persisted:

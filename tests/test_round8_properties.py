@@ -103,3 +103,40 @@ def test_rebucket_preserves_marker_and_batch_dedup(spark, tmp_path):
     sink.apply_changes(route_changes(decode_envelope(raw)), batch_id=7)
     after = {r["id"]: r["message"] for r in sink.snapshot(spark).collect()}
     assert before == after and len(after) == 200
+
+
+def test_rebucket_crash_window_recovers(spark, tmp_path):
+    """A crash between the swap's two renames leaves only `.old` (the
+    pre-resize state, fully valid): the next sink construction must
+    restore it; a stale `.old` beside a live dir must be dropped."""
+    import shutil
+
+    from cdc_example_spark.operators.keyed_state import KeyedStateSink
+    from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+    from tests.cdc_fixtures import envelope, row_image
+
+    path = str(tmp_path / "state")
+    sink = KeyedStateSink(path=path)
+    t = "2025-10-26T23:21:07.598794Z"
+    recs = [
+        envelope("i", f"k{i}", after=row_image(f"k{i}", t, t, f"m{i}", "a"),
+                 lsn=100 + i, ts_ms=100 + i)
+        for i in range(20)
+    ]
+    raw = spark.createDataFrame(recs, "key STRING, value STRING")
+    sink.apply_changes(route_changes(decode_envelope(raw)), batch_id=1)
+
+    # crash between rename 1 and rename 2: only `.old` exists
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".rebucket")  # half-written staging leftover
+    s2 = KeyedStateSink(path=path)
+    assert s2.num_buckets == 8 and s2.last_applied_batch_id() == 1
+    assert len(s2.snapshot(spark).collect()) == 20
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".rebucket")
+
+    # crash after rename 2: stale `.old` beside the live dir is dropped
+    shutil.copytree(path, path + ".old")
+    s3 = KeyedStateSink(path=path)
+    assert not os.path.exists(path + ".old")
+    assert len(s3.snapshot(spark).collect()) == 20
