@@ -401,6 +401,9 @@ class KeyedStateSink:
         """Rewrite only the buckets containing ``touched_keys``."""
         with microbatch_conf(spark):
             self._merge_scoped(spark, touched_keys, new_rows)
+        # the write-path operators grow state too (A12/A13): same
+        # auto-mode growth check as the streaming apply
+        self._maybe_grow(spark)
 
     def _merge_scoped(
         self,
