@@ -34,8 +34,11 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      each run).
 DRIVER_PRIORITY = [
     # NEW in round 8 (rule 1): BPE APPLY — encode the corpus with the
-    # sample-trained merge table (VERDICT r7 item 6)
+    # sample-trained merge table (VERDICT r7 item 6) — and the
+    # temperature-scaled mixture re-weighting planner (the planning
+    # half q109's divergence monitor watches the output of)
     "q110_bpe_encode_corpus",
+    "q111_mixture_reweight_plan",
     # CHANGED in round 8 (rule 1): q108 now groups the shingle explode
     # on xxhash64 (8-byte exchange key, raw==hashed parity pinned —
     # VERDICT r7 item 2); q109 collects its deterministic top-200
@@ -100,18 +103,19 @@ DRIVER_PRIORITY = [
     "q37_ranking_family",
     "q38_approx_distinct",
     "q40_grouping_sets",
-    "q42_stats_profile",
 ]
-# 50 prioritized — the window is exactly full: 1 new + 2 changed + 1
-# module-neighbor re-verify (q41) in r8 (rule 1) + the 13 promised
-# r5-overflow (rule 2) + 33 of the 46 r6-green rows due this round.
+# 50 prioritized — the window is exactly full: 2 new + 2 changed + 1
+# module-neighbor re-verify (q41) in r8 (rule 1, ≤5 per VERDICT r7
+# item 1) + the 13 promised r5-overflow (rule 2) + 32 of the 46
+# r6-green rows due this round.
 # DOCUMENTED OVERFLOW (r8 → r9): q12_top20_lineitems, q13_set_ops,
 # q15_string_functions, q16_orders_by_month, q17_case_math_bands,
 # q18_hourly_event_windows, q19_sessionization, q20_json_buckets,
 # q25_rolling_fingerprints, q26_token_counts, q27_lang_id_confusion,
-# q28_quality_scores, q43_train_test_split keep their r6 green rows
-# one more round (13 queries — q43 displaced by q41's module-neighbor
-# re-verify — within the ≤14 r9-carry budget VERDICT r7 item 1 set);
+# q28_quality_scores, q42_stats_profile, q43_train_test_split keep
+# their r6 green rows one more round (14 queries — q42/q43 displaced
+# by q41's module-neighbor re-verify and the new q111 — exactly the
+# ≤14 r9-carry budget VERDICT r7 item 1 set);
 # their modules (queries/batch.py scalar/window/set families,
 # operators/text_analysis.py) are untouched this round and
 # tests/test_queries_oracle.py still oracle-checks them locally every

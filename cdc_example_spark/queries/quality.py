@@ -924,3 +924,84 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(small_result_order, "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — temperature-scaled source-mix re-weighting planner: the
+# PLANNING half that q109's divergence monitor watches the output of.
+# Given the per-source token inventory, compute the temperature-scaled
+# target mixture w_s ∝ p_s^τ (τ=0.7 — the standard down-weighting of
+# dominant crawl sources when composing a training mix) and, for a
+# token budget B = 50% of the corpus, each source's sampling rate
+# w_s·B / n_s — rate > 1 means the source repeats (epochs), rate < 1
+# means it is subsampled. Output is one row per source.
+# Determinism: p_s are ratios of exact integer counts (identical
+# doubles on both engines); POWER/ln-class libm skew is ≤1 ulp on
+# identical inputs and dec2 absorbs it (the q51 discipline); the
+# |sources|-term normalization sums wobble below the dec2 grid.
+# Scale shape: ONE column-pruned scan (sizes only — no explode, no
+# text shuffle) into a |sources|-row agg; the two global sums ride
+# unpartitioned windows over that DIMENSION-sized frame (single-
+# partition exchange on ≤|sources| rows — the small_result_order
+# class), never a second corpus subtree.
+# ---------------------------------------------------------------------------
+
+_Q111_TAU = 0.7
+_Q111_BUDGET_FRAC = 0.5
+
+_Q111_ORACLE = rf"""
+WITH d AS (
+  SELECT source, len(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS n
+  FROM documents
+), tot AS (
+  SELECT source, SUM(n) AS n_tok FROM d GROUP BY source
+), x AS (
+  SELECT source, n_tok,
+         n_tok * 1.0 / SUM(n_tok) OVER () AS p,
+         POWER(n_tok * 1.0 / SUM(n_tok) OVER (), {_Q111_TAU}) AS pw,
+         SUM(n_tok) OVER () * 1.0 AS n
+  FROM tot
+), y AS (
+  SELECT source, n_tok, p, n, pw / SUM(pw) OVER () AS wgt FROM x
+)
+SELECT source,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(100.0 * p AS DECIMAL(28,10)), 2) AS DOUBLE) AS nat_share_pct,
+       CAST(ROUND(CAST(100.0 * wgt AS DECIMAL(28,10)), 2) AS DOUBLE) AS temp_share_pct,
+       CAST(ROUND(CAST(wgt * {_Q111_BUDGET_FRAC} * n / n_tok
+            AS DECIMAL(28,10)), 2) AS DOUBLE) AS sample_rate
+FROM y
+ORDER BY source
+"""
+
+
+@query("q111_mixture_reweight_plan", oracle=_Q111_ORACLE)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (τ=0.7) source-mix plan for a 50%-of-corpus
+    token budget: target shares and per-source sampling rates."""
+    from cdc_example_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tot = (
+        docs.select(
+            "source", F.size(T.words(F.lower(F.col("text")))).alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tok"))
+    )
+    w = Window.partitionBy()
+    x = (
+        tot.withColumn("n", F.sum("n_tok").over(w).cast("double"))
+        .withColumn("p", F.col("n_tok") / F.col("n"))
+        .withColumn("pw", F.pow(F.col("p"), F.lit(_Q111_TAU)))
+    )
+    y = x.withColumn("wgt", F.col("pw") / F.sum("pw").over(w))
+    return y.select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        dec2(F.lit(100.0) * F.col("p")).alias("nat_share_pct"),
+        dec2(F.lit(100.0) * F.col("wgt")).alias("temp_share_pct"),
+        dec2(
+            F.col("wgt") * F.lit(_Q111_BUDGET_FRAC) * F.col("n") / F.col("n_tok")
+        ).alias("sample_rate"),
+    ).transform(small_result_order, "source")

@@ -414,3 +414,19 @@ def test_q110_encode_is_one_scan_no_udf_no_join(spark, sf_dir):
     assert "replace" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert_no_cartesian(df)
+
+
+def test_q111_plan_is_one_sizes_scan_no_explode(spark, sf_dir):
+    """The mixture planner reads token COUNTS only: one column-pruned
+    documents scan, no Generate (no token explode), no joins — the two
+    global sums ride unpartitioned windows over the |sources|-row
+    dimension frame."""
+    df = q("q111_mixture_reweight_plan", spark, sf_dir)
+    s = plan_summary(df)
+    assert s["scans"] == 1, s
+    assert s["broadcast_joins"] + s["sort_merge_joins"] == 0, s
+    plan = explain_formatted(df)
+    m = __import__("re").search(r"(?m)^\(\d+\) ", plan)
+    tree = plan[: m.start()] if m else plan
+    assert "Generate" not in tree, tree
+    assert_no_cartesian(df)
