@@ -150,6 +150,14 @@ class KeyedStateSink:
 
     def __post_init__(self):
         self._auto = self.num_buckets is None
+        # serializes merges against the auto-resize swap on THIS sink
+        # object (ADVICE r8: _maybe_grow ran outside any lock, so a
+        # concurrent REST _merge could read num_buckets mid-rebucket
+        # and write rows addressed with the old count into the new
+        # layout). Reentrant: _merge → _maybe_grow nests. Two sink
+        # OBJECTS on one path still race — auto mode is single-writer
+        # per process by contract (a 100 TB deployment pins the count).
+        self._lock = threading.RLock()
         # crash recovery for the re-bucket swap: a crash between
         # `rename(path, path.old)` and `rename(path.rebucket, path)`
         # leaves only `.old` (the pre-resize state, fully valid) —
@@ -300,6 +308,12 @@ class KeyedStateSink:
         instead of a re-merge. Without an id the re-merge itself is
         idempotent, so correctness never depends on the marker.
         """
+        with self._lock:
+            self._apply_changes_locked(changes, batch_id)
+
+    def _apply_changes_locked(
+        self, changes: DataFrame, batch_id: int | None
+    ) -> None:
         spark = changes.sparkSession
         if batch_id is not None:
             last = self.last_applied_batch_id()
@@ -399,11 +413,12 @@ class KeyedStateSink:
 
     def _merge(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
         """Rewrite only the buckets containing ``touched_keys``."""
-        with microbatch_conf(spark):
-            self._merge_scoped(spark, touched_keys, new_rows)
-        # the write-path operators grow state too (A12/A13): same
-        # auto-mode growth check as the streaming apply
-        self._maybe_grow(spark)
+        with self._lock:
+            with microbatch_conf(spark):
+                self._merge_scoped(spark, touched_keys, new_rows)
+            # the write-path operators grow state too (A12/A13): same
+            # auto-mode growth check as the streaming apply
+            self._maybe_grow(spark)
 
     def _merge_scoped(
         self,
@@ -473,6 +488,15 @@ class KeyedStateSink:
             # shuffle; the REST path needs the clustering for one file
             # per (task, bucket).
             observed = observed.repartition(max(len(buckets), 1), F.col("bucket"))
+        # persist the count the data is about to be hashed with BEFORE
+        # the data lands (ADVICE r8 high): a crash between an 8-way
+        # first write and a post-write meta would otherwise restart as
+        # the 32-way legacy resolution — every key silently
+        # mis-addressed. Meta-then-crash is safe: a count with no data
+        # resolves to exactly that count for the retried write.
+        if not getattr(self, "_meta_written", False):
+            self._write_meta()
+            self._meta_written = True
         (
             observed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -500,18 +524,14 @@ class KeyedStateSink:
         for b in buckets:
             if b not in nonempty:
                 shutil.rmtree(os.path.join(self.path, f"bucket={b}"), ignore_errors=True)
-        # growth signal for auto mode + persist the count the state was
-        # hashed with (once — later writes see the flag)
+        # growth signal for auto mode (consumed by _maybe_grow)
         self._last_write_rows = written
         self._last_write_touched = len(buckets)
-        if not getattr(self, "_meta_written", False):
-            self._write_meta()
-            self._meta_written = True
 
     def _maybe_grow(self, spark: SparkSession) -> None:
-        """AUTO mode: re-bucket to the next power of two when the last
-        merge observed more state rows per touched bucket than the
-        target.
+        """AUTO mode: re-bucket (up OR down, powers of two) when the
+        last merge's observed state rows per touched bucket leave the
+        target band.
 
         The signal rides the write-job Observation (zero extra jobs):
         rows written / buckets touched is exactly the per-bucket state
@@ -524,22 +544,60 @@ class KeyedStateSink:
         """
         if not self._auto:
             return
+        with self._lock:
+            self._maybe_grow_locked(spark)
+
+    def _maybe_grow_locked(self, spark: SparkSession) -> None:
         written = getattr(self, "_last_write_rows", None)
         touched = getattr(self, "_last_write_touched", 0)
-        if not written or not touched or self.num_buckets >= AUTO_MAX_BUCKETS:
+        # consume the observation NOW (ADVICE r8): a later batch that
+        # performs no write (empty micro-batch, no touched buckets)
+        # re-enters this check, and a stale density multiplied by the
+        # already-grown count would double the buckets again on every
+        # non-writing batch — each a full-table rewrite.
+        self._last_write_rows = None
+        self._last_write_touched = 0
+        if written is None or not touched:
             return
         per_bucket = written / touched
-        if per_bucket <= self.rows_per_bucket_target:
-            return
         est_total = per_bucket * self.num_buckets
-        new_count = self.num_buckets
-        while (
-            new_count < AUTO_MAX_BUCKETS
-            and est_total / new_count > self.rows_per_bucket_target
+        target = self.rows_per_bucket_target
+        # observation breadth: a batch that touched ≥ half the buckets
+        # samples the table well enough to act at the threshold; a
+        # narrow (point-write/point-delete) observation extrapolates
+        # hash-placement noise, so it must clear 2× the target before
+        # a grow is believed — and is never trusted for a shrink.
+        broad = touched * 2 >= self.num_buckets
+        grow_at = target if broad else 2 * target
+        if per_bucket > grow_at and self.num_buckets < AUTO_MAX_BUCKETS:
+            new_count = self.num_buckets
+            while new_count < AUTO_MAX_BUCKETS and est_total / new_count > target:
+                new_count *= 2
+            if new_count != self.num_buckets:
+                self._rebucket(spark, new_count)
+            return
+        # shrink path (VERDICT r8 item 7): after a mass delete a grown
+        # state would serve a handful of rows as hundreds of small
+        # files forever. Two guards keep it from thrashing: (1) the
+        # batch must have touched ≥ half the buckets — the extrapolated
+        # density is only trustworthy for purge/truncation-shaped
+        # batches, never a 2-bucket point delete against a full table;
+        # (2) hysteresis — trigger below ¼ of the target and land at
+        # ≤ ½ of it, so a post-shrink state sits between the two
+        # thresholds and neither re-grows nor re-shrinks.
+        if (
+            self.num_buckets > AUTO_MIN_BUCKETS
+            and broad
+            and per_bucket < target / 4
         ):
-            new_count *= 2
-        if new_count != self.num_buckets:
-            self._rebucket(spark, new_count)
+            new_count = self.num_buckets
+            while (
+                new_count > AUTO_MIN_BUCKETS
+                and est_total / (new_count // 2) <= target / 2
+            ):
+                new_count //= 2
+            if new_count != self.num_buckets:
+                self._rebucket(spark, new_count)
 
     def _rebucket(self, spark: SparkSession, new_count: int) -> None:
         """Rewrite the state hashed ``new_count``-way: staged write +
@@ -560,13 +618,19 @@ class KeyedStateSink:
         marker = self._marker_path()
         if os.path.exists(marker):
             shutil.copy2(marker, os.path.join(staged, os.path.basename(marker)))
+        # stage the NEW count's meta beside the marker so the directory
+        # swap commits data+meta atomically (ADVICE r8 high): a crash
+        # between the swap and a post-swap meta write would leave live
+        # state hashed new_count-way that __post_init__ then resolves
+        # as the 32-way legacy layout — every key mis-addressed.
+        with open(os.path.join(staged, "_num_buckets"), "w") as f:
+            f.write(str(new_count))
         old = self.path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.path, old)
         os.rename(staged, self.path)
         shutil.rmtree(old, ignore_errors=True)
         self.num_buckets = new_count
-        self._write_meta()
         self._meta_written = True
 
     # ------------------------------------------------------------------

@@ -872,6 +872,14 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot_rows = sorted(
         tot.collect(), key=lambda r: r["source"]
     )
+    if not tot_rows:
+        # empty corpus: the pre-r8 declarative shape returned an empty
+        # result; the literal spine must too, not raise (ADVICE r8).
+        return spark.createDataFrame(
+            [],
+            "source string, n_tokens long, n_top_present long, "
+            "top_coverage_pct double, kl_vs_mixture double",
+        )
     n_tok_map = F.create_map(
         *[
             lit

@@ -737,7 +737,12 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = arrs[r - 1] or corpus.select(
             F.split(F.trim("s"), " ").alias("a")
         )
-        top = _top_pair(src, F.col("a")).collect()[0]
+        winners = _top_pair(src, F.col("a")).collect()
+        if not winners:
+            # empty corpus: nothing to merge — degrade to the raw
+            # vocabulary instead of IndexError (the q110 guard's twin).
+            break
+        top = winners[0]
         merges.append((f"merge{r}", top["pair"], int(top["cnt"]), 1))
         corpus = corpus.select(
             "doc_id",
@@ -778,14 +783,13 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rnk).cast("long").alias("rnk"),
         )
         mrows = row if mrows is None else mrows.unionAll(row)
-    out = mrows.unionAll(
-        vocab.select(
-            F.lit("vocab").alias("stage"),
-            F.col("token").alias("item"),
-            F.col("cnt").cast("long").alias("cnt"),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+    vrows = vocab.select(
+        F.lit("vocab").alias("stage"),
+        F.col("token").alias("item"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rnk").cast("long").alias("rnk"),
     )
+    out = vrows if mrows is None else mrows.unionAll(vrows)
     return out.transform(small_result_order, "stage", "rnk", "item")
 
 
@@ -985,7 +989,13 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r == 1
             else scorpus.select(F.split(F.trim("s"), " ").alias("a"))
         )
-        top = _top_pair(src, F.col("a")).collect()[0]
+        winners = _top_pair(src, F.col("a")).collect()
+        if not winners:
+            # empty (or single-token) training sample: no pair to
+            # merge — stop training instead of IndexError (ADVICE r8);
+            # the encode chain below degrades to identity.
+            break
+        top = winners[0]
         merges.append((r, top["pair"], int(top["cnt"])))
         scorpus = scorpus.select(
             F.replace(
@@ -1045,6 +1055,5 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("pct"),
         )
         mrows = row if mrows is None else mrows.unionAll(row)
-    return mrows.unionAll(encode_rows).transform(
-        small_result_order, "stage", "rnk", "item"
-    )
+    out = encode_rows if mrows is None else mrows.unionAll(encode_rows)
+    return out.transform(small_result_order, "stage", "rnk", "item")
