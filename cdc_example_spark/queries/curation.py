@@ -166,29 +166,52 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 # theta-join, never all-pairs), and the threshold form of levenshtein
 # runs the banded O(d*n) DP JVM-side. The oracle replays the identical
 # bucket expansion so both engines compute the same declared operator.
+#
+# Oracle de-strawman (VERDICT r8 item 3): DuckDB has no threshold form
+# of levenshtein, so its full O(n^2) DP on every candidate pair cost
+# ~12 s at sf0.1 where Spark's banded early-exit DP costs ~1 s —
+# oracle cost, not engine signal. The rewrite prunes candidates with
+# an EXACT bag-of-characters lower bound before the DP: per-doc char
+# counts (computed once per doc, not per pair) give
+# levenshtein(s1,s2) >= L1(counts)/2 — a substitution moves two
+# counts, an insert/delete one — so pairs with L1 > 2*max_dist can
+# never qualify and skip the DP (307k -> 25k pairs, 11.2 -> 4.7 s at
+# sf0.1; result rows identical). Spark keeps its banded DP unchanged.
 # ---------------------------------------------------------------------------
 
-_Q82_ORACLE = r"""
-WITH dd AS (
+_Q82_BAG_CHARS = "abcdefghijklmnopqrstuvwxyz 0123456789"
+_Q82_CNT_LIST = "[" + ", ".join(
+    f"len(sig) - len(replace(sig, '{c}', ''))" for c in _Q82_BAG_CHARS
+) + "]"
+
+_Q82_ORACLE = rf"""
+WITH dd0 AS (
   SELECT doc_id, lang, n_chars,
          CAST(FLOOR(n_chars / 24) AS BIGINT) AS b,
          substr(array_to_string(list_sort(
              regexp_split_to_array(TRIM(LOWER(text)), '\s+')), ' '),
            1, 96) AS sig
   FROM documents
+), dd AS (
+  SELECT *, {_Q82_CNT_LIST} AS cc FROM dd0
 ), probe AS (
-  SELECT doc_id, lang, n_chars, sig, unnest([b - 1, b, b + 1]) AS b
+  SELECT doc_id, lang, n_chars, sig, cc, unnest([b - 1, b, b + 1]) AS b
   FROM dd
 ), cand AS (
   SELECT a.doc_id AS id1, probe.doc_id AS id2, a.lang AS lang,
-         a.sig AS s1, probe.sig AS s2
+         a.sig AS s1, probe.sig AS s2, a.cc AS c1, probe.cc AS c2
   FROM dd a JOIN probe ON a.lang = probe.lang AND a.b = probe.b
   WHERE a.doc_id < probe.doc_id
     AND abs(a.n_chars - probe.n_chars) <= 24
 )
-SELECT id1, id2, lang, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
-FROM cand
-WHERE levenshtein(s1, s2) <= 12
+SELECT id1, id2, lang, CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT id1, id2, lang, levenshtein(s1, s2) AS dist
+  FROM cand
+  WHERE list_sum(list_transform(range(1, {len(_Q82_BAG_CHARS) + 1}),
+                                i -> abs(c1[i] - c2[i]))) <= 24
+)
+WHERE dist <= 12
 ORDER BY id1, id2
 """
 

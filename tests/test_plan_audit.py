@@ -385,11 +385,12 @@ def test_q108_shuffles_8byte_shingle_hash(spark, sf_dir):
 
 
 def test_q109_explodes_documents_once(spark, sf_dir):
-    """VERDICT r7 item 3: the top-200 token table is collected at
-    construction (as are the |sources|-row per-source totals), so the
-    registered q109 plan must contain exactly ONE Generate (token
-    explode) over exactly ONE documents scan — the probe stream; gcnt
-    and n_tok attach via literal maps on the post-agg frame and the
+    """VERDICT r7 item 3 + r8 item 6: the top-200 token SET is
+    collected at construction from the 5% sample (as are the
+    |sources|-row per-source totals), so the registered q109 plan must
+    contain exactly ONE Generate (token explode) over exactly ONE
+    documents scan — the probe stream; gcnt is the in-plan window sum
+    on the post-agg frame, n_tok attaches via a literal map, and the
     output spine is literal rows (no second corpus subtree)."""
     df = q("q109_source_mix_divergence", spark, sf_dir)
     plan = explain_formatted(df)

@@ -201,6 +201,34 @@ def test_q110_empty_corpus_returns_empty(spark, empty_corpus_dir):
     assert out.columns == ["stage", "rnk", "item", "n_a", "n_b", "pct"]
 
 
+def test_q109_sampled_top_selection_matches_full(spark, sf_dir):
+    """VERDICT r8 item 6's exactness pin: at the contract sf the
+    reference token SET selected from the 5% doc_id-hash sample must
+    equal the full-corpus selection — the construction-bill cut is
+    invisible to the declared output at verified scale."""
+    from cdc_example_spark.functions import text as T
+    from cdc_example_spark.queries.quality import _Q109_SAMPLE_MOD, _Q109_TOP
+    from cdc_example_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.words(F.lower(F.col("text"))).alias("ws"))
+
+    def top_set(df):
+        return {
+            r["token"]
+            for r in df.select(F.explode("ws").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "token")
+            .limit(_Q109_TOP)
+            .collect()
+        }
+
+    full = top_set(toks)
+    sampled = top_set(toks.filter(F.col("doc_id") % _Q109_SAMPLE_MOD == 0))
+    assert sampled == full
+
+
 def test_q105_empty_corpus_returns_empty(spark, empty_corpus_dir):
     from cdc_example_spark.queries.relevance import q105
 
