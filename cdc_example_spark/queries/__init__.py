@@ -33,96 +33,92 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # NEW in round 8 (rule 1): BPE APPLY — encode the corpus with the
-    # sample-trained merge table (VERDICT r7 item 6) — and the
-    # temperature-scaled mixture re-weighting planner (the planning
-    # half q109's divergence monitor watches the output of)
-    "q110_bpe_encode_corpus",
-    "q111_mixture_reweight_plan",
-    # CHANGED in round 8 (rule 1): q108 now groups the shingle explode
-    # on xxhash64 (8-byte exchange key, raw==hashed parity pinned —
-    # VERDICT r7 item 2); q109 collects its deterministic top-200
-    # token table + per-source totals at construction so the
-    # registered plan explodes documents exactly once (item 3)
-    "q108_split_leakage",
-    "q109_source_mix_divergence",
-    # q41's registered functions are byte-identical this round, but
-    # operators/percentiles.py gained the executable tier guard
-    # (VERDICT r7 item 7) — by the r7 q70 precedent (module-shared
-    # code moved → the query re-verifies), it re-enters the window
-    "q41_percentiles",
-    # the 13 documented r7-overflow queries (r5 green rows, 3 rounds
-    # stale — promised to head the r8 window in the r7 rotation note;
-    # VERDICT r7 item 1)
-    "q71_event_funnel",
-    "q72_cohort_retention",
-    "q73_zipf_slope",
-    "q74_ntile_deciles",
-    "q75_curation_funnel",
-    "q76_hashed_linear_score",
-    "q77_hourly_anomalies",
-    "q78_resample_interpolate",
-    "q79_pagerank",
-    "q80_embedding_audit",
+    # NEW in round 9 (rule 1): the BPE DICTIONARY tier — char-level
+    # merges trained on the 5% sample's word-frequency table, corpus
+    # encoded through its (lang, word) dictionary (VERDICT r8 item 2)
+    "q112_bpe_dictionary_encode",
+    # CHANGED in round 9 (rule 1): q82's oracle gained the exact
+    # bag-of-chars lower-bound prune (VERDICT r8 item 3 de-strawman);
+    # q109's top-200 selection moved to the 5% sample with in-plan
+    # exact global counts (item 6); q110 gained the empty-sample
+    # training guard (ADVICE r8 low)
     "q82_fuzzy_dedup_pairs",
-    "q83_pps_sample",
-    "q84_markov_transitions",
-    # 34 of the 46 r6-green queries due by the 2-round rule (rule 2) —
-    # changed-module neighbors first: q87–q99 share queries/quality.py
-    # with this round's q108/q109 rewrites, q102–q104/q62/q66 sit on
-    # the similarity/IVF stack, then the multimodal/text/stat block
-    "q87_sparse_allpairs_cosine",
-    "q88_quality_constraint_audit",
-    "q89_touch_attribution",
-    "q90_sketch_rollup_distinct",
-    "q91_psi_value_drift",
-    "q92_scd2_history",
-    "q93_pii_redaction",
-    "q94_bloom_decontamination",
-    "q95_canonical_dedup",
-    "q96_snapshot_diff",
-    "q97_priority_sample",
-    "q98_token_lift",
-    "q99_zorder_box_scan",
-    "q102_ivf2_persisted_serving",
-    "q103_grouped_udaf_trimmed_mean",
-    "q104_quantized_cosine_topk",
-    "q62_ivf_trained_topk",
-    "q66_semantic_dedup",
-    "q81_heavy_hitters",
-    "q85_wav_audio_stats",
-    "q86_skyline_parts",
-    "q29_simhash",
-    "q30_cosine_topk_multi",
-    "q31_embedding_neardup_pairs",
-    "q32_minhash_lsh_candidates",
-    "q33_binary_media_meta",
-    "q34_multimodal_features",
-    "q35_pandas_cosine_topk",
-    "q36_ivf_topk",
-    "q37_ranking_family",
-    "q38_approx_distinct",
-    "q40_grouping_sets",
+    "q109_source_mix_divergence",
+    "q110_bpe_encode_corpus",
+    # the 14 documented r8-overflow queries (r6 green rows, 3 rounds
+    # stale — promised to head the r9 window in the r8 rotation note;
+    # VERDICT r8 item 1)
+    "q12_top20_lineitems",
+    "q13_set_ops",
+    "q15_string_functions",
+    "q16_orders_by_month",
+    "q17_case_math_bands",
+    "q18_hourly_event_windows",
+    "q19_sessionization",
+    "q20_json_buckets",
+    "q25_rolling_fingerprints",
+    "q26_token_counts",
+    "q27_lang_id_confusion",
+    "q28_quality_scores",
+    "q42_stats_profile",
+    "q43_train_test_split",
+    # 32 of the 47 r7-green rows due by the 2-round rule (rule 2) —
+    # changed-module neighbors first: q105/q106 share
+    # queries/relevance.py with this round's q112 + the q105/q110
+    # empty-corpus guards; q51–q57 bind the relevance/sampling
+    # operator stack; q100/q107 share queries/curation.py with the
+    # q82 oracle rewrite
+    "q105_bpe_merge_rounds",
+    "q106_rag_chunking",
+    "q51_tfidf_top_terms",
+    "q52_bm25_search",
+    "q53_stratified_sample",
+    "q54_bigram_vocab",
+    "q55_decontamination",
+    "q56_repetition_bands",
+    "q57_quantization_audit",
+    "q100_kmeans_lloyd_refine",
+    "q107_matryoshka_audit",
+    # then the flagship/join/dedup/ANN families of the r7 block
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_customers_per_region",
+    "q21_exact_dedup_stats",
+    "q22_cosine_top5",
+    "q23_dedup_survivors",
+    "q24_jaccard_neardup_pairs",
+    "q39_array_ops",
+    "q47_simhash_near_pairs",
+    "q48_asof_join",
+    "q49_snapshot_at",
+    "q50_range_join",
+    "q58_dedup_components",
+    "q61_salted_skew_join",
+    "q64_bucketed_colocated_join",
+    "q67_sequence_packing",
+    "q68_json_schema_profile",
+    "q69_bigram_lm_perplexity",
+    "q70_ivf_persisted_serving",
+    "q101_segment_span_dedup",
 ]
-# 50 prioritized — the window is exactly full: 2 new + 2 changed + 1
-# module-neighbor re-verify (q41) in r8 (rule 1, ≤5 per VERDICT r7
-# item 1) + the 13 promised r5-overflow (rule 2) + 32 of the 46
-# r6-green rows due this round.
-# DOCUMENTED OVERFLOW (r8 → r9): q12_top20_lineitems, q13_set_ops,
-# q15_string_functions, q16_orders_by_month, q17_case_math_bands,
-# q18_hourly_event_windows, q19_sessionization, q20_json_buckets,
-# q25_rolling_fingerprints, q26_token_counts, q27_lang_id_confusion,
-# q28_quality_scores, q42_stats_profile, q43_train_test_split keep
-# their r6 green rows one more round (14 queries — q42/q43 displaced
-# by q41's module-neighbor re-verify and the new q111 — exactly the
-# ≤14 r9-carry budget VERDICT r7 item 1 set);
-# their modules (queries/batch.py scalar/window/set families,
-# operators/text_analysis.py) are untouched this round and
+# 50 prioritized — the window is exactly full: 1 new + 3 changed in
+# r9 (rule 1, ≤4 per VERDICT r8 item 1) + the 14 promised r6-stale
+# carries (rule 2) + 32 of the 47 r7-green rows due this round.
+# DOCUMENTED OVERFLOW (r9 → r10): q05_customers_without_orders,
+# q06_semi_join_having, q07_rollup_nation_segment,
+# q08_cube_status_priority, q09_top3_per_nation, q10_order_gaps,
+# q11_cumulative_spend, q14_count_distinct, q44_pivot_event_counts,
+# q45_subqueries, q46_range_frame, q59_full_outer_join,
+# q60_set_ops_all, q63_right_outer_join, q65_window_distribution keep
+# their r7 green rows one more round (15 queries, all in the
+# untouched queries/batch.py declarative join/window/set families;
 # tests/test_queries_oracle.py still oracle-checks them locally every
-# run. They MUST head the r9 window together with the r7-green block
-# (q01–q11, q14, q21–q24, q39, q44–q61, q63–q70, q100, q101,
-# q105–q107 — due at r9 by the 2-round rule; q41 is r8-green); r9
-# should keep its own new/changed count ≤4 to fit.
+# run). They MUST head the r10 window together with the r8-green
+# block due at r10 by the 2-round rule (the 50 r8 rows minus this
+# round's q82/q109/q110 re-verifies = 47, including q41/q108/q111) —
+# 62 due vs 50 slots ⇒ r10 carries ~12–16 r8 rows to r11 and must
+# keep its own new/changed count ≤3.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

@@ -1057,3 +1057,257 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         mrows = row if mrows is None else mrows.unionAll(row)
     out = encode_rows if mrows is None else mrows.unionAll(encode_rows)
     return out.transform(small_result_order, "stage", "rnk", "item")
+
+
+# ---------------------------------------------------------------------------
+# q112 — BPE DICTIONARY-TIER encode (VERDICT r8 item 2): q110's
+# chained corpus-string replace is linear in merge count — winning at
+# the declared 6 merges, but a 30k-merge production vocabulary cannot
+# compile a 30k-deep expression over every corpus row. The dictionary
+# tier is the production shape: character-level BPE (merges live
+# INSIDE words), so encoding is a pure function of the WORD — and the
+# corpus only pays one explode + one (lang, word) partial-agg shuffle
+# (Zipf: distinct words ≪ corpus tokens). The merge chain then runs on
+# the post-agg dictionary frame (|langs|·|vocab| rows), never on
+# corpus rows. At 30k merges the per-word encode swaps the column
+# chain for the Arrow-batched vocab encoder below
+# (``bpe_word_subtoken_counts_udf`` — vocab-sized, off the corpus hot
+# path); parity between the two encoders is pinned by
+# tests/test_round9_properties.py.
+#
+# Training (construction, the q105/q110 collect-tiny-winners
+# discipline): 6 rounds over the 5% sample's distinct-word FREQUENCY
+# table — pair counts are freq-weighted adjacent segment pairs, winner
+# (cnt desc, pair asc), merge applies the leftmost-non-overlapping
+# replace " a b " → " ab " (char BPE concatenates). The word-freq
+# frame is localCheckpoint'ed once (bounded: |distinct sample words|),
+# so the 6 rounds never re-scan the corpus.
+# ---------------------------------------------------------------------------
+
+_Q112_MERGES = 6
+
+
+def _q112_oracle() -> str:
+    k = _Q112_MERGES
+    seg0 = r"' ' || regexp_replace(word, '(.)', '\1 ', 'g')"
+    parts = [
+        "WITH w0 AS (",
+        "  SELECT word, COUNT(*) AS freq,",
+        f"         {seg0} AS seg",
+        "  FROM (SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)),"
+        r" '\s+')) AS word",
+        f"        FROM documents WHERE doc_id % {_Q110_SAMPLE_MOD} = 0)",
+        "  GROUP BY word",
+        ")",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f", p{r} AS (\n"
+            "  SELECT pair, SUM(freq) AS cnt FROM (\n"
+            "    SELECT freq, unnest(list_transform(range(1, len(a)),"
+            " i -> a[i] || ' ' || a[i+1])) AS pair\n"
+            f"    FROM (SELECT freq, regexp_split_to_array(TRIM(seg), ' ')"
+            f" AS a FROM w{r - 1})\n"
+            "  ) GROUP BY pair\n"
+            f"), m{r} AS (\n"
+            f"  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1\n"
+            ")"
+        )
+        if r < k:
+            parts.append(
+                f", w{r} AS (\n"
+                f"  SELECT word, freq, replace(seg, ' ' || m{r}.pair || ' ',\n"
+                f"                 ' ' || replace(m{r}.pair, ' ', '') || ' ')"
+                f" AS seg\n"
+                f"  FROM w{r - 1}, m{r}\n"
+                ")"
+            )
+    chain = seg0
+    for r in range(1, k + 1):
+        chain = (
+            f"replace({chain}, ' ' || m{r}.pair || ' ', "
+            f"' ' || replace(m{r}.pair, ' ', '') || ' ')"
+        )
+    froms = ", ".join(f"m{r}" for r in range(1, k + 1))
+    parts.append(
+        ", cw AS (\n"
+        "  SELECT lang, word, COUNT(*) AS cnt\n"
+        "  FROM (SELECT lang, unnest(regexp_split_to_array(TRIM(LOWER(text)),"
+        r" '\s+')) AS word FROM documents)"
+        "\n"
+        "  GROUP BY lang, word\n"
+        "), st AS (\n"
+        "  SELECT lang, SUM(cw.cnt) AS n_words,\n"
+        f"         SUM(cw.cnt * len(regexp_split_to_array(TRIM({chain}), ' ')))"
+        " AS n_sub\n"
+        f"  FROM cw, {froms}\n"
+        "  GROUP BY lang\n"
+        ")"
+    )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS stage, {r} AS rnk, pair AS item, cnt AS n_a,\n"
+        f"       0 AS n_b, CAST(0.0 AS DOUBLE) AS pct FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(
+        "SELECT stage, CAST(rnk AS BIGINT) AS rnk, item,\n"
+        "       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, pct\n"
+        "FROM (\n"
+        f"{merge_rows}\n"
+        "UNION ALL\n"
+        "SELECT 'encode', 0, lang, n_words, n_sub,\n"
+        "       CAST(ROUND(CAST(n_sub * 1.0 / n_words AS DECIMAL(28,10)), 2)"
+        " AS DOUBLE) FROM st\n"
+        ")\n"
+        "ORDER BY stage, rnk, item"
+    )
+    return "\n".join(parts)
+
+
+_Q112_ORACLE = _q112_oracle()
+
+
+def _char_spaced(col):
+    """`word` → `" c1 c2 … ck "` (the char-level BPE working string)."""
+    return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _top_pair_weighted(df: DataFrame, arr, w) -> DataFrame:
+    """1-row (pair, cnt) winner of FREQUENCY-WEIGHTED adjacent-pair
+    counting over a segment-array column — q105's ``_top_pair`` with
+    the word-frequency weight the dictionary tier trains on (counting
+    distinct words once and multiplying by freq IS the classic BPE
+    trainer's word-table optimization). Rows whose array has no pair
+    are filtered out before the transform so ANSI mode never sees an
+    ``element_at(…, 0)`` from the degenerate ``sequence(1, 0)``."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(
+            F.element_at(arr, i.cast("int")).alias("t1"),
+            F.element_at(arr, (i + 1).cast("int")).alias("t2"),
+        ),
+    )
+    return (
+        df.filter(F.size(arr) >= 2)
+        .select(w.alias("freq"), F.explode(pairs).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("freq").alias("cnt"))
+        .select(
+            F.concat(F.col("p.t1"), F.lit(" "), F.col("p.t2")).alias("pair"),
+            "cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+    )
+
+
+def bpe_word_subtoken_counts_udf(merges: "list[str]"):
+    """Arrow-batched per-WORD subtoken counter for the 30k-merge tier.
+
+    At production vocabulary sizes the column-expression chain cannot
+    compile (30k nested ``replace`` calls); this pandas UDF applies the
+    identical leftmost-non-overlapping str.replace chain per DISTINCT
+    word — vocab-sized input, so Python here is off the corpus hot
+    path by construction. Parity with the column chain at the declared
+    6 merges is pinned by test_q112_arrow_vocab_encoder_parity.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    reps = [
+        (f" {p} ", " " + p.replace(" ", "") + " ") for p in merges
+    ]
+
+    def enc(words):
+        def one(w):
+            s = " " + " ".join(w) + " "
+            for a, b in reps:
+                s = s.replace(a, b)
+            return len(s.split())
+
+        return words.map(one)
+
+    # real objects, not quoted strings: pandas_udf's type inference
+    # cannot resolve string annotations against function-local imports
+    enc.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "long")
+
+
+@query("q112_bpe_dictionary_encode", oracle=_Q112_ORACLE)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level BPE dictionary encode: train 6 merges on the 5%
+    sample's word-frequency table; the registered plan encodes the
+    corpus through its (lang, word) dictionary — one corpus explode +
+    one partial-agg shuffle, the merge chain on dictionary rows only.
+    """
+    toks = load_doc_tokens(spark, sf_dir)
+    # ---- construction: the word-frequency trainer ---------------------
+    wft = (
+        toks.filter(F.col("doc_id") % _Q110_SAMPLE_MOD == 0)
+        .select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_spaced(F.col("word")).alias("seg"))
+    )
+    # bounded by construction (|distinct sample words|, Zipf); one
+    # materialization so the 6 rounds never re-scan the corpus
+    wft = wft.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, _Q112_MERGES + 1):
+        a = F.split(F.trim("seg"), " ")
+        winners = _top_pair_weighted(wft, a, F.col("freq")).collect()
+        if not winners:
+            break  # fully merged / single-char vocabulary: stop early
+        top = winners[0]
+        merges.append((r, top["pair"], int(top["cnt"])))
+        wft = wft.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {top['pair']} "),
+                F.lit(" " + top["pair"].replace(" ", "") + " "),
+            ),
+        )
+    # ---- the registered plan: dictionary-tier corpus encode -----------
+    cw = (
+        toks.select("lang", F.explode("ws").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = _char_spaced(F.col("word"))
+    for _, pair, _cnt in merges:
+        seg = F.replace(
+            seg,
+            F.lit(f" {pair} "),
+            F.lit(" " + pair.replace(" ", "") + " "),
+        )
+    n_sub = F.size(F.split(F.trim(seg), " "))
+    st = (
+        cw.select("lang", "cnt", n_sub.alias("n_sub"))
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_sub_total"),
+        )
+    )
+    encode_rows = st.select(
+        F.lit("encode").alias("stage"),
+        F.lit(0).cast("long").alias("rnk"),
+        F.col("lang").alias("item"),
+        F.col("n_words").cast("long").alias("n_a"),
+        F.col("n_sub_total").cast("long").alias("n_b"),
+        dec2(F.col("n_sub_total") / F.col("n_words")).alias("pct"),
+    )
+    mrows = None
+    for r, pair, cnt in merges:
+        row = spark.range(0, 1, 1, 1).select(
+            F.lit("merge").alias("stage"),
+            F.lit(r).cast("long").alias("rnk"),
+            F.lit(pair).alias("item"),
+            F.lit(cnt).cast("long").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+            F.lit(0.0).alias("pct"),
+        )
+        mrows = row if mrows is None else mrows.unionAll(row)
+    out = encode_rows if mrows is None else mrows.unionAll(encode_rows)
+    return out.transform(small_result_order, "stage", "rnk", "item")

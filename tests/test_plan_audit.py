@@ -431,3 +431,23 @@ def test_q111_plan_is_one_sizes_scan_no_explode(spark, sf_dir):
     tree = plan[: m.start()] if m else plan
     assert "Generate" not in tree, tree
     assert_no_cartesian(df)
+
+
+def test_q112_dictionary_encode_plan(spark, sf_dir):
+    """VERDICT r8 item 2's plan contract: the dictionary-tier BPE
+    encode pays ONE corpus scan + one (lang, word) partial-agg
+    shuffle; the merge chain is a codegen projection on the post-agg
+    dictionary frame — no join, no Python in the registered plan
+    (training happened at construction on the 5% sample)."""
+    df = q("q112_bpe_dictionary_encode", spark, sf_dir)
+    s = plan_summary(df)
+    assert s["scans"] == 1, s
+    assert s["broadcast_joins"] + s["sort_merge_joins"] == 0, s
+    plan = explain_formatted(df)
+    m = __import__("re").search(r"(?m)^\(\d+\) ", plan)
+    tree = plan[: m.start()] if m else plan
+    # exactly one Generate: the corpus word explode feeding the agg
+    assert tree.count("Generate") == 1, tree
+    assert "replace" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert_no_cartesian(df)

@@ -229,6 +229,70 @@ def test_q109_sampled_top_selection_matches_full(spark, sf_dir):
     assert sampled == full
 
 
+def test_q112_empty_corpus_returns_empty(spark, empty_corpus_dir):
+    from cdc_example_spark.queries.relevance import q112
+
+    out = q112(spark, empty_corpus_dir)
+    assert out.count() == 0
+    assert out.columns == ["stage", "rnk", "item", "n_a", "n_b", "pct"]
+
+
+def test_q112_arrow_vocab_encoder_parity(spark, sf_dir):
+    """The 30k-merge tier's Arrow-batched per-word encoder must agree
+    with the column replace chain at the declared 6 merges — the
+    parity pin that lets a production vocabulary swap the chain for
+    the UDF without changing semantics (VERDICT r8 item 2)."""
+    from cdc_example_spark.queries.relevance import (
+        _Q112_MERGES,
+        _char_spaced,
+        _top_pair_weighted,
+        bpe_word_subtoken_counts_udf,
+    )
+    from cdc_example_spark.sources.catalog import load_doc_tokens
+
+    toks = load_doc_tokens(spark, sf_dir)
+    wft = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_spaced(F.col("word")).alias("seg"))
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for _ in range(_Q112_MERGES):
+        a = F.split(F.trim("seg"), " ")
+        winners = _top_pair_weighted(wft, a, F.col("freq")).collect()
+        if not winners:
+            break
+        pair = winners[0]["pair"]
+        merges.append(pair)
+        wft = wft.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", "") + " "),
+            ),
+        )
+    assert merges, "contract corpus must train at least one merge"
+    words = (
+        toks.select(F.explode("ws").alias("word")).distinct()
+    )
+    seg = _char_spaced(F.col("word"))
+    for pair in merges:
+        seg = F.replace(
+            seg, F.lit(f" {pair} "), F.lit(" " + pair.replace(" ", "") + " ")
+        )
+    chain_n = F.size(F.split(F.trim(seg), " ")).cast("long")
+    udf_n = bpe_word_subtoken_counts_udf(merges)(F.col("word"))
+    diff = (
+        words.select("word", chain_n.alias("a"), udf_n.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_q105_empty_corpus_returns_empty(spark, empty_corpus_dir):
     from cdc_example_spark.queries.relevance import q105
 
