@@ -44,7 +44,12 @@ def _typed_image(img: Column) -> Column:
     )
 
 
-def decode_envelope(raw: DataFrame, key_col: str = "key", value_col: str = "value") -> DataFrame:
+def decode_envelope(
+    raw: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    topic_col: "str | None" = None,
+) -> DataFrame:
     """Kafka-shaped (key, value) records → typed change rows.
 
     Output columns:
@@ -53,6 +58,10 @@ def decode_envelope(raw: DataFrame, key_col: str = "key", value_col: str = "valu
       op            'i'|'u'|'d' (kept for lineage; routing ignores it)
       lsn, ts_ms    change ordering (source.lsn primary, envelope ts_ms
                     tiebreak) — per-key order restoration after shuffle
+      topic         (only when ``topic_col`` is given) the source topic,
+                    carried for multi-table routing — Debezium emits one
+                    topic per table (setup-debezium.sh:22-27
+                    topic.prefix semantics)
     """
     key = F.from_json(F.col(key_col).cast("string"), CDC_KEY)
     val = F.from_json(F.col(value_col).cast("string"), CDC_ENVELOPE)
@@ -62,18 +71,22 @@ def decode_envelope(raw: DataFrame, key_col: str = "key", value_col: str = "valu
     # the decode cost, measured). The single-element explode places the
     # parse in a Generate node that downstream projections can only
     # reference, not inline. Works identically in batch and streaming.
-    parsed = raw.select(
-        F.explode(F.array(F.struct(key.alias("k"), val.alias("v")))).alias("_p")
-    )
+    fields = [key.alias("k"), val.alias("v")]
+    if topic_col is not None:
+        fields.append(F.col(topic_col).cast("string").alias("t"))
+    parsed = raw.select(F.explode(F.array(F.struct(*fields))).alias("_p"))
     k, v = F.col("_p.k"), F.col("_p.v")
-    return parsed.select(
+    out = [
         k["id"].alias("key_id"),
         _typed_image(v["before"]).alias("before"),
         _typed_image(v["after"]).alias("after"),
         v["op"].alias("op"),
         v["source"]["lsn"].alias("lsn"),
         v["ts_ms"].alias("ts_ms"),
-    )
+    ]
+    if topic_col is not None:
+        out.append(F.col("_p.t").alias("topic"))
+    return parsed.select(*out)
 
 
 def route_changes(decoded: DataFrame) -> DataFrame:
@@ -96,10 +109,15 @@ def route_changes(decoded: DataFrame) -> DataFrame:
     compaction's lag comparison, and r4's anti-join — null-unsafe —
     appended a fresh NULL-key state row every batch).
     """
-    return decoded.filter(F.col("key_id").isNotNull()).select(
+    cols = [
         "key_id",
         F.col("after").isNull().alias("is_delete"),
         "after",
         "lsn",
         "ts_ms",
-    )
+    ]
+    if "topic" in decoded.columns:
+        # multi-table routing: the topic rides along so one stream can
+        # fan out to per-table sinks (materialize_tables)
+        cols.append("topic")
+    return decoded.filter(F.col("key_id").isNotNull()).select(*cols)

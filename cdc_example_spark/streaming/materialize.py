@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from cdc_example_spark.operators.keyed_state import KeyedStateSink
@@ -41,15 +42,25 @@ def kafka_cdc_source(
     )
 
 
-def file_cdc_source(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+def file_cdc_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    with_topic: bool = False,
+) -> DataFrame:
     """File-based CDC source (test double; SURVEY.md §2.2 'file/memory stream').
 
     Reads JSON lines shaped ``{"key": "<kafka key json>", "value":
     "<envelope json>"}`` — one file per emitted micro-batch, matching
     how the S-tests replay the reference's integration scenario.
+    ``with_topic`` adds the ``topic`` column a real Kafka source always
+    carries (required by :func:`materialize_tables`).
     """
+    schema = "key STRING, value STRING"
+    if with_topic:
+        schema += ", topic STRING"
     return (
-        spark.readStream.schema("key STRING, value STRING")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
@@ -117,6 +128,68 @@ def materialize(
             batch_df.unpersist()
 
     writer = routed.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def materialize_tables(
+    raw_stream: DataFrame,
+    sinks: "dict[str, KeyedStateSink]",
+    checkpoint_dir: str,
+    on_batch: "Callable[[str, DataFrame, int], None] | None" = None,
+    trigger_once: bool = False,
+    processing_time: str = "500 milliseconds",
+) -> StreamingQuery:
+    """Multi-table CDC: ONE stream → per-topic KeyedStateSink routing
+    (VERDICT r8 item 5).
+
+    Debezium emits one topic per table (reference
+    ``setup-debezium.sh:22-27`` — ``topic.prefix`` +
+    ``schema.table``), so a real deployment's second table would
+    otherwise need a second stream + checkpoint + consumer group. This
+    runs the whole feed through ONE decode→route pass and ONE
+    checkpoint: the ``foreachBatch`` body lists the topics present in
+    the micro-batch (one tiny distinct job — absent tables cost zero
+    work, not an empty merge job each) and applies each topic's slice
+    to its sink with the shared ``batch_id``.
+
+    Exactly-once composition: each sink keeps its own applied-batch
+    marker, so a crash mid-fan-out redelivers the batch as a metadata
+    no-op on the sinks that committed and a normal idempotent MERGE on
+    the rest — the same argument as ``materialize``'s agg sinks.
+    Rows whose topic has no registered sink are dropped (the subscribe
+    pattern defines the table universe; an unrouted topic is the
+    upstream misconfiguration case, surfaced via ``on_batch``'s
+    per-topic callback never firing for it).
+
+    ``raw_stream`` must carry a ``topic`` column (Kafka sources always
+    do; the file double via ``with_topic=True``).
+    """
+    routed = route_changes(decode_envelope(raw_stream, topic_col="topic"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            present = {
+                r[0]
+                for r in batch_df.select("topic").distinct().collect()
+            }
+            for topic in sorted(sinks):
+                if topic not in present:
+                    continue
+                slice_df = batch_df.filter(F.col("topic") == topic).drop("topic")
+                sinks[topic].apply_changes(slice_df, batch_id)
+                if on_batch is not None:
+                    on_batch(topic, slice_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = routed.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:
