@@ -110,6 +110,11 @@ QUERIES = [
     "q108_split_leakage",
     "q109_source_mix_divergence",
     "q110_bpe_encode_corpus",
+    # r9: the dictionary-tier BPE encode, measured at scale the round
+    # it lands; q82 re-enters because its ORACLE was de-strawmanned
+    # (bag-of-chars prune) — the ratio is the item under test
+    "q112_bpe_dictionary_encode",
+    "q82_fuzzy_dedup_pairs",
 ]
 
 TABLES = list(_REPLACE)
@@ -285,6 +290,8 @@ def main() -> None:
             "q105_bpe_merge_rounds",
             "q109_source_mix_divergence",
             "q110_bpe_encode_corpus",
+            # r9: trains its 6 char-level merges at construction
+            "q112_bpe_dictionary_encode",
         }
 
         s_times, d_times = {}, {}
