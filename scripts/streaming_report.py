@@ -29,6 +29,7 @@ S_SUITE_FILES = [
     "tests/test_streaming_windows.py",    # S4–S7 + S11 (outer interval join)
     "tests/test_incremental_agg.py",      # S8
     "tests/test_stateful_materialize.py", # S9/S10/S12 (applyInPandasWithState)
+    "tests/test_multi_table_routing.py",  # S13 (one stream → N table sinks)
 ]
 
 
