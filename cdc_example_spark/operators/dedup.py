@@ -435,7 +435,7 @@ def blocked_levenshtein_pairs(
     copies land at distance ~0; token-level Jaccard clones at small
     distances), and the bounded prefix caps the DP cost per pair.
 
-    Scale shape — no quadratic anywhere:
+    Scale shape — and its honest limit (measured r9):
     - length bands are buckets of width ``max_len_diff``; the probe
       side is exploded to its own bucket ±1 (3 rows/doc, constant), so
       every qualifying pair meets in EXACTLY one (lang, bucket) hash
@@ -443,8 +443,15 @@ def blocked_levenshtein_pairs(
     - ``F.levenshtein(l, r, threshold)`` runs the banded O(d·n) DP and
       returns -1 past ``max_dist``, so the per-pair cost is bounded by
       the threshold, not the signature length.
-    - the pair population is bounded by block sizes (lang × 24-char
-      length band), which track true near-dup density, not corpus size.
+    - BUT the blocking keys are ATTRIBUTES with fixed cardinality
+      (langs × occupied length bands): block population grows linearly
+      with the corpus, so candidate pairs grow QUADRATICALLY once
+      bands saturate — measured at the 10× shard: 307k → ~30M
+      candidates, Spark 84 s, DuckDB DNF. Attribute blocking is a
+      bounded-block-size tool; the 100 TB tier is
+      :func:`lsh_levenshtein_pairs` below — content-derived (LSH)
+      candidate generation, whose buckets track near-dup density, with
+      this same banded-DP verify.
 
     Returns (id1, id2, lang, dist) with id1 < id2, dist <= max_dist.
     """
@@ -485,6 +492,95 @@ def blocked_levenshtein_pairs(
             "id1", "id2", "lang", dist.cast("long").alias("dist")
         )
         # banded levenshtein reports "past threshold" as -1: exclude it.
+        .filter(F.col("dist").between(0, max_dist))
+    )
+
+
+def lsh_levenshtein_pairs(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    sig_len: int = 96,
+    max_dist: int = 12,
+    num_hashes: int = 12,
+    bands: int = 12,
+    shingle: int = 2,
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """Fuzzy dedup at corpus scale: LSH candidates → banded-DP verify.
+
+    The 100 TB tier of :func:`blocked_levenshtein_pairs` (r9): its
+    attribute blocking saturates — fixed (lang, length-band)
+    cardinality means candidates grow quadratically with the corpus.
+    Here candidate generation is CONTENT-derived MinHash-LSH
+    (:func:`lsh_candidate_pairs`, lang-scoped buckets): bucket sizes
+    track true near-dup cluster density, not corpus size, so the
+    quadratic is confined to the irreducible output. Each candidate
+    then pays exactly one threshold-banded Levenshtein over the same
+    sorted-token prefix signature the attribute tier verifies with.
+
+    Recall is the LSH S-curve on SIG-shingle Jaccard, a DECLARED knob
+    (defaults b=12×r=1 ⇒ P[candidate] = 1−(1−J)¹²). Measured against
+    the attribute tier's exhaustive-in-block truth at the contract
+    sfs (tests/test_frequency_fuzzy.py): recall 1.0 for every pair at
+    dist ≤ 2/3 of the threshold, 0.71–0.92 overall — the misses sit
+    AT the threshold edge, where ``max_dist`` char edits across a
+    short-word signature disturb essentially every shingle (J → 0);
+    no shingle scheme can see those, and at dist≈sig-word-count the
+    "near-dup" claim itself is marginal. Distances on proposed pairs
+    are exact and identical between tiers. Unlike the attribute tier,
+    no length-band constraint applies: qualifying pairs the band
+    split misses ARE found here (16 such at sf0.01), so the recall
+    profiles differ in both directions by declared design.
+
+    Returns (id1, id2, lang, dist) with id1 < id2, dist <= max_dist.
+    """
+    sig = F.substring(
+        F.array_join(F.array_sort(T.words(F.lower(F.col(text_col)))), " "),
+        1,
+        sig_len,
+    )
+    # LSH over shingles OF THE SIGNATURE, not of the raw document: the
+    # verify measure is edit distance on the sorted-token prefix, and
+    # d ≤ max_dist edits disturb at most ~d of its word shingles — so
+    # sig-shingle Jaccard is provably high for every qualifying pair,
+    # where raw-document Jaccard need not be (measured: recall 0.43 vs
+    # 1.0 at the contract sfs). Aligning the candidate measure with
+    # the verify measure IS the design rule here.
+    with_sig_words = docs.withColumn("_sigws", F.split(F.trim(sig), " "))
+    cands = lsh_candidate_pairs(
+        with_sig_words,
+        text_col=text_col,
+        key_col=key_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        group_cols=(lang_col,),
+        max_bucket=max_bucket,
+        tokens_col="_sigws",
+    )
+    sigs = docs.select(
+        F.col(key_col).alias("_k"),
+        F.col(lang_col).alias("lang"),
+        sig.alias("_sig"),
+    )
+    k1, k2 = f"{key_col}_1", f"{key_col}_2"
+    j = cands.join(
+        sigs.select(F.col("_k").alias(k1), "lang", F.col("_sig").alias("s1")),
+        on=k1,
+    ).join(
+        sigs.select(F.col("_k").alias(k2), F.col("_sig").alias("s2")),
+        on=k2,
+    )
+    dist = F.levenshtein(F.col("s1"), F.col("s2"), max_dist)
+    return (
+        j.select(
+            F.col(k1).alias("id1"),
+            F.col(k2).alias("id2"),
+            "lang",
+            dist.cast("long").alias("dist"),
+        )
         .filter(F.col("dist").between(0, max_dist))
     )
 

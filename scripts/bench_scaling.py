@@ -119,6 +119,18 @@ QUERIES = [
 
 TABLES = list(_REPLACE)
 
+#: per-query shard gate: q82's declared (lang, 24-char length-band)
+#: blocking has FIXED block cardinality, so token-disjoint K×
+#: replication grows every block linearly and candidate pairs
+#: quadratically — measured at k=10: Spark finishes the 30 M-pair
+#: verify in 84 s, DuckDB DNFs at the 300 s watchdog. That IS the
+#: honest scale datapoint for attribute blocking; k=100 would be
+#: ~100× the k=10 pair count on both engines (hours), so the row is
+#: gated and the 100 TB deployment shape — LSH candidate generation +
+#: this operator's banded-DP verify (operators/dedup.py:
+#: lsh_levenshtein_pairs) — is measured instead via q32's k rows.
+MAX_K = {"q82_fuzzy_dedup_pairs": 10}
+
 
 def ivf_build_tier(spark, sf_dir: str, k: int) -> dict:
     """Measure the persisted-IVF BUILD at this shard size (VERDICT r5
@@ -296,6 +308,15 @@ def main() -> None:
 
         s_times, d_times = {}, {}
         for name in QUERIES:
+            if k > MAX_K.get(name, 10**9):
+                print(
+                    json.dumps(
+                        {"k": k, "phase": "spark", "q": name,
+                         "skipped": f"gated above k={MAX_K[name]}"}
+                    ),
+                    flush=True,
+                )
+                continue
             prepared = qs[name].spark(spark, sf_dir)
             collect(prepared)  # cold: plan + JIT + cache warm
             samples = []
@@ -390,6 +411,8 @@ def main() -> None:
 
         d_dnf: dict[str, str] = {}
         for name in QUERIES:
+            if k > MAX_K.get(name, 10**9):
+                continue  # gated on the Spark side too — see MAX_K
             sql = oracle_override.get(name) or qs[name].oracle
             try:
                 run_capped(sql)  # warm OS cache / catalog

@@ -135,3 +135,31 @@ def test_blocked_levenshtein_each_pair_emitted_once(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = blocked_levenshtein_pairs(docs)
     assert out.count() == out.select("id1", "id2").distinct().count()
+
+
+def test_lsh_levenshtein_scale_tier_recall_and_exactness(spark, sf_dir):
+    """The 100 TB fuzzy-dedup tier (r9): LSH candidates over
+    SIG-shingles → banded-DP verify. Pins against the attribute tier's
+    exhaustive-in-block truth at the contract sf:
+      - distances agree exactly on every shared pair;
+      - recall is 1.0 for every pair at dist ≤ 2/3 of the threshold
+        (the comfortably-qualifying pairs);
+      - overall in-block recall ≥ 0.6 (threshold-edge pairs have
+        sig-Jaccard → 0 by construction — the declared S-curve);
+      - all emitted pairs verify (id1 < id2, 0 ≤ dist ≤ max_dist)."""
+    from cdc_example_spark.operators.dedup import lsh_levenshtein_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id1, r.id2): r.dist
+        for r in blocked_levenshtein_pairs(docs).collect()
+    }
+    got_rows = lsh_levenshtein_pairs(docs).collect()
+    got = {(r.id1, r.id2): r.dist for r in got_rows}
+    assert all(r.id1 < r.id2 and 0 <= r.dist <= 12 for r in got_rows)
+    shared = set(truth) & set(got)
+    assert all(truth[p] == got[p] for p in shared)
+    comfortable = {p for p, d in truth.items() if d <= 8}
+    assert comfortable <= set(got), comfortable - set(got)
+    if truth:
+        assert len(shared) / len(truth) >= 0.6
