@@ -293,6 +293,44 @@ def test_q112_arrow_vocab_encoder_parity(spark, sf_dir):
     assert diff == 0
 
 
+def test_arrow_vocab_encoder_handles_production_merge_counts(spark):
+    """The 30k-merge story, executed: a 1000-deep merge table — far
+    past what a column replace chain can compile — encodes a 2k-word
+    dictionary through the Arrow path, and a sampled cross-check
+    matches the pure-Python model exactly."""
+    from cdc_example_spark.queries.relevance import (
+        bpe_word_subtoken_counts_udf,
+    )
+
+    words = spark.range(0, 2000).select(
+        F.concat(
+            F.lit("w"), F.col("id").cast("string"), F.lit("abacus")
+        ).alias("word")
+    )
+    merges = [
+        f"{a} {b}"
+        for a in "abcdefghijklmnopqrstuvwxyz0123456789"
+        for b in "abcdefghijklmnopqrstuvwxyz0123456789"
+    ][:1000]
+    got = {
+        r["word"]: r["n"]
+        for r in words.select(
+            "word", bpe_word_subtoken_counts_udf(merges)(F.col("word")).alias("n")
+        ).collect()
+    }
+    assert len(got) == 2000 and all(n >= 1 for n in got.values())
+    reps = [(f" {p} ", " " + p.replace(" ", "") + " ") for p in merges]
+
+    def model(w):
+        s = " " + " ".join(w) + " "
+        for a, b in reps:
+            s = s.replace(a, b)
+        return len(s.split())
+
+    for w in list(got)[::97]:
+        assert got[w] == model(w), w
+
+
 def test_q105_empty_corpus_returns_empty(spark, empty_corpus_dir):
     from cdc_example_spark.queries.relevance import q105
 
