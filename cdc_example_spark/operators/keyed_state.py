@@ -240,14 +240,38 @@ class KeyedStateSink:
         )
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        """Current materialized table (without the bucket column)."""
-        if not self.exists():
-            return spark.createDataFrame([], MESSAGES)
-        try:
-            return spark.read.parquet(self.path).drop("bucket")
-        except Exception:
-            # state dir exists but holds no part files (everything deleted)
-            return spark.createDataFrame([], MESSAGES)
+        """Current materialized table (without the bucket column).
+
+        Reads are deliberately NOT serialized behind the sink lock (a
+        REST GET must not wait out a table-scale re-bucket), so a read
+        can land inside the swap window where ``path`` has been
+        renamed to ``.old`` but the staged dir not yet renamed in.
+        Renames are atomic, so exactly one of the two dirs holds the
+        complete pre-swap state — fall back to ``.old`` instead of
+        serving a momentarily-empty table (r9; writes never need this:
+        they hold the lock, so no merge can observe the window).
+        """
+        # third element: if `.old` vanished between its check and read
+        # (the swap + cleanup completed mid-call), the live dir is back
+        for candidate in (self.path, self.path + ".old", self.path):
+            if not (
+                os.path.exists(os.path.join(candidate, "_SUCCESS"))
+                or any(
+                    n.startswith("bucket=")
+                    for n in (
+                        os.listdir(candidate) if os.path.isdir(candidate) else []
+                    )
+                )
+            ):
+                continue
+            try:
+                return spark.read.parquet(candidate).drop("bucket")
+            except Exception:
+                # dir exists but holds no part files (everything
+                # deleted), or vanished between the check and the read
+                # (the swap completed) — try the other candidate.
+                continue
+        return spark.createDataFrame([], MESSAGES)
 
     # ------------------------------------------------------------------
     # the CDC apply (foreachBatch body)

@@ -166,6 +166,84 @@ def test_point_delete_does_not_shrink(spark, tmp_path):
     assert sink.num_buckets == grown
 
 
+def test_resize_serializes_against_concurrent_merge(spark, tmp_path, monkeypatch):
+    """ADVICE r8 medium: a REST write racing the auto-resize swap must
+    wait for it, never read a mid-mutation num_buckets or write into a
+    half-swapped layout. Deterministic interleaving: the resize is
+    held open on one thread while an upsert on another must block on
+    the sink lock until it completes — the recorded event order is the
+    assertion."""
+    import threading
+
+    path = str(tmp_path / "state")
+    sink = KeyedStateSink(path=path, rows_per_bucket_target=10)
+    order: list[str] = []
+    entered, release = threading.Event(), threading.Event()
+    real_rebucket = KeyedStateSink._rebucket
+
+    def held_rebucket(self, spark_, new_count):
+        order.append("rebucket_start")
+        entered.set()
+        assert release.wait(120)
+        real_rebucket(self, spark_, new_count)
+        order.append("rebucket_done")
+
+    monkeypatch.setattr(KeyedStateSink, "_rebucket", held_rebucket)
+    real_merge_scoped = KeyedStateSink._merge_scoped
+
+    def traced_merge_scoped(self, *a, **kw):
+        order.append("merge_start")
+        return real_merge_scoped(self, *a, **kw)
+
+    monkeypatch.setattr(KeyedStateSink, "_merge_scoped", traced_merge_scoped)
+
+    grower = threading.Thread(
+        target=lambda: sink.apply_changes(_changes(spark, 200), batch_id=1)
+    )
+    grower.start()
+    assert entered.wait(120)
+    # resize is mid-flight and holding the lock: a REST upsert must block
+    upsert_done = threading.Event()
+
+    def do_upsert():
+        req = spark.createDataFrame(
+            [(None, "zoe", "hello")], "id string, username string, message string"
+        )
+        sink.upsert_requests(req, "2025-10-26T23:59:00Z")
+        upsert_done.set()
+
+    writer = threading.Thread(target=do_upsert)
+    writer.start()
+    # give the writer ample time to reach the lock; it must NOT merge
+    writer.join(3.0)
+    assert "merge_start" not in order, order
+    release.set()
+    grower.join(120)
+    writer.join(120)
+    assert upsert_done.is_set()
+    assert order.index("rebucket_done") < order.index("merge_start"), order
+    rows = {r["id"]: r["message"] for r in sink.snapshot(spark).collect()}
+    assert len(rows) == 201 and "hello" in rows.values()
+    # the post-resize merge addressed keys with the NEW count
+    assert KeyedStateSink(path=path).num_buckets == sink.num_buckets
+
+
+def test_snapshot_during_swap_window_serves_old_state(spark, tmp_path):
+    """A REST read landing between the swap's two renames must serve
+    the complete pre-swap state from `.old`, never a momentarily-empty
+    table (reads don't take the sink lock by design)."""
+    path = str(tmp_path / "state")
+    sink = KeyedStateSink(path=path)
+    sink.apply_changes(_changes(spark, 20), batch_id=1)
+    # simulate the window: path renamed away, staged dir not yet in
+    os.rename(path, path + ".old")
+    rows = {r["id"] for r in sink.snapshot(spark).collect()}
+    assert rows == {f"k{i}" for i in range(20)}
+    os.rename(path + ".old", path)
+    rows = {r["id"] for r in sink.snapshot(spark).collect()}
+    assert rows == {f"k{i}" for i in range(20)}
+
+
 @pytest.fixture()
 def empty_corpus_dir(spark, tmp_path, sf_dir):
     sf = sf_dir
