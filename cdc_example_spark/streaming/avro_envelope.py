@@ -250,8 +250,13 @@ def _decoder_for(registry_url: "str | None"):
     def _decode_batches(batches):
         for pdf in batches:
             rows = []
-            for kb, vb in zip(pdf["key"], pdf["value"]):
+            # multi-table routing: an input topic column passes through
+            # untouched beside the decoded fields
+            tser = pdf["topic"] if "topic" in pdf.columns else None
+            for idx, (kb, vb) in enumerate(zip(pdf["key"], pdf["value"])):
                 row: "dict[str, Any]" = {}
+                if tser is not None:
+                    row["topic"] = tser.iat[idx]
                 try:
                     ksid, kbody = confluent_unframe(bytes(kb))
                     key, _ = avro_decode(_resolve(ksid, KEY_SCHEMA), kbody)
@@ -300,6 +305,7 @@ def _decoder_for(registry_url: "str | None"):
                 + [f"before_{f}" for f, _ in ROW_SCHEMA[1]]
                 + [f"after_{f}" for f, _ in ROW_SCHEMA[1]]
                 + ["op", "lsn", "ts_ms"]
+                + (["topic"] if tser is not None else [])
             ):
                 if col not in out.columns:
                     out[col] = None
@@ -329,6 +335,7 @@ def decode_avro_envelope(
     key_col: str = "key",
     value_col: str = "value",
     registry_url: "str | None" = None,
+    topic_col: "str | None" = None,
 ) -> DataFrame:
     """Confluent-framed Avro (key, value) binaries → typed change rows.
 
@@ -348,14 +355,22 @@ def decode_avro_envelope(
     keeps the pinned-schema behavior, matching the reference's
     compose.yaml:57-64 converter config being shipped commented out.
     """
-    flat = raw.select(
-        F.col(key_col).alias("key"), F.col(value_col).alias("value")
-    ).mapInPandas(_decoder_for(registry_url), _FLAT_SCHEMA)
-    return flat.select(
+    cols = [F.col(key_col).alias("key"), F.col(value_col).alias("value")]
+    schema = _FLAT_SCHEMA
+    if topic_col is not None:
+        # multi-table routing (materialize_tables): the topic rides
+        # through the Arrow decode beside the binary columns
+        cols.append(F.col(topic_col).cast("string").alias("topic"))
+        schema = _FLAT_SCHEMA + ", topic string"
+    flat = raw.select(*cols).mapInPandas(_decoder_for(registry_url), schema)
+    out = [
         "key_id",
         _typed_image_flat("before").alias("before"),
         _typed_image_flat("after").alias("after"),
         "op",
         "lsn",
         "ts_ms",
-    )
+    ]
+    if topic_col is not None:
+        out.append(F.col("topic"))
+    return flat.select(*out)

@@ -142,6 +142,8 @@ def materialize_tables(
     on_batch: "Callable[[str, DataFrame, int], None] | None" = None,
     trigger_once: bool = False,
     processing_time: str = "500 milliseconds",
+    converter: str = "json",
+    registry_url: "str | None" = None,
 ) -> StreamingQuery:
     """Multi-table CDC: ONE stream → per-topic KeyedStateSink routing
     (VERDICT r8 item 5).
@@ -166,9 +168,21 @@ def materialize_tables(
     per-topic callback never firing for it).
 
     ``raw_stream`` must carry a ``topic`` column (Kafka sources always
-    do; the file double via ``with_topic=True``).
+    do; the file double via ``with_topic=True``). ``converter`` selects
+    the wire format like :func:`materialize` — the topic rides through
+    either decoder.
     """
-    routed = route_changes(decode_envelope(raw_stream, topic_col="topic"))
+    if converter == "avro":
+        from cdc_example_spark.streaming.avro_envelope import decode_avro_envelope
+
+        decoded = decode_avro_envelope(
+            raw_stream, registry_url=registry_url, topic_col="topic"
+        )
+    elif converter == "json":
+        decoded = decode_envelope(raw_stream, topic_col="topic")
+    else:
+        raise ValueError(f"materialize_tables: unknown converter {converter!r}")
+    routed = route_changes(decoded)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -198,14 +212,21 @@ def materialize_tables(
 
 
 def file_avro_cdc_source(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    with_topic: bool = False,
 ) -> DataFrame:
     """File-based AVRO CDC source (the ``converter="avro"`` test double):
     parquet files carrying Confluent-framed binary (key, value) columns
     — the byte-for-byte shape a Kafka source with AvroConverter
-    producers would deliver."""
+    producers would deliver. ``with_topic`` adds the topic column for
+    :func:`materialize_tables`."""
+    schema = "key BINARY, value BINARY"
+    if with_topic:
+        schema += ", topic STRING"
     return (
-        spark.readStream.schema("key BINARY, value BINARY")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # one parquet DIRECTORY per replayed batch (writers emit
         # part files + _SUCCESS): recurse and glob like the S-test

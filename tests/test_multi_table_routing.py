@@ -122,3 +122,31 @@ def test_s13_checkpoint_resume_does_not_reapply(spark, tmp_path):
     sa = {r["id"] for r in sinks[TOPIC_A].snapshot(spark).collect()}
     sb = {r["id"] for r in sinks[TOPIC_B].snapshot(spark).collect()}
     assert sa == {"a1"} and sb == {"b1"}
+
+
+def test_s13_avro_decode_carries_topic_for_routing(spark):
+    """The converter matrix completes: the Avro decoder passes the
+    topic through its Arrow decode beside the binary columns, so
+    materialize_tables(converter="avro") routes identically to the
+    JSON path (same downstream code)."""
+    from pyspark.sql import Row
+
+    from cdc_example_spark.streaming import avro_envelope as A
+    from cdc_example_spark.streaming.envelope import route_changes
+
+    img = row_image("k-1", _T0, _T0, "hello", "ann")
+    recs = []
+    for topic, kid in ((TOPIC_A, "a1"), (TOPIC_B, "b1"), (TOPIC_A, "a2")):
+        k, v = A.encode_change(kid, "c", None, dict(img, id=kid), 100, 200)
+        recs.append(Row(key=k, value=v, topic=topic))
+    df = spark.createDataFrame(recs, "key binary, value binary, topic string")
+    routed = route_changes(A.decode_avro_envelope(df, topic_col="topic"))
+    assert "topic" in routed.columns
+    got = {
+        (r["topic"], r["key_id"]): r["is_delete"] for r in routed.collect()
+    }
+    assert set(got) == {(TOPIC_A, "a1"), (TOPIC_B, "b1"), (TOPIC_A, "a2")}
+    assert not any(got.values())
+    # and without a topic column the decoder's shape is unchanged
+    plain = A.decode_avro_envelope(df.drop("topic"))
+    assert "topic" not in plain.columns
