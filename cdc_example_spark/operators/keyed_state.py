@@ -34,6 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 from cdc_example_spark.schemas import MESSAGES
@@ -147,8 +148,21 @@ class KeyedStateSink:
     #: which the state re-buckets to the next power of two. ~2^18 rows
     #: ≈ tens of MB per bucket file at this row shape.
     rows_per_bucket_target: int = 262_144
+    #: the TABLE's typed row schema (S14, VERDICT r9 item 3): a real
+    #: second table has different columns, so the merge/state-read
+    #: column lists derive from this instead of being hard-coded to the
+    #: reference messages table. ``key`` must name one of its fields.
+    #: The default keeps every existing call site byte-identical.
+    schema: "StructType | None" = None
 
     def __post_init__(self):
+        if self.schema is None:
+            self.schema = MESSAGES
+        if self.key not in {f.name for f in self.schema.fields}:
+            raise ValueError(
+                f"KeyedStateSink({self.path}): key {self.key!r} is not a "
+                f"column of the declared schema"
+            )
         self._auto = self.num_buckets is None
         # serializes merges against the auto-resize swap on THIS sink
         # object (ADVICE r8: _maybe_grow ran outside any lock, so a
@@ -195,10 +209,15 @@ class KeyedStateSink:
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.num_buckets))
 
-    def _state_schema(self):
-        from pyspark.sql.types import LongType, StructField, StructType
+    def _data_cols(self) -> "list[str]":
+        return [f.name for f in self.schema.fields]
 
-        return StructType(list(MESSAGES.fields) + [StructField("bucket", LongType())])
+    def _state_schema(self):
+        from pyspark.sql.types import LongType, StructField
+
+        return StructType(
+            list(self.schema.fields) + [StructField("bucket", LongType())]
+        )
 
     def _read_state(self, spark: SparkSession, buckets: "list[int]") -> DataFrame | None:
         """State rows of the touched buckets, or None when no state.
@@ -248,8 +267,20 @@ class KeyedStateSink:
         renamed to ``.old`` but the staged dir not yet renamed in.
         Renames are atomic, so exactly one of the two dirs holds the
         complete pre-swap state — fall back to ``.old`` instead of
-        serving a momentarily-empty table (r9; writes never need this:
-        they hold the lock, so no merge can observe the window).
+        serving a momentarily-empty table (r9).
+
+        Durability of the RETURNED frame (ADVICE r9): the fallback
+        frame is pinned eagerly — ``.old`` is rmtree'd the moment the
+        swap completes, so a lazy plan over it would throw
+        FileNotFoundException at the caller's action. The live-path
+        read stays lazy (the hot path must not pay a scan per GET) but
+        sets ``ignoreMissingFiles``, so an action racing a later
+        resize's rename/cleanup skips vanished files instead of
+        failing. Merges hold the sink lock and never observe the
+        window, but ``upsert_requests`` reads snapshot() UNLOCKED
+        before its merge — an unlocked read racing a concurrent resize
+        may therefore observe partial state; callers needing a
+        consistent view must serialize on the sink lock.
         """
         # third element: if `.old` vanished between its check and read
         # (the swap + cleanup completed mid-call), the live dir is back
@@ -265,13 +296,22 @@ class KeyedStateSink:
             ):
                 continue
             try:
-                return spark.read.parquet(candidate).drop("bucket")
+                df = (
+                    spark.read.option("ignoreMissingFiles", "true")
+                    .parquet(candidate)
+                    .drop("bucket")
+                )
+                if candidate != self.path:
+                    # `.old` is deleted right after the swap: pin its
+                    # contents now so the returned frame outlives it.
+                    df = df.localCheckpoint(eager=True)
+                return df
             except Exception:
                 # dir exists but holds no part files (everything
                 # deleted), or vanished between the check and the read
                 # (the swap completed) — try the other candidate.
                 continue
-        return spark.createDataFrame([], MESSAGES)
+        return spark.createDataFrame([], self.schema)
 
     # ------------------------------------------------------------------
     # the CDC apply (foreachBatch body)
@@ -320,7 +360,7 @@ class KeyedStateSink:
             f.write(str(batch_id))
         os.replace(tmp, self._marker_path())
 
-    def apply_changes(self, changes: DataFrame, batch_id: int | None = None) -> None:
+    def apply_changes(self, changes: DataFrame, batch_id: int | None = None) -> bool:
         """MERGE one micro-batch of routed changes (see envelope.route_changes).
 
         Expected columns: key_id, is_delete, after (struct), lsn, ts_ms.
@@ -331,18 +371,23 @@ class KeyedStateSink:
         and the streaming checkpoint commit) becomes a metadata no-op
         instead of a re-merge. Without an id the re-merge itself is
         idempotent, so correctness never depends on the marker.
+
+        Returns True when the batch was actually merged, False on the
+        marker no-op — so callers with side-effecting per-batch hooks
+        (materialize*'s ``on_batch``) can skip redeliveries instead of
+        observing duplicate (topic, batch_id) invocations (ADVICE r9).
         """
         with self._lock:
-            self._apply_changes_locked(changes, batch_id)
+            return self._apply_changes_locked(changes, batch_id)
 
     def _apply_changes_locked(
         self, changes: DataFrame, batch_id: int | None
-    ) -> None:
+    ) -> bool:
         spark = changes.sparkSession
         if batch_id is not None:
             last = self.last_applied_batch_id()
             if last is not None and batch_id <= last:
-                return
+                return False
         # r5 restructure (T3 p50): ONE sort-merge compaction job instead
         # of collapse-then-anti-join-then-union. The r4 chain was 3 jobs
         # (collapse window + persist, bucket-distinct collect, broadcast
@@ -377,15 +422,12 @@ class KeyedStateSink:
             ch = changes.withColumn("bucket", self._bucket(F.col("key_id")))
             buckets = (ch.agg(F.collect_set("bucket")).first()[0]) or []
             if buckets:
+                data_cols = self._data_cols()
                 cu = ch.select(
                     "key_id",
                     "bucket",
                     "is_delete",
-                    F.col("after.id").alias(self.key),
-                    F.col("after.create_time").alias("create_time"),
-                    F.col("after.update_time").alias("update_time"),
-                    F.col("after.message").alias("message"),
-                    F.col("after.username").alias("username"),
+                    *[F.col(f"after.{c}").alias(c) for c in data_cols],
                     "lsn",
                     "ts_ms",
                 )
@@ -395,11 +437,7 @@ class KeyedStateSink:
                         F.col(self.key).alias("key_id"),
                         "bucket",
                         F.lit(False).alias("is_delete"),
-                        self.key,
-                        "create_time",
-                        "update_time",
-                        "message",
-                        "username",
+                        *data_cols,
                         F.lit(None).cast("long").alias("lsn"),
                         F.lit(None).cast("long").alias("ts_ms"),
                     )
@@ -417,14 +455,7 @@ class KeyedStateSink:
                         "_win", prev_key.isNull() | (prev_key != F.col("key_id"))
                     )
                     .filter(F.col("_win") & ~F.col("is_delete"))
-                    .select(
-                        self.key,
-                        "create_time",
-                        "update_time",
-                        "message",
-                        "username",
-                        "bucket",
-                    )
+                    .select(*data_cols, "bucket")
                 )
                 self._overwrite_touched(out, buckets, already_partitioned=True)
             if batch_id is not None:
@@ -434,6 +465,7 @@ class KeyedStateSink:
         # micro-batch), and after the marker: a crash mid-resize simply
         # retries the resize on the next batch.
         self._maybe_grow(spark)
+        return True
 
     def _merge(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
         """Rewrite only the buckets containing ``touched_keys``."""
@@ -725,5 +757,5 @@ class KeyedStateSink:
         """Batch twin of MessageService.deleteMessage (MessageService.kt:36-39)."""
         spark = keys.sparkSession
         touched = keys.select(F.col(keys.columns[0]).alias(self.key)).distinct()
-        empty = spark.createDataFrame([], MESSAGES)
+        empty = spark.createDataFrame([], self.schema)
         self._merge(spark, touched, empty)

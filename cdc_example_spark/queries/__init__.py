@@ -33,92 +33,95 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # NEW in round 9 (rule 1): the BPE DICTIONARY tier — char-level
-    # merges trained on the 5% sample's word-frequency table, corpus
-    # encoded through its (lang, word) dictionary (VERDICT r8 item 2)
-    "q112_bpe_dictionary_encode",
-    # CHANGED in round 9 (rule 1): q82's oracle gained the exact
-    # bag-of-chars lower-bound prune (VERDICT r8 item 3 de-strawman);
-    # q109's top-200 selection moved to the 5% sample with in-plan
-    # exact global counts (item 6); q110 gained the empty-sample
-    # training guard (ADVICE r8 low)
-    "q82_fuzzy_dedup_pairs",
-    "q109_source_mix_divergence",
+    # NEW in round 10 (rule 1): the LSH fuzzy-dedup scale tier gets
+    # its driver row (VERDICT r9 item 2) — MinHash-LSH candidates over
+    # signature shingles, banded-Levenshtein verify, oracle replays
+    # the full signature/band/verify arithmetic
+    "q113_lsh_fuzzy_dedup_pairs",
+    # CHANGED in round 10 (rule 1): the q110/q112 oracles gained the
+    # sentinel no-op merge winner so a degenerate (empty) 5% training
+    # sample degrades to the identity encode on BOTH engines instead
+    # of cascading the oracle empty (ADVICE r9 low; pinned by
+    # tests/test_round10_properties.py)
     "q110_bpe_encode_corpus",
-    # the 14 documented r8-overflow queries (r6 green rows, 3 rounds
-    # stale — promised to head the r9 window in the r8 rotation note;
-    # VERDICT r8 item 1)
-    "q12_top20_lineitems",
-    "q13_set_ops",
-    "q15_string_functions",
-    "q16_orders_by_month",
-    "q17_case_math_bands",
-    "q18_hourly_event_windows",
-    "q19_sessionization",
-    "q20_json_buckets",
-    "q25_rolling_fingerprints",
-    "q26_token_counts",
-    "q27_lang_id_confusion",
-    "q28_quality_scores",
-    "q42_stats_profile",
-    "q43_train_test_split",
-    # 32 of the 47 r7-green rows due by the 2-round rule (rule 2) —
-    # changed-module neighbors first: q105/q106 share
-    # queries/relevance.py with this round's q112 + the q105/q110
-    # empty-corpus guards; q51–q57 bind the relevance/sampling
-    # operator stack; q100/q107 share queries/curation.py with the
-    # q82 oracle rewrite
-    "q105_bpe_merge_rounds",
-    "q106_rag_chunking",
-    "q51_tfidf_top_terms",
-    "q52_bm25_search",
-    "q53_stratified_sample",
-    "q54_bigram_vocab",
-    "q55_decontamination",
-    "q56_repetition_bands",
-    "q57_quantization_audit",
-    "q100_kmeans_lloyd_refine",
-    "q107_matryoshka_audit",
-    # then the flagship/join/dedup/ANN families of the r7 block
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_shipping_priority",
-    "q04_customers_per_region",
-    "q21_exact_dedup_stats",
-    "q22_cosine_top5",
-    "q23_dedup_survivors",
-    "q24_jaccard_neardup_pairs",
-    "q39_array_ops",
-    "q47_simhash_near_pairs",
-    "q48_asof_join",
-    "q49_snapshot_at",
-    "q50_range_join",
-    "q58_dedup_components",
-    "q61_salted_skew_join",
-    "q64_bucketed_colocated_join",
-    "q67_sequence_packing",
-    "q68_json_schema_profile",
-    "q69_bigram_lm_perplexity",
-    "q70_ivf_persisted_serving",
-    "q101_segment_span_dedup",
+    "q112_bpe_dictionary_encode",
+    # the 15 documented r9-overflow queries (r7 green rows, 3 rounds
+    # stale — promised to head the r10 window in the r9 rotation
+    # note; VERDICT r9 item 1)
+    "q05_customers_without_orders",
+    "q06_semi_join_having",
+    "q07_rollup_nation_segment",
+    "q08_cube_status_priority",
+    "q09_top3_per_nation",
+    "q10_order_gaps",
+    "q11_cumulative_spend",
+    "q14_count_distinct",
+    "q44_pivot_event_counts",
+    "q45_subqueries",
+    "q46_range_frame",
+    "q59_full_outer_join",
+    "q60_set_ops_all",
+    "q63_right_outer_join",
+    "q65_window_distribution",
+    # 32 of the 47 r8-green rows due by the 2-round rule (rule 2) —
+    # changed-module neighbors first: q73/q94 share
+    # queries/relevance.py with this round's q110/q112 oracle fixes;
+    # q80–q86/q103/q104 share queries/curation.py with the new q113;
+    # then the VERDICT watch items (q41 drift pair, q108/q111)
+    "q73_zipf_slope",
+    "q94_bloom_decontamination",
+    "q80_embedding_audit",
+    "q81_heavy_hitters",
+    "q83_pps_sample",
+    "q84_markov_transitions",
+    "q85_wav_audio_stats",
+    "q86_skyline_parts",
+    "q103_grouped_udaf_trimmed_mean",
+    "q104_quantized_cosine_topk",
+    "q41_percentiles",
+    "q108_split_leakage",
+    "q111_mixture_reweight_plan",
+    # the dedup/sketch families sharing operators/dedup.py with q113
+    "q29_simhash",
+    "q31_embedding_neardup_pairs",
+    "q32_minhash_lsh_candidates",
+    "q95_canonical_dedup",
+    # then the rest of the r8 block, oldest-risk first
+    "q79_pagerank",
+    "q87_sparse_allpairs_cosine",
+    "q88_quality_constraint_audit",
+    "q89_touch_attribution",
+    "q90_sketch_rollup_distinct",
+    "q91_psi_value_drift",
+    "q96_snapshot_diff",
+    "q97_priority_sample",
+    "q98_token_lift",
+    "q37_ranking_family",
+    "q38_approx_distinct",
+    "q40_grouping_sets",
+    "q30_cosine_topk_multi",
+    "q33_binary_media_meta",
+    "q34_multimodal_features",
 ]
-# 50 prioritized — the window is exactly full: 1 new + 3 changed in
-# r9 (rule 1, ≤4 per VERDICT r8 item 1) + the 14 promised r6-stale
-# carries (rule 2) + 32 of the 47 r7-green rows due this round.
-# DOCUMENTED OVERFLOW (r9 → r10): q05_customers_without_orders,
-# q06_semi_join_having, q07_rollup_nation_segment,
-# q08_cube_status_priority, q09_top3_per_nation, q10_order_gaps,
-# q11_cumulative_spend, q14_count_distinct, q44_pivot_event_counts,
-# q45_subqueries, q46_range_frame, q59_full_outer_join,
-# q60_set_ops_all, q63_right_outer_join, q65_window_distribution keep
-# their r7 green rows one more round (15 queries, all in the
-# untouched queries/batch.py declarative join/window/set families;
-# tests/test_queries_oracle.py still oracle-checks them locally every
-# run). They MUST head the r10 window together with the r8-green
-# block due at r10 by the 2-round rule (the 50 r8 rows minus this
-# round's q82/q109/q110 re-verifies = 47, including q41/q108/q111) —
-# 62 due vs 50 slots ⇒ r10 carries ~12–16 r8 rows to r11 and must
-# keep its own new/changed count ≤3.
+# 50 prioritized — the window is exactly full: 1 new + 2 changed in
+# r10 (rule 1, ≤3 per VERDICT r9 item 1) + the 15 promised r7-stale
+# carries (rule 2) + 32 of the 47 r8-green rows due this round.
+# DOCUMENTED OVERFLOW (r10 → r11): q35_pandas_cosine_topk,
+# q36_ivf_topk, q62_ivf_trained_topk, q66_semantic_dedup,
+# q71_event_funnel, q72_cohort_retention, q74_ntile_deciles,
+# q75_curation_funnel, q76_hashed_linear_score,
+# q77_hourly_anomalies, q78_resample_interpolate, q92_scd2_history,
+# q93_pii_redaction, q99_zorder_box_scan, q102_ivf2_persisted_serving
+# keep their r8 green rows one more round (15 queries, all in
+# modules untouched this round — queries/batch.py window/funnel
+# families, queries/llm.py ANN serving rungs, q93/q99 in
+# quality/pipeline; tests/test_queries_oracle.py still oracle-checks
+# every one locally each run). They MUST head the r11 window
+# together with the 48 r9-green rows due at r11 by the 2-round rule
+# (the 50 r9 rows minus this round's q110/q112 re-verifies — incl.
+# q82/q109/q113-neighbors) — so r11 faces 63 due vs 50 slots and
+# must keep its own new/changed count ≤3, carrying ~13 r9 rows
+# (prefer untouched modules) to r12.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

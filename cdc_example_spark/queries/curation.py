@@ -228,6 +228,103 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q113 — the 100 TB fuzzy-dedup tier (VERDICT r9 item 2): LSH candidate
+# generation over SIG-shingles → the same threshold-banded Levenshtein
+# verify q82 runs. q82's (lang, length-band) attribute blocking
+# saturates — fixed block cardinality means candidates grow
+# quadratically with the corpus (measured: 307k → ~30M at the 10×
+# shard, SCALE.md §4b-r9) — so the scale tier derives candidates from
+# CONTENT: MinHash-LSH over 2-word shingles of the same sorted-token
+# prefix signature the verify compares (aligning the candidate measure
+# with the verify measure is what lifts recall 0.43 → 1.0 at
+# d ≤ ⅔·threshold). Bucket sizes track true near-dup density, not
+# corpus size.
+#
+# Everything is deterministic integer arithmetic, so the oracle replays
+# it exactly: q82's signature construction + q32's MinHash/banding
+# discipline (b=12 × r=1 ⇒ P[candidate] = 1−(1−J)¹²) + a plain
+# levenshtein verify. DuckDB lacks the threshold DP form, but LSH
+# candidates are near-dup-density-bounded (hundreds at sf0.01, not the
+# attribute tier's 25k), so the full O(n²) DP stays cheap — no
+# bag-of-chars prune needed here.
+#
+# NULL-lang docs are filtered on BOTH sides for parity: the operator's
+# groupBy-bucketing would pair them while the oracle's equi-join drops
+# them (q32's documented discipline) — and q82's lang equi-join drops
+# them too, so the tiers stay comparable.
+# ---------------------------------------------------------------------------
+
+
+def _q113_sig_hash(i: int) -> str:
+    a, b = 2 * i + 1, 97 * i + 13
+    return (
+        f"COALESCE(list_min(list_transform(fps, f -> ({a} * f + {b}) % 1000000007)),"
+        " 1000000007)"
+    )
+
+
+_Q113_WORD_FP = """list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007)"""
+
+_Q113_ORACLE = rf"""
+WITH dd AS (
+  SELECT doc_id, lang,
+         substr(array_to_string(list_sort(
+             regexp_split_to_array(TRIM(LOWER(text)), '\s+')), ' '),
+           1, 96) AS sig
+  FROM documents
+  WHERE lang IS NOT NULL
+), sw AS (
+  SELECT doc_id, lang, sig,
+         list_transform(string_split(TRIM(sig), ' '),
+                        w -> {_Q113_WORD_FP}) AS wfps
+  FROM dd
+), t AS (
+  SELECT doc_id, lang, sig,
+         list_distinct(list_transform(range(len(wfps) - 1),
+             i -> (wfps[i+1] * 31 + wfps[i+2]) % 1000000007)) AS fps
+  FROM sw
+  WHERE len(wfps) >= 2
+), s AS (
+  SELECT doc_id, lang, sig,
+         {", ".join(f"{_q113_sig_hash(i)} AS s{i}" for i in range(12))}
+  FROM t
+), banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, lang, sig, {b} AS band, ((17 * 31 + s{b}) % 1000000007) AS key FROM s"
+      for b in range(12)
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.lang AS lang,
+                  a.sig AS s1, b.sig AS s2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, lang, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(s1, s2) <= 12
+ORDER BY id1, id2
+"""
+
+
+@query("q113_lsh_fuzzy_dedup_pairs", oracle=_Q113_ORACLE)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate fuzzy dedup: the scale tier of q82's banded verify."""
+    from cdc_example_spark.operators.dedup import lsh_levenshtein_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    return lsh_levenshtein_pairs(
+        docs, sig_len=96, max_dist=12, num_hashes=12, bands=12, shingle=2
+    ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
 # q83 — probability-proportional-to-size (PPS / weighted Poisson)
 # sampling of the corpus: each document enters the sample with
 # probability min(1, k * w / sum_w), w = n_chars, using a

@@ -908,7 +908,17 @@ def _q110_oracle() -> str:
             rf"    FROM (SELECT regexp_split_to_array(TRIM(s), '\s+') AS w FROM s{r - 1})"
             "\n  ) GROUP BY pair\n"
             f"), m{r} AS (\n"
-            f"  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1\n"
+            # TOTAL by construction (ADVICE r9, same class as q112): an
+            # empty merge round must not cascade the fe/st CTEs empty
+            # while the Spark side's empty-winner break still emits
+            # encode rows. The sentinel pair ' ' searches for three
+            # consecutive spaces — never present in the single-spaced
+            # working string — so its replace is a no-op; real winners
+            # (cnt >= 1) outrank it and merge_rows filters it.
+            f"  SELECT pair, cnt FROM (\n"
+            f"    SELECT pair, cnt FROM p{r}\n"
+            f"    UNION ALL SELECT ' ' AS pair, 0 AS cnt\n"
+            f"  ) ORDER BY cnt DESC, pair LIMIT 1\n"
             ")"
         )
         if r < k:
@@ -943,7 +953,7 @@ def _q110_oracle() -> str:
     )
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS stage, {r} AS rnk, pair AS item, cnt AS n_a,\n"
-        f"       0 AS n_b, CAST(0.0 AS DOUBLE) AS pct FROM m{r}"
+        f"       0 AS n_b, CAST(0.0 AS DOUBLE) AS pct FROM m{r} WHERE cnt > 0"
         for r in range(1, k + 1)
     )
     parts.append(
@@ -1110,7 +1120,18 @@ def _q112_oracle() -> str:
             f" AS a FROM w{r - 1})\n"
             "  ) GROUP BY pair\n"
             f"), m{r} AS (\n"
-            f"  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1\n"
+            # TOTAL by construction (ADVICE r9): a degenerate sample
+            # (empty p_r) must not cascade every downstream CTE empty —
+            # the Spark side breaks out of the merge loop and still
+            # emits identity-encode rows. The sentinel pair ' ' (two
+            # empty tokens) searches for three consecutive spaces,
+            # which a single-spaced segment string never contains, so
+            # its replace is a no-op; real winners always have cnt >= 1
+            # and outrank it, and merge_rows filters it (cnt > 0).
+            f"  SELECT pair, cnt FROM (\n"
+            f"    SELECT pair, cnt FROM p{r}\n"
+            f"    UNION ALL SELECT ' ' AS pair, 0 AS cnt\n"
+            f"  ) ORDER BY cnt DESC, pair LIMIT 1\n"
             ")"
         )
         if r < k:
@@ -1146,7 +1167,7 @@ def _q112_oracle() -> str:
     )
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS stage, {r} AS rnk, pair AS item, cnt AS n_a,\n"
-        f"       0 AS n_b, CAST(0.0 AS DOUBLE) AS pct FROM m{r}"
+        f"       0 AS n_b, CAST(0.0 AS DOUBLE) AS pct FROM m{r} WHERE cnt > 0"
         for r in range(1, k + 1)
     )
     parts.append(

@@ -82,6 +82,52 @@ VALUE_SCHEMA = (
     ],
 )
 
+
+def avro_row_schema(table_schema) -> tuple:
+    """Spark table schema → Avro tuple-tree row image (S14 per-topic
+    writer schemas): timestamps ride as ISO strings (Debezium
+    ZonedTimestamp, like the JSON path's wire image), integral columns
+    as Avro longs. ``avro_row_schema(MESSAGES) == ROW_SCHEMA``."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    fields = []
+    for f in table_schema.fields:
+        if isinstance(f.dataType, (StringType, TimestampType)):
+            fields.append((f.name, "string"))
+        elif isinstance(f.dataType, (LongType, IntegerType)):
+            fields.append((f.name, "long"))
+        else:
+            raise ValueError(
+                f"avro_row_schema: unsupported column type {f.dataType} "
+                f"for field {f.name!r}"
+            )
+    return ("record", fields)
+
+
+def value_schema_for(row_schema: tuple) -> tuple:
+    """Debezium envelope value schema around an arbitrary row image —
+    the envelope framing (source/op/ts_ms) is table-independent."""
+    return (
+        "record",
+        [
+            ("before", ("union_null", row_schema)),
+            ("after", ("union_null", row_schema)),
+            ("source", SOURCE_SCHEMA),
+            ("op", "string"),
+            ("ts_ms", ("union_null", "long")),
+        ],
+    )
+
+
+def key_schema_for(key_field: str) -> tuple:
+    return ("record", [(key_field, "string")])
+
+
 MAGIC = 0
 
 
@@ -191,8 +237,14 @@ def encode_change(
     ts_ms: int,
     key_schema_id: int = 1,
     value_schema_id: int = 2,
+    row_schema: tuple = ROW_SCHEMA,
+    key_field: str = "id",
 ) -> "tuple[bytes, bytes]":
-    """Test-side encoder: one change → Confluent-framed (key, value)."""
+    """Test-side encoder: one change → Confluent-framed (key, value).
+
+    ``row_schema``/``key_field`` (S14): encode a change for a table
+    with its own writer schema — the per-topic shape Debezium actually
+    produces."""
     value = {
         "before": before,
         "after": after,
@@ -207,8 +259,13 @@ def encode_change(
         "ts_ms": ts_ms,
     }
     return (
-        confluent_frame(key_schema_id, avro_encode(KEY_SCHEMA, {"id": key_id})),
-        confluent_frame(value_schema_id, avro_encode(VALUE_SCHEMA, value)),
+        confluent_frame(
+            key_schema_id,
+            avro_encode(key_schema_for(key_field), {key_field: key_id}),
+        ),
+        confluent_frame(
+            value_schema_id, avro_encode(value_schema_for(row_schema), value)
+        ),
     )
 
 
@@ -216,16 +273,28 @@ def encode_change(
 # Spark decode — output identical to envelope.decode_envelope
 # ---------------------------------------------------------------------------
 
-_FLAT_SCHEMA = (
-    "key_id string, schema_id int, "
-    + ", ".join(f"before_{f} string" for f, _ in ROW_SCHEMA[1])
-    + ", "
-    + ", ".join(f"after_{f} string" for f, _ in ROW_SCHEMA[1])
-    + ", op string, lsn long, ts_ms long"
-)
+def _flat_schema_for(row_schema: tuple) -> str:
+    """Schema of the Arrow decode's flat output for a given row image
+    (avro string → spark string, avro long → spark long)."""
+    t = {"string": "string", "long": "long"}
+    return (
+        "key_id string, schema_id int, "
+        + ", ".join(f"before_{f} {t[s]}" for f, s in row_schema[1])
+        + ", "
+        + ", ".join(f"after_{f} {t[s]}" for f, s in row_schema[1])
+        + ", op string, lsn long, ts_ms long"
+    )
 
 
-def _decoder_for(registry_url: "str | None"):
+_FLAT_SCHEMA = _flat_schema_for(ROW_SCHEMA)
+
+
+def _decoder_for(
+    registry_url: "str | None",
+    row_schema: tuple = ROW_SCHEMA,
+    key_schema: tuple = KEY_SCHEMA,
+    key_field: str = "id",
+):
     """Build the mapInPandas decode function.
 
     With ``registry_url`` set, each frame's schema id resolves through
@@ -259,13 +328,15 @@ def _decoder_for(registry_url: "str | None"):
                     row["topic"] = tser.iat[idx]
                 try:
                     ksid, kbody = confluent_unframe(bytes(kb))
-                    key, _ = avro_decode(_resolve(ksid, KEY_SCHEMA), kbody)
-                    row["key_id"] = key["id"]
+                    key, _ = avro_decode(_resolve(ksid, key_schema), kbody)
+                    row["key_id"] = key[key_field]
                 except Exception:
                     row["key_id"] = None  # unroutable — dropped at routing
                 try:
                     sid, vbody = confluent_unframe(bytes(vb))
-                    val, _ = avro_decode(_resolve(sid, VALUE_SCHEMA), vbody)
+                    val, _ = avro_decode(
+                        _resolve(sid, value_schema_for(row_schema)), vbody
+                    )
                     flat: "dict[str, Any]" = {"schema_id": sid}
                     for side in ("before", "after"):
                         img = val[side]
@@ -278,13 +349,13 @@ def _decoder_for(registry_url: "str | None"):
                             # never materialize a silently-NULLed
                             # applied row.
                             missing = [
-                                f for f, _s in ROW_SCHEMA[1] if f not in img
+                                f for f, _s in row_schema[1] if f not in img
                             ]
                             if missing:
                                 raise KeyError(
                                     f"writer schema lacks pinned fields {missing}"
                                 )
-                        for f, _s in ROW_SCHEMA[1]:
+                        for f, _s in row_schema[1]:
                             flat[f"{side}_{f}"] = None if img is None else img[f]
                     flat["op"] = val["op"]
                     flat["lsn"] = val["source"]["lsn"]
@@ -302,8 +373,8 @@ def _decoder_for(registry_url: "str | None"):
             out = pd.DataFrame(rows)
             for col in (
                 ["key_id", "schema_id"]
-                + [f"before_{f}" for f, _ in ROW_SCHEMA[1]]
-                + [f"after_{f}" for f, _ in ROW_SCHEMA[1]]
+                + [f"before_{f}" for f, _ in row_schema[1]]
+                + [f"after_{f}" for f, _ in row_schema[1]]
                 + ["op", "lsn", "ts_ms"]
                 + (["topic"] if tser is not None else [])
             ):
@@ -314,18 +385,28 @@ def _decoder_for(registry_url: "str | None"):
     return _decode_batches
 
 
-def _typed_image_flat(prefix: str) -> F.Column:
-    """Rebuild the typed row-image struct from flat decoded strings —
+def _typed_image_flat(prefix: str, table_schema=None) -> F.Column:
+    """Rebuild the typed row-image struct from flat decoded columns —
     the Avro twin of envelope._typed_image (same field order, same
-    to_timestamp casts), presence keyed on the NOT-NULL id field."""
+    to_timestamp casts), presence keyed on the NOT-NULL key field
+    (the first schema field)."""
+    from pyspark.sql.types import TimestampType
+
+    from cdc_example_spark.schemas import MESSAGES
+
+    schema = MESSAGES if table_schema is None else table_schema
+    first = schema.fields[0].name
     return F.when(
-        F.col(f"{prefix}_id").isNotNull(),
+        F.col(f"{prefix}_{first}").isNotNull(),
         F.struct(
-            F.col(f"{prefix}_id").alias("id"),
-            F.to_timestamp(f"{prefix}_create_time").alias("create_time"),
-            F.to_timestamp(f"{prefix}_update_time").alias("update_time"),
-            F.col(f"{prefix}_message").alias("message"),
-            F.col(f"{prefix}_username").alias("username"),
+            *[
+                (
+                    F.to_timestamp(f"{prefix}_{f.name}")
+                    if isinstance(f.dataType, TimestampType)
+                    else F.col(f"{prefix}_{f.name}").cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
         ),
     )
 
@@ -336,6 +417,8 @@ def decode_avro_envelope(
     value_col: str = "value",
     registry_url: "str | None" = None,
     topic_col: "str | None" = None,
+    table_schema=None,
+    key_field: str = "id",
 ) -> DataFrame:
     """Confluent-framed Avro (key, value) binaries → typed change rows.
 
@@ -354,19 +437,32 @@ def decode_avro_envelope(
     falling back to the pinned schemas on any lookup failure. ``None``
     keeps the pinned-schema behavior, matching the reference's
     compose.yaml:57-64 converter config being shipped commented out.
+
+    ``table_schema``/``key_field`` (S14, VERDICT r9 item 3): decode a
+    topic whose table has its OWN columns — the Avro writer row schema
+    derives via :func:`avro_row_schema` and the registry fallback pins
+    to it. ``None`` keeps the reference messages schema.
     """
+    if table_schema is None:
+        row_schema, key_schema, dec = ROW_SCHEMA, KEY_SCHEMA, None
+    else:
+        row_schema = avro_row_schema(table_schema)
+        key_schema = key_schema_for(key_field)
+        dec = table_schema
     cols = [F.col(key_col).alias("key"), F.col(value_col).alias("value")]
-    schema = _FLAT_SCHEMA
+    schema = _flat_schema_for(row_schema)
     if topic_col is not None:
         # multi-table routing (materialize_tables): the topic rides
         # through the Arrow decode beside the binary columns
         cols.append(F.col(topic_col).cast("string").alias("topic"))
-        schema = _FLAT_SCHEMA + ", topic string"
-    flat = raw.select(*cols).mapInPandas(_decoder_for(registry_url), schema)
+        schema = schema + ", topic string"
+    flat = raw.select(*cols).mapInPandas(
+        _decoder_for(registry_url, row_schema, key_schema, key_field), schema
+    )
     out = [
         "key_id",
-        _typed_image_flat("before").alias("before"),
-        _typed_image_flat("after").alias("after"),
+        _typed_image_flat("before", dec).alias("before"),
+        _typed_image_flat("after", dec).alias("after"),
         "op",
         "lsn",
         "ts_ms",

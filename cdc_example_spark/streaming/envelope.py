@@ -22,24 +22,74 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
-from cdc_example_spark.schemas import CDC_ENVELOPE, CDC_KEY
+from cdc_example_spark.schemas import CDC_ENVELOPE, CDC_KEY, MESSAGES, _SOURCE
 
 #: Timestamps inside before/after arrive as ISO-8601 instants
 #: (reference prototype/message.md:17,22 — Debezium ZonedTimestamp).
 _TS_FIELDS = ("create_time", "update_time")
 
 
-def _typed_image(img: Column) -> Column:
+def wire_image_schema(table_schema: StructType) -> StructType:
+    """The row image as Debezium puts it on the wire: every
+    TimestampType column becomes an ISO-8601 STRING (ZonedTimestamp,
+    reference prototype/message.md:17,22); other columns keep their
+    declared type. ``wire_image_schema(MESSAGES)`` is exactly the
+    historical ``_ROW_IMAGE``."""
+    return StructType(
+        [
+            StructField(
+                f.name,
+                StringType()
+                if isinstance(f.dataType, TimestampType)
+                else f.dataType,
+            )
+            for f in table_schema.fields
+        ]
+    )
+
+
+def cdc_envelope_for(table_schema: StructType) -> StructType:
+    """Debezium change-event value schema for an arbitrary table (S14:
+    a real second table has DIFFERENT columns, so each topic needs its
+    own envelope — Debezium emits a distinct ``after`` schema per
+    topic). Envelope framing (source/op/ts_*) is table-independent."""
+    img = wire_image_schema(table_schema)
+    return StructType(
+        [
+            StructField("before", img),
+            StructField("after", img),
+            StructField("source", _SOURCE),
+            StructField("transaction", StringType()),
+            StructField("op", StringType()),
+            StructField("ts", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("ts_ns", LongType()),
+        ]
+    )
+
+
+def _typed_image(img: Column, table_schema: StructType = MESSAGES) -> Column:
     """Cast the string timestamps of a row image to TimestampType."""
     return F.when(
         img.isNotNull(),
         F.struct(
-            img["id"].alias("id"),
-            F.to_timestamp(img["create_time"]).alias("create_time"),
-            F.to_timestamp(img["update_time"]).alias("update_time"),
-            img["message"].alias("message"),
-            img["username"].alias("username"),
+            *[
+                (
+                    F.to_timestamp(img[f.name])
+                    if isinstance(f.dataType, TimestampType)
+                    else img[f.name].cast(f.dataType)
+                ).alias(f.name)
+                for f in table_schema.fields
+            ]
         ),
     )
 
@@ -49,6 +99,8 @@ def decode_envelope(
     key_col: str = "key",
     value_col: str = "value",
     topic_col: "str | None" = None,
+    row_schema: "StructType | None" = None,
+    key_field: str = "id",
 ) -> DataFrame:
     """Kafka-shaped (key, value) records → typed change rows.
 
@@ -62,9 +114,21 @@ def decode_envelope(
                     carried for multi-table routing — Debezium emits one
                     topic per table (setup-debezium.sh:22-27
                     topic.prefix semantics)
+
+    ``row_schema`` (S14, VERDICT r9 item 3): the TABLE's typed schema
+    for heterogeneous multi-table feeds — the envelope/image schemas
+    are derived per table via :func:`cdc_envelope_for`, and the Kafka
+    key parses as ``{key_field: string}``. ``None`` keeps the
+    reference messages envelope (the pre-built ``CDC_ENVELOPE``).
     """
-    key = F.from_json(F.col(key_col).cast("string"), CDC_KEY)
-    val = F.from_json(F.col(value_col).cast("string"), CDC_ENVELOPE)
+    if row_schema is None or row_schema == MESSAGES:
+        key_schema, env_schema, table_schema = CDC_KEY, CDC_ENVELOPE, MESSAGES
+    else:
+        key_schema = StructType([StructField(key_field, StringType())])
+        env_schema = cdc_envelope_for(row_schema)
+        table_schema = row_schema
+    key = F.from_json(F.col(key_col).cast("string"), key_schema)
+    val = F.from_json(F.col(value_col).cast("string"), env_schema)
     # Parse ONCE per record: referencing `val[...]` from each output
     # column would re-run from_json per reference (schema pruning makes
     # the parses non-identical, so codegen CSE can't dedup them — ~6×
@@ -77,9 +141,9 @@ def decode_envelope(
     parsed = raw.select(F.explode(F.array(F.struct(*fields))).alias("_p"))
     k, v = F.col("_p.k"), F.col("_p.v")
     out = [
-        k["id"].alias("key_id"),
-        _typed_image(v["before"]).alias("before"),
-        _typed_image(v["after"]).alias("after"),
+        k[key_field].alias("key_id"),
+        _typed_image(v["before"], table_schema).alias("before"),
+        _typed_image(v["after"], table_schema).alias("after"),
         v["op"].alias("op"),
         v["source"]["lsn"].alias("lsn"),
         v["ts_ms"].alias("ts_ms"),

@@ -90,7 +90,10 @@ def materialize(
     ``on_batch`` is the in-process pub/sub analog (reference A7): extra
     listeners (websocket fan-out, metrics) observe each routed
     micro-batch after the state merge, like the reference's
-    ``@EventListener`` twins.
+    ``@EventListener`` twins. It fires only when the merge actually
+    happened: on crash-redelivery the sink's batch marker no-ops the
+    merge and the callback is skipped too (ADVICE r9), so a
+    side-effecting listener sees each batch_id at most once.
 
     ``agg_sinks`` — IncrementalAggSink instances (operators/
     incremental_agg) maintained from the SAME micro-batch. They fold
@@ -121,8 +124,8 @@ def materialize(
                 snap = sink.snapshot(batch_df.sparkSession)
                 for agg in agg_sinks:
                     agg.apply_changes(batch_df, snap, batch_id=batch_id)
-            sink.apply_changes(batch_df, batch_id)
-            if on_batch is not None:
+            merged = sink.apply_changes(batch_df, batch_id)
+            if on_batch is not None and merged:
                 on_batch(batch_df, batch_id)
         finally:
             batch_df.unpersist()
@@ -161,7 +164,11 @@ def materialize_tables(
     Exactly-once composition: each sink keeps its own applied-batch
     marker, so a crash mid-fan-out redelivers the batch as a metadata
     no-op on the sinks that committed and a normal idempotent MERGE on
-    the rest — the same argument as ``materialize``'s agg sinks.
+    the rest — the same argument as ``materialize``'s agg sinks. The
+    per-topic ``on_batch`` callback follows the marker (ADVICE r9): it
+    fires only for topics whose slice was actually merged, so on a
+    redelivery the already-committed topics do not observe a duplicate
+    (topic, batch_id) invocation.
     Rows whose topic has no registered sink are dropped (the subscribe
     pattern defines the table universe; an unrouted topic is the
     upstream misconfiguration case, surfaced via ``on_batch``'s
@@ -171,18 +178,55 @@ def materialize_tables(
     do; the file double via ``with_topic=True``). ``converter`` selects
     the wire format like :func:`materialize` — the topic rides through
     either decoder.
-    """
-    if converter == "avro":
-        from cdc_example_spark.streaming.avro_envelope import decode_avro_envelope
 
-        decoded = decode_avro_envelope(
-            raw_stream, registry_url=registry_url, topic_col="topic"
-        )
-    elif converter == "json":
-        decoded = decode_envelope(raw_stream, topic_col="topic")
-    else:
+    Heterogeneous tables (S14, VERDICT r9 item 3): when any sink
+    declares a non-default row schema, each topic decodes with its OWN
+    envelope — Debezium emits a distinct ``after`` schema per topic, so
+    a single shared envelope cannot carry a second table with different
+    columns. The stream then stays RAW (key, value, topic) through the
+    checkpoint and the per-topic slice decodes inside the foreachBatch
+    (the slice is already per-topic, so the decode schema is exact);
+    JSON derives the envelope via ``cdc_envelope_for``, Avro derives
+    the per-topic writer schema via ``avro_row_schema`` — both from the
+    sink's declared ``schema``/``key``. Homogeneous feeds keep the
+    r9 shared-decode plan (one decode pass before the fan-out).
+    """
+    if converter not in ("json", "avro"):
         raise ValueError(f"materialize_tables: unknown converter {converter!r}")
-    routed = route_changes(decoded)
+    from cdc_example_spark.schemas import MESSAGES
+
+    heterogeneous = any(s.schema != MESSAGES for s in sinks.values())
+
+    def _decode_slice(slice_raw: DataFrame, sink: "KeyedStateSink") -> DataFrame:
+        if converter == "avro":
+            from cdc_example_spark.streaming.avro_envelope import (
+                decode_avro_envelope,
+            )
+
+            return decode_avro_envelope(
+                slice_raw,
+                registry_url=registry_url,
+                table_schema=sink.schema,
+                key_field=sink.key,
+            )
+        return decode_envelope(
+            slice_raw, row_schema=sink.schema, key_field=sink.key
+        )
+
+    if heterogeneous:
+        routed = raw_stream  # decode happens per-slice in the batch body
+    else:
+        if converter == "avro":
+            from cdc_example_spark.streaming.avro_envelope import (
+                decode_avro_envelope,
+            )
+
+            decoded = decode_avro_envelope(
+                raw_stream, registry_url=registry_url, topic_col="topic"
+            )
+        else:
+            decoded = decode_envelope(raw_stream, topic_col="topic")
+        routed = route_changes(decoded)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -195,8 +239,12 @@ def materialize_tables(
                 if topic not in present:
                     continue
                 slice_df = batch_df.filter(F.col("topic") == topic).drop("topic")
-                sinks[topic].apply_changes(slice_df, batch_id)
-                if on_batch is not None:
+                if heterogeneous:
+                    slice_df = route_changes(
+                        _decode_slice(slice_df, sinks[topic])
+                    )
+                merged = sinks[topic].apply_changes(slice_df, batch_id)
+                if on_batch is not None and merged:
                     on_batch(topic, slice_df, batch_id)
         finally:
             batch_df.unpersist()

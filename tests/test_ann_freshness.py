@@ -1,0 +1,239 @@
+"""S15 — CDC → ANN index freshness (VERDICT r9 item 7).
+
+One embeddings CDC stream drives BOTH the table of record
+(KeyedStateSink, S14 heterogeneous schema) and the persisted IVF2
+serving index inside one foreachBatch. Pins:
+
+- after N streamed batches (inserts, cell-moving updates, out-of-order
+  LWW, deletes) the index is row-identical to a from-scratch
+  ``build_ivf2_index`` over the expected table state;
+- untouched cells' files are never rewritten;
+- full-probe serving from the maintained index equals brute force;
+- redelivery is a marker no-op, and even a forced re-apply converges
+  (the key-drop merge is idempotent).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdc_example_spark.operators.keyed_state import KeyedStateSink
+from cdc_example_spark.operators.similarity import (
+    build_ivf2_index,
+    cosine_topk,
+    train_ivf2_local,
+)
+from cdc_example_spark.streaming.ann_freshness import (
+    index_last_applied_batch_id,
+    ivf2_apply_cdc,
+    materialize_with_index,
+)
+from cdc_example_spark.streaming.envelope import decode_envelope
+from tests.cdc_fixtures import envelope
+
+DIM = 4
+N_COARSE, N_FINE = 4, 3
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _vecs(n, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, DIM))
+    return {f"v{i}": [float(x) for x in X[i]] for i in range(n)}
+
+
+def _img(vid, vec):
+    return {"id": vid, "embedding": vec}
+
+
+def _emb_df(spark, state: dict):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(state.items())],
+        "vec_id string, embedding array<double>",
+    )
+
+
+def _write_batch(src, n, records):
+    p = src / f"batch-{n:04d}.json"
+    with open(p, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    os.utime(p, (1_700_000_000 + n, 1_700_000_000 + n))
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    state = _vecs(60)
+    df = _emb_df(spark, state)
+    coarse, fines = train_ivf2_local(df, N_COARSE, N_FINE, sample_size=512, seed=3)
+    return state, coarse, fines
+
+
+def _assign(coarse, fines, vec):
+    c = int(np.argmax(np.asarray(coarse) @ np.asarray(vec)))
+    f = int(np.argmax(np.asarray(fines[c]) @ np.asarray(vec)))
+    return c, f
+
+
+def test_s15_index_stays_fresh_under_cdc(spark, tmp_path, setup):
+    state, coarse, fines = setup
+    state = dict(state)
+    index = str(tmp_path / "index")
+    build_ivf2_index(_emb_df(spark, state), coarse, fines, index)
+    mtimes0 = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(index, "**", "*.parquet"), recursive=True)
+    }
+
+    src = tmp_path / "cdc-in"
+    src.mkdir()
+    # concentrate the churn around ±v0 so only a few cells are touched
+    # and the untouched-cell assertion has cells left to check
+    rng = np.random.default_rng(11)
+    base = np.asarray(state["v0"])
+
+    def _near(direction):
+        return [float(x) for x in direction + 0.05 * rng.normal(size=DIM)]
+
+    new = {k: _near(base) for k in ("v3", "v60", "v61", "v62", "v63", "v64", "v65")}
+    moved = {k: _near(-base) for k in ("v1", "v2", "v3", "v5")}
+    expected_touched = set()
+
+    def _touch(*vecs):
+        for v in vecs:
+            expected_touched.add(_assign(coarse, fines, v))
+
+    # batch 1: five inserts (ids BEYOND the initial 60)
+    b1 = []
+    for i in range(60, 65):
+        vid = f"v{i}"
+        b1.append(envelope("i", vid, after=_img(vid, new[vid]), lsn=100 + i))
+        state[vid] = new[vid]
+        _touch(new[vid])
+    _write_batch(src, 1, b1)
+
+    # batch 2: two cell-moving updates (before images carried), one
+    # insert, and an out-of-order LWW pair for v3 (higher LSN first)
+    b2 = [
+        envelope("u", "v1", before=_img("v1", state["v1"]), after=_img("v1", moved["v1"]), lsn=300),
+        envelope("u", "v2", before=_img("v2", state["v2"]), after=_img("v2", moved["v2"]), lsn=301),
+        envelope("i", "v65", after=_img("v65", new["v65"]), lsn=302),
+        envelope("u", "v3", before=_img("v3", state["v3"]), after=_img("v3", moved["v3"]), lsn=304),
+        envelope("u", "v3", before=_img("v3", state["v3"]), after=_img("v3", new["v3"]), lsn=303),
+    ]
+    _touch(state["v1"], moved["v1"], state["v2"], moved["v2"], new["v65"],
+           state["v3"], moved["v3"], new["v3"])
+    state["v1"], state["v2"], state["v3"] = moved["v1"], moved["v2"], moved["v3"]
+    state["v65"] = new["v65"]
+    _write_batch(src, 2, b2)
+
+    # batch 3: a delete (tombstone with before image) and an update of
+    # a row inserted by batch 1 (before image = the batch-1 value)
+    b3 = [
+        envelope("d", "v4", before=_img("v4", state["v4"]), after=None, lsn=400),
+        envelope("u", "v60", before=_img("v60", state["v60"]), after=_img("v60", moved["v5"]), lsn=401),
+    ]
+    _touch(state["v4"], state["v60"], moved["v5"])
+    del state["v4"]
+    state["v60"] = moved["v5"]
+    _write_batch(src, 3, b3)
+
+    sink = KeyedStateSink(path=str(tmp_path / "state"), num_buckets=8, schema=EMB_SCHEMA)
+    q = materialize_with_index(
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        sink,
+        index,
+        coarse,
+        fines,
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    # the table of record matches for every STREAMED key (the initial
+    # 60 were index-bootstrapped, not streamed; v4's tombstone is a
+    # no-op there)
+    got_state = {
+        r["id"]: list(r["embedding"])
+        for r in sink.snapshot(spark).collect()
+    }
+    streamed = {"v1", "v2", "v3", "v60", "v61", "v62", "v63", "v64", "v65"}
+    assert got_state == {k: state[k] for k in streamed}
+
+    # (a) index row-identical to a from-scratch build over the state
+    full = str(tmp_path / "full")
+    build_ivf2_index(_emb_df(spark, state), coarse, fines, full)
+    got = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in spark.read.parquet(index).select("vec_id", "coarse", "fine").collect()
+    }
+    want = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in spark.read.parquet(full).select("vec_id", "coarse", "fine").collect()
+    }
+    assert got == want
+
+    # (b) untouched cells' files never rewritten
+    touched_dirs = {f"coarse={c}{os.sep}fine={f}" for c, f in expected_touched}
+    untouched_checked = 0
+    for f, mt in mtimes0.items():
+        cell = os.sep.join(os.path.relpath(f, index).split(os.sep)[:2])
+        if cell not in touched_dirs:
+            assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+            untouched_checked += 1
+    assert untouched_checked > 0, "fixture degenerate: every cell touched"
+
+    # (c) serving from the maintained index files == brute force over
+    # the expected state (row-identity above already equates the
+    # maintained layout with a fresh build, and tests/test_ivf2.py pins
+    # the probe path on that layout — this closes the loop at the
+    # file-serving level for the streamed ids)
+    queries = _emb_df(spark, {k: state[k] for k in ("v0", "v1", "v60")})
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(_emb_df(spark, state), queries, k=3).collect()
+    }
+    maintained = spark.read.parquet(index).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    served = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(maintained, queries, k=3).collect()
+    }
+    assert served == exact
+
+    # (d) redelivery: the marker no-ops a replayed batch id …
+    last = index_last_applied_batch_id(index)
+    assert last is not None
+    raw3 = spark.createDataFrame(b3, "key STRING, value STRING")
+    decoded3 = decode_envelope(raw3, row_schema=EMB_SCHEMA)
+    assert ivf2_apply_cdc(decoded3, coarse, fines, index, batch_id=last) == []
+    # … and even a FORCED re-apply converges (idempotent key-drop merge)
+    ivf2_apply_cdc(decoded3, coarse, fines, index, batch_id=None)
+    again = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in spark.read.parquet(index).select("vec_id", "coarse", "fine").collect()
+    }
+    assert again == want

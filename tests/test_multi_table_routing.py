@@ -124,6 +124,39 @@ def test_s13_checkpoint_resume_does_not_reapply(spark, tmp_path):
     assert sa == {"a1"} and sb == {"b1"}
 
 
+def test_s13_on_batch_skipped_for_already_committed_topic(spark, tmp_path):
+    """ADVICE r9: on crash-redelivery (sink committed, streaming
+    checkpoint didn't), the redelivered micro-batch is a marker no-op
+    for the committed topic — and the side-effecting on_batch callback
+    must be skipped for it too, not invoked a second time with the
+    same (topic, batch_id)."""
+    from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
+
+    src = tmp_path / "cdc-in"
+    src.mkdir()
+    sinks = {
+        TOPIC_A: KeyedStateSink(path=str(tmp_path / "state_a"), num_buckets=8),
+        TOPIC_B: KeyedStateSink(path=str(tmp_path / "state_b"), num_buckets=8),
+    }
+    ckpt = tmp_path / "ckpt"
+    rec_a = envelope("i", "a1", after=row_image("a1", _T0, _T0, "a-v1", "u"), lsn=100)
+    rec_b = envelope("i", "b1", after=row_image("b1", _T0, _T0, "b-v1", "u"), lsn=101)
+    _write_batch(src, 1, [(TOPIC_A, rec_a), (TOPIC_B, rec_b)])
+
+    # simulate the crash window: table A's sink already committed the
+    # stream's first batch id (0) before the checkpoint could commit
+    raw_a = spark.createDataFrame([rec_a], "key STRING, value STRING")
+    assert sinks[TOPIC_A].apply_changes(route_changes(decode_envelope(raw_a)), 0)
+
+    seen: list[tuple[str, int]] = []
+    _run(spark, src, sinks, ckpt, seen)
+    # the redelivered slice no-opped on A (marker) → callback skipped;
+    # B merged normally → callback fired exactly once
+    assert {t for t, _ in seen} == {TOPIC_B}
+    sa = {r["id"] for r in sinks[TOPIC_A].snapshot(spark).collect()}
+    assert sa == {"a1"}  # the pre-committed merge is intact
+
+
 def test_s13_avro_decode_carries_topic_for_routing(spark):
     """The converter matrix completes: the Avro decoder passes the
     topic through its Arrow decode beside the binary columns, so

@@ -96,6 +96,22 @@ def test_lsh_plan_is_single_scan_no_join(spark, sf_dir):
     assert s["sort_merge_joins"] + s["broadcast_joins"] == 0, s
 
 
+def test_q113_lsh_fuzzy_dedup_plan_bucketed_no_allpairs(spark, sf_dir):
+    # the fuzzy-dedup scale tier (operators/dedup.py
+    # lsh_levenshtein_pairs): candidates are generated INSIDE each
+    # (band, key, lang) bucket from a collected id array — never an
+    # all-pairs self-join, never a cartesian. The only joins in the
+    # plan are the two verify lookups attaching the signature column to
+    # each candidate side; the signature pipeline for candidate
+    # generation runs exactly once (one corpus scan for it, plus one
+    # scan per verify lookup = 3 total).
+    df = q("q113_lsh_fuzzy_dedup_pairs", spark, sf_dir)
+    assert_no_cartesian(df)
+    s = plan_summary(df)
+    assert s["scans"] == 3, s
+    assert s["sort_merge_joins"] + s["broadcast_joins"] == 2, s
+
+
 def test_simhash_pairs_plan_shares_one_sketch_pass(spark, sf_dir):
     # banded SimHash pairing (operators/dedup.py simhash_near_pairs) is
     # a self-join on the band key, but its two sides must be ONE shared
