@@ -332,6 +332,7 @@ def grouped_exact_percentiles_bucketed(
     group_col: str,
     specs: "list[tuple[str, list[float]]]",
     n_buckets: int = 2048,
+    pin_marginal: bool = False,
 ) -> DataFrame:
     """Exact grouped percentiles via EXACT equi-width bucket brackets —
     the r7 registered tier (VERDICT r6 item 5's "one more lever").
@@ -458,6 +459,17 @@ def grouped_exact_percentiles_bucketed(
         .withColumn("n", F.sum(cntn).over(wn))
         .withColumn("cntn", cntn)
     )
+    if pin_marginal:
+        # VERDICT r9 item 4's measured attempt, kept for the record —
+        # it LOSES: pinning the tiny marginal here (to spare the three
+        # downstream references their re-scans) read 5.21 s vs the
+        # in-plan shape's 4.94 s median in an interleaved same-process
+        # A/B at the k=100 shard (5 samples each, 2026-08-15). The
+        # in-plan references already share work through exchange reuse,
+        # and the checkpoint's write+read breaks that sharing while
+        # adding its own materialization. Default stays False (the
+        # registered shape); SCALE.md §4b-r10 records the closure.
+        mc = mc.localCheckpoint(eager=True)
 
     # locate each pair's floor/ceil rank bucket per group on the tiny
     # marginal frame — p = (n−1)·q; bucket b holds 0-based ranks
@@ -496,10 +508,11 @@ def grouped_exact_percentiles_bucketed(
     # carriers: per (g, pair) anchor = EXACT count strictly below the
     # global range start (so the histogram cumsum — which emits every
     # group's rows inside the GLOBAL range — lines up rank-exactly),
-    # plus the group's non-null count. marg is referenced a second time
+    # plus the group's non-null count. mc is referenced a second time
     # here (and once more inside pass 3's 1-row broadcast): each
-    # reference honestly re-executes its one cheap bucket-count scan —
-    # the cache-free discipline every bench row relies on.
+    # reference re-executes its one cheap bucket-count scan, and the
+    # shared exchange is reused where the planner can — measured r10:
+    # eagerly pinning this frame instead LOSES (see pin_marginal).
     anch = mc.crossJoin(F.broadcast(grange))
     anch_aggs = []
     for t, (c, q) in enumerate(pairs):

@@ -1254,6 +1254,151 @@ def bpe_word_subtoken_counts_udf(merges: "list[str]"):
     return pandas_udf(enc, "long")
 
 
+def _bpe_merge_pass(toks: "list[str]", a: str, b: str) -> "list[str]":
+    """One leftmost-nonoverlapping merge pass with the replace chain's
+    exact ``str.replace`` semantics: the match `` a b `` consumes the
+    separator before the NEXT token, so that token can never start
+    another match of the same pass (`` a a a a `` merges pairs 1 and 3
+    only). Shared by the rank encoder and the driver-side trainer so
+    every tier applies merges identically."""
+    out: "list[str]" = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if i < n - 1 and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            if i + 2 < n:
+                out.append(toks[i + 2])
+            i += 3
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def train_bpe_merges(
+    word_freqs: "list[tuple[str, int]]", num_merges: int
+) -> "list[str]":
+    """Classic BPE trainer over a collected word-frequency table — the
+    30k-merge tier's CONSTRUCTION path. The in-plan trainer (q112)
+    pays one Spark job per merge round, which is right at 6 merges and
+    impossible at 30k; the word-frequency table is vocab-sized by
+    construction (Zipf), so deep tables train driver-side on the
+    collected sample exactly like every production tokenizer trainer.
+
+    Incremental pair accounting (subword-nmt's discipline): a lazy-
+    deletion heap orders candidates by (count desc, pair asc) — the
+    same tie-break as the in-plan ``_top_pair_weighted`` — and each
+    merge re-counts only the words that contain the winning pair.
+    Stops early when no pair remains (fully merged vocabulary).
+    """
+    import heapq
+    from collections import defaultdict
+
+    words: "list[list[object]]" = [
+        [list(w), int(f)] for w, f in word_freqs if w
+    ]
+    counts: "dict[tuple[str, str], int]" = defaultdict(int)
+    index: "dict[tuple[str, str], set[int]]" = defaultdict(set)
+
+    def pairs_of(toks):
+        return [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+
+    for wi, (toks, f) in enumerate(words):
+        for p in pairs_of(toks):
+            counts[p] += f
+            index[p].add(wi)
+    heap = [(-c, f"{a} {b}", (a, b)) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        c = counts.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, f"{p[0]} {p[1]}", p))
+
+    merges: "list[str]" = []
+    while len(merges) < num_merges and heap:
+        negc, pstr, p = heapq.heappop(heap)
+        c = counts.get(p, 0)
+        if c <= 0:
+            continue
+        if -negc != c:  # stale heap entry — re-push at the live count
+            push(p)
+            continue
+        a, b = p
+        merges.append(pstr)
+        for wi in list(index[p]):
+            toks, f = words[wi]
+            for q in pairs_of(toks):
+                counts[q] -= f
+                index[q].discard(wi)
+            new = _bpe_merge_pass(toks, a, b)
+            words[wi][0] = new
+            for q in pairs_of(new):
+                counts[q] += f
+                index[q].add(wi)
+                push(q)
+        counts.pop(p, None)
+        index.pop(p, None)
+    return merges
+
+
+def bpe_word_subtoken_counts_rank_udf(merges: "list[str]"):
+    """Rank-dict BPE apply — the production encoder past ~30k merges.
+
+    The replace-chain UDF above walks the FULL merge table per word
+    (O(|merges|) str.replace calls each), which is the measured ceiling
+    at deep tables (SCALE.md §6-r10: ~1.9 ms/word at 30k merges). This
+    is the classic priority apply every production tokenizer uses:
+    repeatedly merge the lowest-RANK adjacent pair present in the word,
+    leftmost-nonoverlapping per pass — O(word_len² · lookups) per word,
+    INDEPENDENT of merge-table depth.
+
+    EXACT chain parity, not just "BPE-like": the chain applies each
+    merge ONCE, in table order, one leftmost-nonoverlapping pass each
+    — it never revisits an earlier merge even when a later pass
+    recreates its pair, and its ``str.replace`` match consumes the
+    separator before the next token (`` a a a a `` merges pairs 1 and
+    3 only). Both quirks are replicated: a monotone rank pointer only
+    admits pairs ranked STRICTLY ABOVE the last applied merge (so a
+    word pays one pass per rank it actually contains — at most
+    word_len-1 passes, regardless of table depth), and the pass itself
+    is the shared ``_bpe_merge_pass``. Parity is pinned against the
+    chain UDF in tests/test_round10_properties.py — on the
+    corpus-trained table and on adversarial repeated-char words.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p.split(" ")): i for i, p in enumerate(merges)}
+
+    def enc(words):
+        def one(w):
+            toks = list(w)
+            last = -1
+            while len(toks) > 1:
+                best = None
+                pair = None
+                for i in range(len(toks) - 1):
+                    r = ranks.get((toks[i], toks[i + 1]))
+                    if (
+                        r is not None
+                        and r > last
+                        and (best is None or r < best)
+                    ):
+                        best, pair = r, (toks[i], toks[i + 1])
+                if best is None:
+                    break
+                toks = _bpe_merge_pass(toks, pair[0], pair[1])
+                last = best
+            return len(toks) if toks else 0
+
+        return words.map(one)
+
+    enc.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "long")
+
+
 @query("q112_bpe_dictionary_encode", oracle=_Q112_ORACLE)
 def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-level BPE dictionary encode: train 6 merges on the 5%

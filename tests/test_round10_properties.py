@@ -58,6 +58,100 @@ def test_snapshot_old_fallback_survives_post_swap_cleanup(spark, tmp_path):
     assert {r["id"] for r in snap.collect()} == {f"k{i}" for i in range(20)}
 
 
+def _chain_vs_rank_diff(spark, words_df, merges):
+    from cdc_example_spark.queries.relevance import (
+        bpe_word_subtoken_counts_rank_udf,
+        bpe_word_subtoken_counts_udf,
+    )
+
+    chain = bpe_word_subtoken_counts_udf(merges)(F.col("word"))
+    rank = bpe_word_subtoken_counts_rank_udf(merges)(F.col("word"))
+    return (
+        words_df.select("word", chain.alias("a"), rank.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .collect()
+    )
+
+
+def test_rank_encoder_matches_chain_on_corpus_trained_table(spark, sf_dir):
+    """The depth-independent rank-dict encoder (the 30k-merge
+    production tier, VERDICT r9 item 6) must agree with the replace
+    chain on the CORPUS-trained merge table, trained to exhaustion —
+    every trainable merge of the driver vocabulary, every distinct
+    corpus word."""
+    from cdc_example_spark.queries.relevance import train_bpe_merges
+    from cdc_example_spark.sources.catalog import load_doc_tokens
+
+    toks = load_doc_tokens(spark, sf_dir)
+    wf = [
+        (r["word"], r["freq"])
+        for r in toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    ]
+    merges = train_bpe_merges(wf, 10_000_000)  # to exhaustion
+    assert merges, "corpus must train at least one merge"
+    words = spark.createDataFrame([(w,) for w, _ in wf], "word string")
+    assert _chain_vs_rank_diff(spark, words, merges) == []
+
+
+def test_rank_encoder_matches_chain_on_adversarial_repeats(spark):
+    """Leftmost-nonoverlap + consumed-separator parity: repeated-token
+    words are exactly where a naive priority apply diverges from the
+    replace chain (" a a a a " merges pairs 1 and 3 only)."""
+    merges = ["a a", "aa aa", "aa a", "a b", "b b", "ab ab"]
+    words = spark.createDataFrame(
+        [(w,) for w in (
+            "a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaaaa", "ab", "abab",
+            "ababab", "aabb", "abba", "baaab", "bbbb", "aabaa", "xyz",
+        )],
+        "word string",
+    )
+    assert _chain_vs_rank_diff(spark, words, merges) == []
+
+
+def test_driver_trainer_matches_inplan_trainer(spark, sf_dir):
+    """train_bpe_merges (the 30k tier's driver-side construction) must
+    produce exactly the merges the in-plan Spark trainer produces at
+    q112's declared depth — same counts, same (count desc, pair asc)
+    tie-break, same replace semantics."""
+    from cdc_example_spark.queries.relevance import (
+        _Q112_MERGES,
+        _char_spaced,
+        _top_pair_weighted,
+        train_bpe_merges,
+    )
+    from cdc_example_spark.sources.catalog import load_doc_tokens
+
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    wft = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_spaced(F.col("word")).alias("seg"))
+        .localCheckpoint(eager=True)
+    )
+    wf = [(r["word"], r["freq"]) for r in wft.select("word", "freq").collect()]
+    inplan = []
+    for _ in range(_Q112_MERGES):
+        a = F.split(F.trim("seg"), " ")
+        winners = _top_pair_weighted(wft, a, F.col("freq")).collect()
+        if not winners:
+            break
+        pair = winners[0]["pair"]
+        inplan.append(pair)
+        wft = wft.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", "") + " "),
+            ),
+        )
+    assert train_bpe_merges(wf, _Q112_MERGES) == inplan
+
+
 def test_apply_changes_reports_merge_vs_marker_noop(spark, tmp_path):
     """ADVICE r9: apply_changes returns True on a real merge, False on
     the batch-marker redelivery no-op — the signal materialize*'s
