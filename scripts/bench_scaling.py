@@ -115,6 +115,13 @@ QUERIES = [
     # (bag-of-chars prune) — the ratio is the item under test
     "q112_bpe_dictionary_encode",
     "q82_fuzzy_dedup_pairs",
+    # r10: the LSH fuzzy-dedup tier's driver row (VERDICT r9 item 2),
+    # measured at scale the round it lands; gated at k=10 — the k=100
+    # shard is the one-off 413 s / 2.33 M-pair row (SCALE.md §4b-r9):
+    # the token-disjoint copies are genuinely near-dup under the sig
+    # measure, so the OUTPUT itself grows ~K² and a per-round k=100
+    # run re-pays ~7 min for a number already on record
+    "q113_lsh_fuzzy_dedup_pairs",
 ]
 
 TABLES = list(_REPLACE)
@@ -129,7 +136,7 @@ TABLES = list(_REPLACE)
 #: gated and the 100 TB deployment shape — LSH candidate generation +
 #: this operator's banded-DP verify (operators/dedup.py:
 #: lsh_levenshtein_pairs) — is measured instead via q32's k rows.
-MAX_K = {"q82_fuzzy_dedup_pairs": 10}
+MAX_K = {"q82_fuzzy_dedup_pairs": 10, "q113_lsh_fuzzy_dedup_pairs": 10}
 
 
 def ivf_build_tier(spark, sf_dir: str, k: int) -> dict:
