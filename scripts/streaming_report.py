@@ -30,6 +30,8 @@ S_SUITE_FILES = [
     "tests/test_incremental_agg.py",      # S8
     "tests/test_stateful_materialize.py", # S9/S10/S12 (applyInPandasWithState)
     "tests/test_multi_table_routing.py",  # S13 (one stream → N table sinks)
+    "tests/test_heterogeneous_routing.py",  # S14 (per-topic schemas, one stream)
+    "tests/test_ann_freshness.py",        # S15 (CDC → IVF2 index freshness)
 ]
 
 
