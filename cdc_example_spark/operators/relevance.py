@@ -282,3 +282,70 @@ def bigram_lm_doc_scores(toks: DataFrame, alpha: float = 0.5) -> DataFrame:
         )
         .withColumn("perplexity", F.exp(-F.col("avg_logp")))
     )
+
+
+def rrf_fuse(
+    rankings: "dict[str, DataFrame]",
+    id_col: str = "doc_id",
+    rnk_col: str = "rnk",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named candidate rankings (hybrid search).
+
+    The standard way to combine a lexical ranker (BM25) with a vector
+    ranker (embedding cosine) without score calibration: each list
+    contributes ``1/(k0 + rank)`` for the documents it ranked, and
+    documents missing from a list contribute nothing from it
+    (Cormack/Clarke/Büttcher RRF, the fusion TREC/BEIR hybrid baselines
+    use; k0=60 is the canonical damping constant).
+
+    Inputs are ALREADY-CUT top-k frames — ``(id_col, rnk_col)`` with
+    dense integer ranks starting at 1 under each ranker's own
+    deterministic tie-break. That makes fusion O(Σ k_i) regardless of
+    corpus size: the expensive work (scan, inverted-index aggregation,
+    brute/IVF vector top-k) happens inside each ranking's own plan and
+    collapses to ≤k rows via TakeOrderedAndProject BEFORE this union —
+    at 100 TB the fused exchange still carries a few dozen rows.
+
+    Output: one row per distinct id with ``{name}_rnk`` per input list
+    (BIGINT, 0 = not ranked by that list — a 0 sentinel rather than
+    NULL so the column stays integer-typed through any pandas/Arrow
+    fetch) and ``rrf`` (the fused score, 6-decimal-rounded DOUBLE: each
+    term 1/(k0+r) is the same IEEE double on any engine, and the sum
+    over per-id terms is order-insensitive for the ≤2-list case and
+    absorbed by the round beyond it). No global order is imposed —
+    callers cut their own top-k on (rrf DESC, id).
+
+    Determinism requires each input ranking to be deterministic; ranks
+    produced from rounded scores with an id tie-break (bm25_rank's
+    discipline) satisfy this.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = None
+    for name, df in rankings.items():
+        t = df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(name).alias("_src"),
+            F.col(rnk_col).cast("long").alias("_rnk"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_list = [
+        F.coalesce(
+            F.max(F.when(F.col("_src") == name, F.col("_rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"{name}_rnk")
+        for name in rankings
+    ]
+    rrf = (
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_rnk"))).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("rrf")
+    )
+    return tagged.groupBy(F.col("_id").alias(id_col)).agg(*per_list, rrf)

@@ -122,6 +122,14 @@ DRIVER_PRIORITY = [
 # q82/q109/q113-neighbors) — so r11 faces 63 due vs 50 slots and
 # must keep its own new/changed count ≤3, carrying ~13 r9 rows
 # (prefer untouched modules) to r12.
+#
+# q114_hybrid_rrf_search is NEW in r10 but registered OUTSIDE the
+# window (the r9 rotation promise capped r10's new/changed at 3 and
+# the window is exactly full): it is the q113 precedent — pytest +
+# local-harness oracle parity now (tests/test_hybrid_retrieval.py;
+# the generic oracle test checks it at sf0.001 every run and it was
+# hand-verified against its oracle at sf0.01), driver row at r11,
+# where it counts as one of r11's ≤3 rule-1 slots.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

@@ -1477,3 +1477,128 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         mrows = row if mrows is None else mrows.unionAll(row)
     out = encode_rows if mrows is None else mrows.unionAll(encode_rows)
     return out.transform(small_result_order, "stage", "rnk", "item")
+
+
+# ---------------------------------------------------------------------------
+# q114 — hybrid retrieval: BM25 top-20 + embedding-cosine top-20 fused
+# by reciprocal-rank fusion (k0=60), the calibration-free lexical+vector
+# hybrid every RAG/retrieval stack runs. Candidate lists collapse to
+# ≤20 rows inside their own plans (inverted-index agg / broadcast-probe
+# TakeOrderedAndProject) BEFORE fusion, so the fused exchange carries
+# ≤40 rows at any corpus size. Determinism: both ranks order by the
+# 2-decimal-rounded score with an id tie-break (the q52/q22
+# discipline); each RRF term 1/(60+r) is the identical IEEE double on
+# both engines and the ≤2-term sum is commutative, with the 6-decimal
+# round as the belt-and-braces quantizer. doc_id 0 is the probe (its
+# embedding is the vector query) and is excluded from both candidate
+# sides. NOT in the r10 driver window (the rotation promise caps r10's
+# new/changed at 3) — scheduled to head r11's window; the local
+# harness oracle-checks it every run meanwhile.
+# ---------------------------------------------------------------------------
+
+_Q114_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ws
+  FROM documents WHERE doc_id <> 0
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM d
+), c AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+  WHERE term IN ('hash', 'merge', 'scan')
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), lex_scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(CAST(SUM(
+           LN(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+         ) AS DECIMAL(28,10)), 2) AS DOUBLE) AS bm25
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY tf.doc_id
+), lex_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM lex_scored
+), lex AS (
+  SELECT doc_id, rnk FROM lex_ranked WHERE rnk <= 20
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), vec_scored AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(ROUND(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS DECIMAL(28,10)), 2) AS DOUBLE) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+), vec_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+  FROM vec_scored
+), vec AS (
+  SELECT doc_id, rnk FROM vec_ranked WHERE rnk <= 20
+), u AS (
+  SELECT doc_id, 'lex' AS src, rnk FROM lex
+  UNION ALL
+  SELECT doc_id, 'vec' AS src, rnk FROM vec
+), fused AS (
+  SELECT doc_id,
+         CAST(COALESCE(MAX(CASE WHEN src = 'lex' THEN rnk END), 0) AS BIGINT) AS lex_rnk,
+         CAST(COALESCE(MAX(CASE WHEN src = 'vec' THEN rnk END), 0) AS BIGINT) AS vec_rnk,
+         CAST(ROUND(CAST(SUM(1.0 / (60 + rnk)) AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, lex_rnk, vec_rnk, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+_HYBRID_TERMS = ("hash", "merge", "scan")
+
+
+@query("q114_hybrid_rrf_search", oracle=_Q114_ORACLE)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+cosine retrieval fused by reciprocal rank (k0=60)."""
+    from pyspark.sql.window import Window
+
+    from cdc_example_spark.functions import vector as V
+
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("doc_id") != 0)
+    # ≤20-row frames: the rank window runs on one partition by design
+    # (small_result_order rationale — the result is list-sized at any
+    # corpus scale, so a single-partition window IS the right plan).
+    lex = (
+        R.bm25_rank(toks, _HYBRID_TERMS, k=20, tokens_col="ws")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    probe = emb.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    vec = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("doc_id", dec2(V.cosine(F.col("v"), F.col("qv"))).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    return (
+        R.rrf_fuse({"lex": lex, "vec": vec}, id_col="doc_id", k0=60)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

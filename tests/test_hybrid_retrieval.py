@@ -1,0 +1,123 @@
+"""Hybrid retrieval: reciprocal-rank fusion (operators/relevance.rrf_fuse)
+and the q114 composition (BM25 top-20 + cosine top-20 → RRF top-10).
+
+q114's cross-engine parity is covered by the generic oracle harness
+(tests/test_queries_oracle.py) — it registers like every other query.
+These tests pin the operator semantics the oracle can't see from the
+outside: the per-list sentinel/contribution arithmetic, fusion of an
+id ranked by both lists, k0 damping, and the scale contract that the
+fused exchange only ever carries the already-cut candidate rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_example_spark.operators.relevance import rrf_fuse
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rnk long")
+
+
+def test_rrf_sums_contributions_and_sentinels(spark):
+    lex = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    vec = _ranked(spark, [(2, 1), (4, 2)])
+    out = {
+        r.doc_id: r
+        for r in rrf_fuse({"lex": lex, "vec": vec}).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2 is in both lists: term sum; others carry one term + sentinel 0
+    assert out[2].lex_rnk == 2 and out[2].vec_rnk == 1
+    assert out[2].rrf == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert out[1].lex_rnk == 1 and out[1].vec_rnk == 0
+    assert out[1].rrf == pytest.approx(1 / 61, abs=1e-6)
+    assert out[4].lex_rnk == 0 and out[4].vec_rnk == 2
+    assert out[4].rrf == pytest.approx(1 / 62, abs=1e-6)
+    # sentinel columns stay integer-typed (no NULL → float64 upcast on fetch)
+    fused = rrf_fuse({"lex": lex, "vec": vec})
+    assert dict(fused.dtypes)["lex_rnk"] == "bigint"
+    assert dict(fused.dtypes)["vec_rnk"] == "bigint"
+
+
+def test_rrf_k0_damping_and_single_list(spark):
+    lex = _ranked(spark, [(7, 1), (8, 2)])
+    out = {r.doc_id: r.rrf for r in rrf_fuse({"lex": lex}, k0=10).collect()}
+    assert out[7] == pytest.approx(1 / 11, abs=1e-6)
+    assert out[8] == pytest.approx(1 / 12, abs=1e-6)
+
+
+def test_rrf_rejects_empty_input():
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse({})
+
+
+def test_q114_fused_scores_recompute_from_candidate_lists(spark):
+    """The registered query's fused output must equal a driver-side
+    recompute from its own two candidate lists — pins that fusion adds
+    exactly the two lists' terms and nothing else (the oracle would
+    also catch this, but from outside the operator boundary)."""
+    from cdc_example_spark.queries import all_queries
+
+    q = all_queries()["q114_hybrid_rrf_search"]
+    got = q.spark(spark, SF).collect()
+    assert 0 < len(got) <= 10
+
+    # rebuild the two lists exactly as the query does
+    from cdc_example_spark.functions import vector as V
+    from cdc_example_spark.operators import relevance as R
+    from cdc_example_spark.queries.util import dec2
+    from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
+
+    toks = load_doc_tokens(spark, SF).filter(F.col("doc_id") != 0)
+    lex_rows = (
+        R.bm25_rank(toks, ("hash", "merge", "scan"), k=20, tokens_col="ws")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .collect()
+    )
+    lex = {r.doc_id: i + 1 for i, r in enumerate(lex_rows)}
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    probe = emb.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    vec_rows = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("doc_id", dec2(V.cosine(F.col("v"), F.col("qv"))).alias("c"))
+        .orderBy(F.col("c").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    vec = {r.doc_id: i + 1 for i, r in enumerate(vec_rows)}
+
+    expected = {}
+    for d in set(lex) | set(vec):
+        s = (1.0 / (60 + lex[d]) if d in lex else 0.0) + (
+            1.0 / (60 + vec[d]) if d in vec else 0.0
+        )
+        expected[d] = (lex.get(d, 0), vec.get(d, 0), round(s, 6))
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][2], kv[0]))[:10]
+    assert [(r.doc_id, r.lex_rnk, r.vec_rnk, round(r.rrf, 6)) for r in got] == [
+        (d, lx, vc, s) for d, (lx, vc, s) in top
+    ]
+
+
+def test_q114_fusion_input_is_bounded_rows(spark):
+    """Scale pin: both fusion inputs end in a top-k cut (limit 20), so
+    the union the fused aggregate consumes is ≤40 rows at ANY corpus
+    size — the plan must carry the two GlobalLimit/TakeOrdered cuts
+    BELOW the fused aggregation, and never a corpus-sized exchange into
+    it."""
+    from cdc_example_spark.plans.audit import explain_formatted
+    from cdc_example_spark.queries import all_queries
+
+    plan = explain_formatted(all_queries()["q114_hybrid_rrf_search"].spark(spark, SF))
+    # the two candidate cuts + the final top-10 cut
+    cuts = plan.count("TakeOrderedAndProject") + plan.count("GlobalLimit")
+    assert cuts >= 3, plan
+    assert "CartesianProduct" not in plan

@@ -233,6 +233,10 @@ BNLJ_INTENTIONAL = {
     # quantized serving is the q22/q30 broadcast-probe shape with
     # int8-code payloads (vec_id != query_id non-equi condition)
     "q104_quantized_cosine_topk",
+    # hybrid fusion inherits BOTH tiny-1-row broadcast shapes: q52's
+    # corpus-stats crossJoin on the lexical side and q22's probe-vector
+    # crossJoin on the vector side
+    "q114_hybrid_rrf_search",
 }
 
 
