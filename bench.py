@@ -220,6 +220,15 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as f:
             json.dump(detail, f, indent=1)
+        # Exit checklist (VERDICT r8/r9 hygiene item, twice): the
+        # committed BENCH_local.json must be the run the recorded round
+        # numbers came from — commit it WITH the round artifacts.
+        print(
+            "BENCH_local.json rewritten by this run — "
+            "`git add BENCH_local.json` alongside the round artifacts "
+            "so HEAD's artifact matches the recorded numbers.",
+            file=sys.stderr,
+        )
     except OSError:
         pass
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]

@@ -566,11 +566,24 @@ def lsh_levenshtein_pairs(
         sig.alias("_sig"),
     )
     k1, k2 = f"{key_col}_1", f"{key_col}_2"
+    # The verify lookups MUST be shuffle joins (merge hint): both sides
+    # grow with the corpus — sigs is corpus-sized and cands is
+    # output-sized — so neither may broadcast. Left to its estimates,
+    # Catalyst broadcast BOTH at the 10× shard: the post-aggregate
+    # candidate subtree estimates tiny and became a BuildLeft whose
+    # whole shingle/minhash/band pipeline executed inside the broadcast
+    # thread (spark.sql.broadcastTimeout abort at 300 s — caught by
+    # scripts/bench_scaling.py r10), and the sigs projection broadcast
+    # a full corpus column. Sort-merge on the 8-byte id keys is the
+    # shape that survives 100 TB; the sorted row is (id, lang, sig<=96
+    # chars), never the document text.
     j = cands.join(
-        sigs.select(F.col("_k").alias(k1), "lang", F.col("_sig").alias("s1")),
+        sigs.select(F.col("_k").alias(k1), "lang", F.col("_sig").alias("s1")).hint(
+            "merge"
+        ),
         on=k1,
     ).join(
-        sigs.select(F.col("_k").alias(k2), F.col("_sig").alias("s2")),
+        sigs.select(F.col("_k").alias(k2), F.col("_sig").alias("s2")).hint("merge"),
         on=k2,
     )
     dist = F.levenshtein(F.col("s1"), F.col("s2"), max_dist)

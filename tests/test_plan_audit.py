@@ -109,7 +109,13 @@ def test_q113_lsh_fuzzy_dedup_plan_bucketed_no_allpairs(spark, sf_dir):
     assert_no_cartesian(df)
     s = plan_summary(df)
     assert s["scans"] == 3, s
-    assert s["sort_merge_joins"] + s["broadcast_joins"] == 2, s
+    # r10: the two verify lookups must be SHUFFLE joins — both sides
+    # grow with the corpus (sigs is corpus-sized, cands output-sized).
+    # Catalyst's estimates broadcast both at the 10× shard: the
+    # candidate subtree became a broadcast BUILD side and timed out at
+    # spark.sql.broadcastTimeout (bench_scaling r10 catch).
+    assert s["sort_merge_joins"] == 2, s
+    assert s["broadcast_joins"] == 0, s
 
 
 def test_simhash_pairs_plan_shares_one_sketch_pass(spark, sf_dir):
