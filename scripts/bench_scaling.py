@@ -314,6 +314,7 @@ def main() -> None:
         }
 
         s_times, d_times = {}, {}
+        s_dnf: dict[str, str] = {}
         for name in QUERIES:
             if k > MAX_K.get(name, 10**9):
                 print(
@@ -324,8 +325,23 @@ def main() -> None:
                     flush=True,
                 )
                 continue
-            prepared = qs[name].spark(spark, sf_dir)
-            collect(prepared)  # cold: plan + JIT + cache warm
+            # A Spark-side failure records a DNF and moves on, exactly
+            # like the DuckDB phase — r10: q113's (since-fixed)
+            # broadcast-timeout abort killed the whole run mid-phase
+            # instead of leaving a DNF row.
+            try:
+                prepared = qs[name].spark(spark, sf_dir)
+                collect(prepared)  # cold: plan + JIT + cache warm
+            except Exception as e:  # noqa: BLE001
+                s_dnf[name] = str(e).splitlines()[0][:200]
+                print(
+                    json.dumps({"k": k, "phase": "spark", "q": name,
+                                "dnf": s_dnf[name]}),
+                    flush=True,
+                )
+                registry.invalidate(spark)
+                gc.collect()
+                continue
             samples = []
             for _ in range(3):
                 if name in FULL_REBUILD:
@@ -449,7 +465,7 @@ def main() -> None:
         # totals compare only the queries BOTH engines finished; DNFs
         # are reported alongside so a baseline failure can't silently
         # flatter the ratio.
-        shared = [q_ for q_ in QUERIES if q_ in d_times]
+        shared = [q_ for q_ in QUERIES if q_ in d_times and q_ in s_times]
         st = round(sum(s_times[q_] for q_ in shared), 3)
         dtt = round(sum(d_times[q_] for q_ in shared), 3)
         print(
@@ -460,6 +476,7 @@ def main() -> None:
                     "spark": s_times,
                     "duck": d_times,
                     "duck_dnf": d_dnf,
+                    "spark_dnf": s_dnf,
                     "spark_total": st,
                     "duck_total": dtt,
                     "shared_queries": len(shared),
