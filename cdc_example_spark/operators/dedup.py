@@ -537,6 +537,16 @@ def lsh_levenshtein_pairs(
 
     Returns (id1, id2, lang, dist) with id1 < id2, dist <= max_dist.
     """
+    # Catalyst silently ignores unrecognized hint names (a warning,
+    # not an error), so a typo'd verify_join would quietly revert to
+    # estimate-driven planning — the exact broadcast-timeout failure
+    # mode the hint exists to prevent. Fail loudly instead.
+    allowed = {"merge", "shuffle_merge", "merge_join", "shuffle_hash"}
+    if verify_join not in allowed:
+        raise ValueError(
+            f"verify_join={verify_join!r} is not a recognized shuffle-join "
+            f"hint; expected one of {sorted(allowed)}"
+        )
     sig = F.substring(
         F.array_join(F.array_sort(T.words(F.lower(F.col(text_col)))), " "),
         1,

@@ -311,10 +311,16 @@ def rrf_fuse(
     (BIGINT, 0 = not ranked by that list — a 0 sentinel rather than
     NULL so the column stays integer-typed through any pandas/Arrow
     fetch) and ``rrf`` (the fused score, 6-decimal-rounded DOUBLE: each
-    term 1/(k0+r) is the same IEEE double on any engine, and the sum
-    over per-id terms is order-insensitive for the ≤2-list case and
-    absorbed by the round beyond it). No global order is imposed —
-    callers cut their own top-k on (rrf DESC, id).
+    term 1/(k0+r) is the same IEEE double on any engine, and the terms
+    are added AFTER the aggregation, left-to-right in sorted list-name
+    order — a fixed association independent of row order or list
+    count, so the pre-round double is bit-identical on any engine; an
+    engine-side SUM over the union would be order-dependent past 2
+    lists). An oracle replaying 3+ lists must pivot to per-list terms
+    and add in the same sorted-name order (2-list addition is exactly
+    commutative, so the q114 oracle's pivoted form is unaffected). No
+    global order is imposed — callers cut their own top-k on
+    (rrf DESC, id).
 
     Determinism requires each input ranking to be deterministic; ranks
     produced from rounded scores with an id tie-break (bm25_rank's
@@ -338,14 +344,18 @@ def rrf_fuse(
         .alias(f"{name}_rnk")
         for name in rankings
     ]
-    rrf = (
-        F.round(
-            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_rnk"))).cast(
-                "decimal(28,10)"
-            ),
-            6,
-        )
-        .cast("double")
-        .alias("rrf")
+    agged = tagged.groupBy(F.col("_id").alias(id_col)).agg(*per_list)
+    # Fixed-association fusion: one term per list from its pivoted rank
+    # column, added left-to-right in sorted name order. Deterministic
+    # for ANY list count — an in-aggregate SUM over the union rows
+    # would add in row order, which no engine guarantees.
+    rrf_expr = F.lit(0.0)
+    for name in sorted(rankings):
+        c = F.col(f"{name}_rnk")
+        rrf_expr = rrf_expr + F.when(
+            c > 0, F.lit(1.0) / (F.lit(float(k0)) + c)
+        ).otherwise(F.lit(0.0))
+    return agged.withColumn(
+        "rrf",
+        F.round(rrf_expr.cast("decimal(28,10)"), 6).cast("double"),
     )
-    return tagged.groupBy(F.col("_id").alias(id_col)).agg(*per_list, rrf)

@@ -33,103 +33,108 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # NEW in round 10 (rule 1): the LSH fuzzy-dedup scale tier gets
-    # its driver row (VERDICT r9 item 2) — MinHash-LSH candidates over
-    # signature shingles, banded-Levenshtein verify, oracle replays
-    # the full signature/band/verify arithmetic
+    # Rule 1, slot 1 — q114 was NEW in r10, registered outside the
+    # full r10 window by the documented precedent; its promised
+    # driver row lands here (VERDICT r10 items 1/2).
+    "q114_hybrid_rrf_search",
+    # Rule 1, slot 2 — CHANGED in r11: lsh_levenshtein_pairs now
+    # validates verify_join against the allowed hint set (ADVICE r10
+    # item 1; operators/dedup.py). Behavior-neutral for valid values,
+    # but "green" must never mean "green for an older build".
     "q113_lsh_fuzzy_dedup_pairs",
-    # CHANGED in round 10 (rule 1): the q110/q112 oracles gained the
-    # sentinel no-op merge winner so a degenerate (empty) 5% training
-    # sample degrades to the identity encode on BOTH engines instead
-    # of cascading the oracle empty (ADVICE r9 low; pinned by
-    # tests/test_round10_properties.py)
-    "q110_bpe_encode_corpus",
-    "q112_bpe_dictionary_encode",
-    # the 15 documented r9-overflow queries (r7 green rows, 3 rounds
-    # stale — promised to head the r10 window in the r9 rotation
-    # note; VERDICT r9 item 1)
-    "q05_customers_without_orders",
-    "q06_semi_join_having",
-    "q07_rollup_nation_segment",
-    "q08_cube_status_priority",
-    "q09_top3_per_nation",
-    "q10_order_gaps",
-    "q11_cumulative_spend",
-    "q14_count_distinct",
-    "q44_pivot_event_counts",
-    "q45_subqueries",
-    "q46_range_frame",
-    "q59_full_outer_join",
-    "q60_set_ops_all",
-    "q63_right_outer_join",
-    "q65_window_distribution",
-    # 32 of the 47 r8-green rows due by the 2-round rule (rule 2) —
-    # changed-module neighbors first: q73/q94 share
-    # queries/relevance.py with this round's q110/q112 oracle fixes;
-    # q80–q86/q103/q104 share queries/curation.py with the new q113;
-    # then the VERDICT watch items (q41 drift pair, q108/q111)
-    "q73_zipf_slope",
-    "q94_bloom_decontamination",
-    "q80_embedding_audit",
-    "q81_heavy_hitters",
-    "q83_pps_sample",
-    "q84_markov_transitions",
-    "q85_wav_audio_stats",
-    "q86_skyline_parts",
-    "q103_grouped_udaf_trimmed_mean",
-    "q104_quantized_cosine_topk",
-    "q41_percentiles",
-    "q108_split_leakage",
-    "q111_mixture_reweight_plan",
-    # the dedup/sketch families sharing operators/dedup.py with q113
-    "q29_simhash",
-    "q31_embedding_neardup_pairs",
-    "q32_minhash_lsh_candidates",
-    "q95_canonical_dedup",
-    # then the rest of the r8 block, oldest-risk first
-    "q79_pagerank",
-    "q87_sparse_allpairs_cosine",
-    "q88_quality_constraint_audit",
-    "q89_touch_attribution",
-    "q90_sketch_rollup_distinct",
-    "q91_psi_value_drift",
-    "q96_snapshot_diff",
-    "q97_priority_sample",
-    "q98_token_lift",
-    "q37_ranking_family",
-    "q38_approx_distinct",
-    "q40_grouping_sets",
-    "q30_cosine_topk_multi",
-    "q33_binary_media_meta",
-    "q34_multimodal_features",
+    # The 15 documented r10-overflow queries (r8 green rows, 3 rounds
+    # stale — promised to head the r11 window in the r10 rotation
+    # note; VERDICT r10 item 1).
+    "q35_pandas_cosine_topk",
+    "q36_ivf_topk",
+    "q62_ivf_trained_topk",
+    "q66_semantic_dedup",
+    "q71_event_funnel",
+    "q72_cohort_retention",
+    "q74_ntile_deciles",
+    "q75_curation_funnel",
+    "q76_hashed_linear_score",
+    "q77_hourly_anomalies",
+    "q78_resample_interpolate",
+    "q92_scd2_history",
+    "q93_pii_redaction",
+    "q99_zorder_box_scan",
+    "q102_ivf2_persisted_serving",
+    # 33 of the 48 r9-green rows due by the 2-round rule (rule 2) —
+    # changed-module neighbors first: the dedup family shares
+    # operators/dedup.py with the r11 verify_join change; the
+    # TF-IDF/BM25/perplexity family shares operators/relevance.py
+    # with the r11 rrf_fuse determinism fix (ADVICE r10 item 4);
+    # q105/q106/q54 share queries/relevance.py where q115 lands.
+    "q82_fuzzy_dedup_pairs",
+    "q21_exact_dedup_stats",
+    "q23_dedup_survivors",
+    "q101_segment_span_dedup",
+    "q24_jaccard_neardup_pairs",
+    "q47_simhash_near_pairs",
+    "q58_dedup_components",
+    "q51_tfidf_top_terms",
+    "q52_bm25_search",
+    "q69_bigram_lm_perplexity",
+    "q105_bpe_merge_rounds",
+    "q106_rag_chunking",
+    "q54_bigram_vocab",
+    # the similarity/ANN family (operators/similarity.py is reused —
+    # not modified — by the new q115 indexed-hybrid composition)
+    "q22_cosine_top5",
+    "q100_kmeans_lloyd_refine",
+    "q107_matryoshka_audit",
+    "q57_quantization_audit",
+    "q70_ivf_persisted_serving",
+    # the quality module (q116 index-health appends to
+    # queries/quality.py) + text-analysis neighbors
+    "q109_source_mix_divergence",
+    "q55_decontamination",
+    "q56_repetition_bands",
+    "q28_quality_scores",
+    "q27_lang_id_confusion",
+    "q26_token_counts",
+    "q25_rolling_fingerprints",
+    # then oldest-risk fill from the remaining r9 block
+    "q53_stratified_sample",
+    "q43_train_test_split",
+    "q67_sequence_packing",
+    "q42_stats_profile",
+    "q39_array_ops",
+    "q68_json_schema_profile",
+    "q20_json_buckets",
+    "q19_sessionization",
 ]
-# 50 prioritized — the window is exactly full: 1 new + 2 changed in
-# r10 (rule 1, ≤3 per VERDICT r9 item 1) + the 15 promised r7-stale
-# carries (rule 2) + 32 of the 47 r8-green rows due this round.
-# DOCUMENTED OVERFLOW (r10 → r11): q35_pandas_cosine_topk,
-# q36_ivf_topk, q62_ivf_trained_topk, q66_semantic_dedup,
-# q71_event_funnel, q72_cohort_retention, q74_ntile_deciles,
-# q75_curation_funnel, q76_hashed_linear_score,
-# q77_hourly_anomalies, q78_resample_interpolate, q92_scd2_history,
-# q93_pii_redaction, q99_zorder_box_scan, q102_ivf2_persisted_serving
-# keep their r8 green rows one more round (15 queries, all in
-# modules untouched this round — queries/batch.py window/funnel
-# families, queries/llm.py ANN serving rungs, q93/q99 in
-# quality/pipeline; tests/test_queries_oracle.py still oracle-checks
-# every one locally each run). They MUST head the r11 window
-# together with the 48 r9-green rows due at r11 by the 2-round rule
-# (the 50 r9 rows minus this round's q110/q112 re-verifies — incl.
-# q82/q109/q113-neighbors) — so r11 faces 63 due vs 50 slots and
-# must keep its own new/changed count ≤3, carrying ~13 r9 rows
-# (prefer untouched modules) to r12.
+# 50 prioritized — the window is exactly full: 1 promised-new + 1
+# changed in r11 (rule 1, ≤3 per VERDICT r10 item 1) + the 15
+# promised r8-stale carries (rule 2) + 33 of the 48 r9-green rows
+# due this round.
+# DOCUMENTED OVERFLOW (r11 → r12): q01_pricing_summary,
+# q02_forecast_revenue, q03_shipping_priority,
+# q04_customers_per_region, q12_top20_lineitems, q13_set_ops,
+# q15_string_functions, q16_orders_by_month, q17_case_math_bands,
+# q18_hourly_event_windows, q48_asof_join, q49_snapshot_at,
+# q50_range_join, q61_salted_skew_join, q64_bucketed_colocated_join
+# keep their r9 green rows one more round (15 queries, all in
+# modules untouched this round — the queries/batch.py relational
+# core and the asof/rangejoin/skew/lake operator files;
+# tests/test_queries_oracle.py still oracle-checks every one
+# locally each run). They MUST head the r12 window together with
+# the 49 r10-green rows due at r12 (the 50 r10 rows minus this
+# round's q113 re-verify) — r12 faces 64 due vs 50 slots plus the
+# q115/q116 rule-1 slots, so r12 must again keep new/changed ≤3
+# and carry ~16 r10 rows (prefer untouched modules) to r13. With
+# 114+ queries against a 50-slot window the steady state is a
+# ~15-row documented 3-round tail; the rotation keeps it named,
+# module-stable, and locally oracle-checked every run.
 #
-# q114_hybrid_rrf_search is NEW in r10 but registered OUTSIDE the
-# window (the r9 rotation promise capped r10's new/changed at 3 and
-# the window is exactly full): it is the q113 precedent — pytest +
-# local-harness oracle parity now (tests/test_hybrid_retrieval.py;
-# the generic oracle test checks it at sf0.001 every run and it was
-# hand-verified against its oracle at sf0.01), driver row at r11,
-# where it counts as one of r11's ≤3 rule-1 slots.
+# q115_hybrid_rrf_indexed (NEW r11) and q116_ann_index_health
+# (NEW r11) are registered OUTSIDE the window (the r10 rotation
+# promise caps r11's new/changed at 3 and the window is exactly
+# full): the q113/q114 precedent — pytest + local-harness oracle
+# parity now (the generic oracle test checks them at sf0.001 every
+# run; hand-verified against their oracles at sf0.01), driver rows
+# at r12, where they count among r12's ≤3 rule-1 slots.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]

@@ -1602,3 +1602,191 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — hybrid retrieval SERVED FROM THE INDEX: the q114 fusion with
+# its vector side swapped from the full-corpus brute scan to the
+# persisted two-level IVF index (ivf2_topk_indexed, the q102 serving
+# path) — the shape you'd actually run at 100 TB: directory-pruned
+# vector candidates (2 coarse × 2 fine probes = 4 of 9 directories at
+# the contract sf) + inverted-index lexical candidates → RRF
+# (VERDICT r10 item 3). Candidate lists still collapse to ≤20 rows
+# inside their own plans; the vector branch never scans the corpus —
+# the index read is partition-pruned by the probe predicate and the
+# probed cells stay ~TARGET_CELL_SIZE at any corpus (ivf2_shape_for
+# policy). Determinism: the ≤20 IVF candidates are cut on the
+# raw-cosine order with the vec_id tie-break (bit-identical across
+# engines — V.cosine pins DuckDB's evaluation order, the q102
+# discipline), then re-ranked on the 2-decimal-rounded score for
+# fusion (the q114 discipline). Oracle: the pinned sf0.01 coarse+fine
+# centroid literals (queries/q102_ivf2_sf001.py) replay the index
+# assignment, probe, and serve as window SQL, composed with q114's
+# lex + fusion SQL. Registered OUTSIDE the r11 driver window (the
+# rotation promise caps r11 new/changed at 3) — the q113/q114
+# precedent: local-harness oracle parity now, driver row r12.
+# ---------------------------------------------------------------------------
+
+
+def _q115_oracle() -> str:
+    from cdc_example_spark.queries.q102_ivf2_sf001 import (
+        COARSE_SF001,
+        FINES_SF001,
+    )
+
+    coarse_values = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(c, ", ".join(repr(x) for x in cv))
+        for c, cv in enumerate(COARSE_SF001)
+    )
+    fine_values = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(c, f, ", ".join(repr(x) for x in fv))
+        for c, cell in enumerate(FINES_SF001)
+        for f, fv in enumerate(cell)
+    )
+    return rf"""
+WITH coarse(ccid, ccv) AS (
+  VALUES
+        {coarse_values}
+), fine(fcid, ffid, fv) AS (
+  VALUES
+        {fine_values}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a1 AS (
+  SELECT vec_id, v, ccid AS c1 FROM (
+    SELECT vec_id, v, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, ccv) DESC, ccid) AS rn
+    FROM v CROSS JOIN coarse) WHERE rn = 1
+), cand AS (
+  SELECT vec_id, v, c1, ffid AS f1 FROM (
+    SELECT a1.vec_id, a1.v, a1.c1, f.ffid,
+           ROW_NUMBER() OVER (PARTITION BY a1.vec_id
+                              ORDER BY list_inner_product(a1.v, f.fv) DESC, f.ffid) AS rn
+    FROM a1 JOIN fine f ON f.fcid = a1.c1) WHERE rn = 1
+), qv AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id = 0
+), qc AS (
+  SELECT query_id, qv, ccid AS pc FROM (
+    SELECT query_id, qv, ccid,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY list_inner_product(qv, ccv) DESC, ccid) AS crn
+    FROM qv CROSS JOIN coarse) WHERE crn <= 2
+), probe_pairs AS (
+  SELECT query_id, pc, ffid AS pf FROM (
+    SELECT qc.query_id, qc.pc, f.ffid,
+           ROW_NUMBER() OVER (PARTITION BY qc.query_id, qc.pc
+                              ORDER BY list_inner_product(qc.qv, f.fv) DESC, f.ffid) AS frn
+    FROM qc JOIN fine f ON f.fcid = qc.pc) WHERE frn <= 2
+), vec_cut AS (
+  SELECT doc_id, cos_sim FROM (
+    SELECT c.vec_id AS doc_id,
+           list_cosine_similarity(c.v, q.qv) AS cos_sim,
+           ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rawrn
+    FROM cand c
+    JOIN probe_pairs p ON c.c1 = p.pc AND c.f1 = p.pf
+    JOIN qv q ON q.query_id = p.query_id AND c.vec_id <> q.query_id
+  ) WHERE rawrn <= 20
+), vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(CAST(cos_sim AS DECIMAL(28,10)), 2) AS DOUBLE) DESC,
+                    doc_id) AS rnk
+  FROM vec_cut
+), d AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS ws
+  FROM documents WHERE doc_id <> 0
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM d
+), c AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+  WHERE term IN ('hash', 'merge', 'scan')
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), lex_scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(CAST(SUM(
+           LN(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+         ) AS DECIMAL(28,10)), 2) AS DOUBLE) AS bm25
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY tf.doc_id
+), lex_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM lex_scored
+), lex AS (
+  SELECT doc_id, rnk FROM lex_ranked WHERE rnk <= 20
+), u AS (
+  SELECT doc_id, 'lex' AS src, rnk FROM lex
+  UNION ALL
+  SELECT doc_id, 'vec' AS src, rnk FROM vec
+), fused AS (
+  SELECT doc_id,
+         CAST(COALESCE(MAX(CASE WHEN src = 'lex' THEN rnk END), 0) AS BIGINT) AS lex_rnk,
+         CAST(COALESCE(MAX(CASE WHEN src = 'vec' THEN rnk END), 0) AS BIGINT) AS vec_rnk,
+         CAST(ROUND(CAST(SUM(1.0 / (60 + rnk)) AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, lex_rnk, vec_rnk, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("q115_hybrid_rrf_indexed", oracle=_q115_oracle(), oracle_sf="sf0.01")
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+IVF2-served-cosine retrieval fused by RRF (k0=60)."""
+    from pyspark.sql.window import Window
+
+    from cdc_example_spark.operators import similarity as S2
+    from cdc_example_spark.queries.llm import trained_ivf2
+
+    toks = load_doc_tokens(spark, sf_dir).filter(F.col("doc_id") != 0)
+    lex = (
+        R.bm25_rank(toks, _HYBRID_TERMS, k=20, tokens_col="ws")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    coarse, fines, path = trained_ivf2(spark, sf_dir)
+    probe = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    # raw-cosine candidate cut (the q102 index-serving contract), then
+    # the fusion rank on the rounded score (the q114 discipline)
+    vec = (
+        S2.ivf2_topk_indexed(
+            spark,
+            path,
+            probe,
+            coarse,
+            fines,
+            k=20,
+            n_probe_coarse=2,
+            n_probe_fine=2,
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dec2(F.col("cos_sim")).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    return (
+        R.rrf_fuse({"lex": lex, "vec": vec}, id_col="doc_id", k0=60)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

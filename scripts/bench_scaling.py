@@ -342,28 +342,45 @@ def main() -> None:
                 registry.invalidate(spark)
                 gc.collect()
                 continue
+            # The warm loop needs the same degrade-to-DNF guard as the
+            # cold run: a disk-full abort on sample 2 of 3 (the k=100
+            # failure mode documented below) must not kill the phase.
             samples = []
-            for _ in range(3):
-                if name in FULL_REBUILD:
-                    registry.invalidate(spark)
-                    t0 = time.perf_counter()
-                    fresh = qs[name].spark(spark, sf_dir)
-                else:
-                    fresh = replan(prepared)
-                    t0 = time.perf_counter()
-                collect(fresh)
-                samples.append(time.perf_counter() - t0)
-                # release this sample's shuffle files NOW (outside the
-                # timed window): drop the Python ref, then force a JVM
-                # GC so the ContextCleaner unregisters the orphaned
-                # shuffles. Per-SAMPLE, not per-query: one big-K
-                # self-join query spills several GB per run, and this
-                # host's thin-provisioned disk dies near ~20 GB of
-                # accumulated spill (two k=100 runs measured it the
-                # hard way — both "No space left on device").
-                del fresh
+            try:
+                for _ in range(3):
+                    if name in FULL_REBUILD:
+                        registry.invalidate(spark)
+                        t0 = time.perf_counter()
+                        fresh = qs[name].spark(spark, sf_dir)
+                    else:
+                        fresh = replan(prepared)
+                        t0 = time.perf_counter()
+                    collect(fresh)
+                    samples.append(time.perf_counter() - t0)
+                    # release this sample's shuffle files NOW (outside the
+                    # timed window): drop the Python ref, then force a JVM
+                    # GC so the ContextCleaner unregisters the orphaned
+                    # shuffles. Per-SAMPLE, not per-query: one big-K
+                    # self-join query spills several GB per run, and this
+                    # host's thin-provisioned disk dies near ~20 GB of
+                    # accumulated spill (two k=100 runs measured it the
+                    # hard way — both "No space left on device").
+                    del fresh
+                    gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+            except Exception as e:  # noqa: BLE001
+                s_dnf[name] = str(e).splitlines()[0][:200]
+                print(
+                    json.dumps({"k": k, "phase": "spark", "q": name,
+                                "dnf": s_dnf[name],
+                                "warm_samples_done": len(samples)}),
+                    flush=True,
+                )
+                del prepared
+                registry.invalidate(spark)
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
+                continue
             s_times[name] = round(sorted(samples)[1], 3)
             # incremental progress line: a crash later in the run (the
             # k=100 DuckDB phase once filled the disk) must not lose
