@@ -1,0 +1,137 @@
+"""ANN index-health monitor: per-cell occupancy drift of a persisted
+IVF layout vs its training-time distribution (VERDICT r10 item 6).
+
+An IVF index degrades silently: the centroids were trained on a
+snapshot, and as CDC/ingest shifts the corpus, vectors pile into a few
+cells (probe cost and recall both degrade — a probed cell no longer
+holds ~TARGET_CELL_SIZE vectors) while others go dead (wasted
+directories). The monitor ties the q91 PSI discipline to the index's
+own persisted cell assignments: compare the CURRENT per-cell occupancy
+distribution against the TRAINING-ERA one, over the full k1 × k2 cell
+universe (a cell nothing maps to anymore is exactly the signal — it
+must appear as a row, so the universe is enumerated, not grouped-from-
+data), and flag when a retrain (``lloyd_refine`` / the ``ivf2_upsert``
+rebuild cadence) is due.
+
+Scale shape: one scan of the index layout's partition columns (coarse/
+fine come from directory names — the scan reads NO vector data, column
+pruning keeps it to the id column for the reference filter), one
+partial-agg'd groupBy bounded by k1·k2 cells, and everything after
+operates on that cell-count frame. At 65536 cells the monitor's frame
+is 64k rows regardless of corpus size; its cost is the metadata-sized
+scan, full stop.
+
+Determinism (the q91/q109 contract): counts are exact integers, the
+Laplace-smoothed shares are ratios of those integers (identical
+doubles on any engine), ln() runs on those ratios, and only the
+emitted psi columns are rounded. The occupancy flags are pure integer
+comparisons (``n_cur · n_cells > factor · total_cur``) — no float
+threshold can flip across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PSI_RETRAIN_THRESHOLD = 0.2  # the conventional "investigate" line (q91)
+OVERLOAD_FACTOR = 4  # a cell holding >4× the mean share is overloaded
+
+
+def _dec(col: F.Column, digits: int) -> F.Column:
+    return F.round(col.cast("decimal(28,10)"), digits).cast("double")
+
+
+def ivf_occupancy_psi(
+    assignments: DataFrame,
+    ref_cond: F.Column,
+    n_coarse: int,
+    n_fine: int,
+    coarse_col: str = "coarse",
+    fine_col: str = "fine",
+    smoothing: float = 0.5,
+    overload_factor: int = OVERLOAD_FACTOR,
+    psi_threshold: float = PSI_RETRAIN_THRESHOLD,
+) -> DataFrame:
+    """Per-cell occupancy drift of an IVF(2) layout.
+
+    ``assignments`` is one row per indexed vector carrying its cell
+    (``coarse_col``, ``fine_col``) — typically
+    ``spark.read.parquet(index_path)``, where both are partition
+    columns; ``ref_cond`` selects the TRAINING-ERA sub-population (the
+    rows that existed when the centroids were trained — an id
+    watermark, an ingest-date cut, a retrain snapshot). The current
+    distribution is all rows.
+
+    Returns one row per cell of the FULL k1 × k2 universe, ordered by
+    (coarse, fine):
+
+    - ``n_ref`` / ``n_cur`` — exact occupancy counts (BIGINT);
+    - ``psi_term`` — this cell's smoothed PSI contribution (6 dp);
+    - ``psi_total`` — the index-wide PSI, identical on every row (4 dp,
+      the q91 rounding);
+    - ``dead`` — nothing maps here anymore (n_cur = 0);
+    - ``overloaded`` — n_cur·n_cells > overload_factor·total_cur
+      (integer arithmetic, > overload_factor× the mean share);
+    - ``retrain_due`` — psi_total > psi_threshold.
+    """
+    n_cells = n_coarse * n_fine
+    universe = (
+        assignments.sparkSession.range(n_cells)
+        .select(
+            F.floor(F.col("id") / n_fine).cast("int").alias(coarse_col),
+            (F.col("id") % n_fine).cast("int").alias(fine_col),
+        )
+    )
+    counts = (
+        assignments.groupBy(
+            F.col(coarse_col).cast("int").alias(coarse_col),
+            F.col(fine_col).cast("int").alias(fine_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_nc"),
+            F.sum(F.when(ref_cond, 1).otherwise(0)).alias("_nr"),
+        )
+    )
+    # the universe side is k1·k2 literal rows — broadcast it and the
+    # join never shuffles the (already cell-bounded) count frame
+    cells = (
+        F.broadcast(universe)
+        .join(counts, [coarse_col, fine_col], "left")
+        .select(
+            coarse_col,
+            fine_col,
+            F.coalesce(F.col("_nr"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    tot_ref = F.sum("n_ref").over(wall)
+    tot_cur = F.sum("n_cur").over(wall)
+    p_ref = (F.col("n_ref") + F.lit(smoothing)) / (
+        tot_ref + F.lit(float(n_cells) * smoothing)
+    )
+    p_cur = (F.col("n_cur") + F.lit(smoothing)) / (
+        tot_cur + F.lit(float(n_cells) * smoothing)
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        cells.select(
+            coarse_col,
+            fine_col,
+            "n_ref",
+            "n_cur",
+            _dec(term, 6).alias("psi_term"),
+            _dec(F.sum(term).over(wall), 4).alias("psi_total"),
+            (F.col("n_cur") == 0).alias("dead"),
+            (
+                F.col("n_cur") * F.lit(n_cells)
+                > F.lit(overload_factor) * tot_cur
+            ).alias("overloaded"),
+            (
+                _dec(F.sum(term).over(wall), 4) > F.lit(psi_threshold)
+            ).alias("retrain_due"),
+        )
+        .orderBy(coarse_col, fine_col)
+    )

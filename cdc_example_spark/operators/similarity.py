@@ -1035,12 +1035,15 @@ def ivf2_topk_indexed(
         pred = pred | ((F.col("coarse") == c) & F.col("fine").isin(fs))
     idx = spark.read.parquet(index_path).filter(pred)
 
+    # carry the caller's id type: batch-table indexes key by long, but
+    # CDC-keyed layouts (ann_freshness) key by the envelope's string id
+    id_dt = dict(queries.dtypes)[id_col]
     qdf = spark.createDataFrame(
         [
             (qid, qv, [[int(c), int(f)] for c, f in pairs])
             for qid, qv, pairs in per_query
         ],
-        "query_id long, qv array<double>, probe_pairs array<array<int>>",
+        f"query_id {id_dt}, qv array<double>, probe_pairs array<array<int>>",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")

@@ -1034,3 +1034,117 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wgt") * F.lit(_Q111_BUDGET_FRAC) * F.col("n") / F.col("n_tok")
         ).alias("sample_rate"),
     ).transform(small_result_order, "source")
+
+
+# ---------------------------------------------------------------------------
+# q116 — ANN index-health monitor (VERDICT r10 item 6): the q91 PSI
+# discipline tied to the persisted IVF2 layout itself. The index's
+# cell assignments ARE the monitored distribution: reference = the
+# training-era sub-population (vec_id < 250 — the snapshot the
+# centroids were trained against), current = everything the index
+# holds now; per-cell occupancy over the FULL k1 × k2 universe (a
+# dead cell must surface as a row, so the universe is enumerated,
+# never grouped-from-data), Laplace-smoothed PSI with integer-
+# arithmetic occupancy flags, and a retrain_due line at the
+# conventional 0.2. At scale the monitor reads only the layout's
+# partition columns + the id (no vector data), partial-aggs to
+# k1·k2 rows, and everything downstream is cell-bounded — its cost
+# is a metadata-sized scan regardless of corpus size
+# (operators/index_health.py). Oracle: the pinned sf0.01 coarse+fine
+# centroid literals (queries/q102_ivf2_sf001.py) replay the two-level
+# assignment as window SQL (the q102 discipline), then the
+# universe/count/PSI arithmetic verbatim. Registered OUTSIDE the r11
+# driver window (rotation cap) — the q113/q114 precedent: pytest +
+# local-harness oracle parity now, driver row when the rotation
+# allows (r12).
+# ---------------------------------------------------------------------------
+
+
+def _q116_oracle() -> str:
+    from cdc_example_spark.queries.q102_ivf2_sf001 import (
+        COARSE_SF001,
+        FINES_SF001,
+    )
+
+    n1, n2 = len(COARSE_SF001), len(FINES_SF001[0])
+    n_cells = n1 * n2
+    coarse_values = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(c, ", ".join(repr(x) for x in cv))
+        for c, cv in enumerate(COARSE_SF001)
+    )
+    fine_values = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(c, f, ", ".join(repr(x) for x in fv))
+        for c, cell in enumerate(FINES_SF001)
+        for f, fv in enumerate(cell)
+    )
+    return f"""
+WITH coarse(ccid, ccv) AS (
+  VALUES
+        {coarse_values}
+), fine(fcid, ffid, fv) AS (
+  VALUES
+        {fine_values}
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a1 AS (
+  SELECT vec_id, v, ccid AS c1 FROM (
+    SELECT vec_id, v, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_inner_product(v, ccv) DESC, ccid) AS rn
+    FROM v CROSS JOIN coarse) WHERE rn = 1
+), cand AS (
+  SELECT vec_id, c1, ffid AS f1 FROM (
+    SELECT a1.vec_id, a1.c1, f.ffid,
+           ROW_NUMBER() OVER (PARTITION BY a1.vec_id
+                              ORDER BY list_inner_product(a1.v, f.fv) DESC, f.ffid) AS rn
+    FROM a1 JOIN fine f ON f.fcid = a1.c1) WHERE rn = 1
+), cells AS (
+  SELECT CAST(r // {n2} AS INTEGER) AS coarse,
+         CAST(r % {n2} AS INTEGER) AS fine
+  FROM range({n_cells}) t(r)
+), cnt AS (
+  SELECT c1 AS coarse, f1 AS fine,
+         CAST(COUNT(*) AS BIGINT) AS n_cur,
+         CAST(SUM(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref
+  FROM cand GROUP BY 1, 2
+), j AS (
+  SELECT cells.coarse, cells.fine,
+         CAST(COALESCE(cnt.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(cnt.n_cur, 0) AS BIGINT) AS n_cur
+  FROM cells LEFT JOIN cnt USING (coarse, fine)
+), p AS (
+  SELECT coarse, fine, n_ref, n_cur,
+         (n_ref + 0.5) / (SUM(n_ref) OVER () + {n_cells} * 0.5) AS pr,
+         (n_cur + 0.5) / (SUM(n_cur) OVER () + {n_cells} * 0.5) AS pc,
+         SUM(n_cur) OVER () AS tc
+  FROM j
+)
+SELECT coarse, fine, n_ref, n_cur,
+       CAST(ROUND(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(28,10)), 6)
+            AS DOUBLE) AS psi_term,
+       CAST(ROUND(CAST(SUM((pc - pr) * ln(pc / pr)) OVER ()
+            AS DECIMAL(28,10)), 4) AS DOUBLE) AS psi_total,
+       n_cur = 0 AS dead,
+       n_cur * {n_cells} > 4 * tc AS overloaded,
+       CAST(ROUND(CAST(SUM((pc - pr) * ln(pc / pr)) OVER ()
+            AS DECIMAL(28,10)), 4) AS DOUBLE) > 0.2 AS retrain_due
+FROM p
+ORDER BY coarse, fine
+"""
+
+
+@query("q116_ann_index_health", oracle=_q116_oracle(), oracle_sf="sf0.01")
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy PSI of the persisted IVF2 index vs its
+    training-era population; retrain flag at PSI > 0.2."""
+    from cdc_example_spark.operators.index_health import ivf_occupancy_psi
+    from cdc_example_spark.queries.llm import trained_ivf2
+
+    coarse, fines, path = trained_ivf2(spark, sf_dir)
+    idx = spark.read.parquet(path).select("vec_id", "coarse", "fine")
+    return ivf_occupancy_psi(
+        idx,
+        F.col("vec_id") < 250,
+        n_coarse=len(coarse),
+        n_fine=len(fines[0]),
+    )

@@ -15,8 +15,12 @@ Semantics beyond the append-only upsert (the CDC cases):
   image the reference replays; without it the stale version would
   linger in its old cell until the next retrain/rebuild).
 - DELETE: the tombstone's before image addresses the cell to purge.
-- Batch collapse: only the per-key LSN winner touches the index
-  (the sink's LWW discipline applied before any file I/O).
+- Batch collapse: the per-key LSN winner supplies the VALUE that
+  lands in the index (the sink's LWW discipline applied before any
+  file I/O), but the purge scope is the cells of ALL images in the
+  batch — a chained in-batch update (cell1 → cell2 → cell3 across
+  two events) must read back cell1 even though the winner's before
+  image only addresses cell2, or a stale copy survives there.
 
 Scale shape (the keyed_state bucket discipline applied to the ANN
 lake): touched cells = cells(after images) ∪ cells(before images) —
@@ -97,7 +101,6 @@ def ivf2_apply_cdc(
             .select(
                 "key_id",
                 F.col(f"after.{vec_field}").alias("new_v"),
-                F.col(f"before.{vec_field}").alias("old_v"),
             )
         )
         cells = assign_cells2_vectorized(coarse, fines)
@@ -116,16 +119,31 @@ def ivf2_apply_cdc(
             "key_id",
             "new_v",
             _safe_cells("new_v").alias("nc"),
-            _safe_cells("old_v").alias("oc"),
         ).localCheckpoint(eager=True)  # pin assignments
 
+        # Purge scope: the cells of EVERY image in the batch, not just
+        # the winner's. A chained in-batch update leaves its first
+        # version in a cell only an intermediate event's image
+        # addresses; the read-back's key-drop purges it iff that cell
+        # is listed here. Bounded by 2× batch rows, never the corpus.
+        imgs = (
+            decoded.filter(F.col("key_id").isNotNull())
+            .select(
+                F.explode(
+                    F.array(
+                        F.col(f"before.{vec_field}"),
+                        F.col(f"after.{vec_field}"),
+                    )
+                ).alias("img")
+            )
+            .filter(F.col("img").isNotNull())
+        )
         pairs = {
             (int(r.c), int(r.f))
-            for col in ("nc", "oc")
-            for r in assigned.select(
-                F.col(f"{col}.coarse").alias("c"), F.col(f"{col}.fine").alias("f")
+            for r in imgs.select(cells(F.col("img")).alias("cc"))
+            .select(
+                F.col("cc.coarse").alias("c"), F.col("cc.fine").alias("f")
             )
-            .filter(F.col("c").isNotNull())
             .distinct()
             .collect()
         }
@@ -180,6 +198,103 @@ def ivf2_apply_cdc(
         if batch_id is not None:
             _record_index_batch_id(index_path, batch_id)
     return touched
+
+
+def sharded_ivf2_apply_cdc(
+    decoded: DataFrame,
+    shards: "list[tuple[str, list[list[float]], list[list[list[float]]]]]",
+    route,
+    vec_field: str = "embedding",
+    batch_id: "int | None" = None,
+) -> "dict[int, list[tuple[int, int]]]":
+    """MERGE one micro-batch into PER-SHARD IVF2 indexes — the
+    past-~4M-vectors tier (``sharded_ivf2_topk``'s layout) kept fresh
+    under CDC, including keys that MOVE SHARDS on update.
+
+    ``shards`` is ``sharded_ivf2_topk``'s [(index_path, coarse, fines),
+    ...]; ``route`` maps an image struct Column to its shard ordinal
+    (e.g. a tenant/language routing attribute carried in the row — the
+    case where an update can legitimately change a key's shard; pure
+    key-hash sharding never moves and degenerates to N independent
+    S15s). Per shard, events are masked to the images that live there —
+    before if route(before) = s, after if route(after) = s — and the
+    masked view feeds :func:`ivf2_apply_cdc` unchanged:
+
+    - in-place update: both images in s → normal cell-moving merge;
+    - shard-crossing update: the old shard sees (before, NULL) — a
+      pure purge — and the new shard sees (NULL, after) — an insert;
+    - delete: the before image's shard purges; nothing routes anywhere
+      else;
+    - chained in-batch moves: ALL events route (not just the per-key
+      winner), so every intermediate shard/cell an image addressed is
+      read back and purged; each shard's own LWW pass then picks the
+      value that lands (the ivf2_apply_cdc purge-scope rule, lifted
+      across shards).
+
+    Idempotence is per shard: each index path keeps its own applied-
+    batch marker, so a crash between shard commits redelivers the
+    batch as a marker no-op on committed shards and a normal merge on
+    the rest (the materialize_tables exactly-once composition).
+    Returns {shard_ordinal: touched cells}.
+    """
+    base = decoded.filter(F.col("key_id").isNotNull())
+    out: "dict[int, list[tuple[int, int]]]" = {}
+    for s, (path, coarse, fines) in enumerate(shards):
+        before_s = F.when(
+            F.col("before").isNotNull() & (route(F.col("before")) == s),
+            F.col("before"),
+        )
+        after_s = F.when(
+            F.col("after").isNotNull() & (route(F.col("after")) == s),
+            F.col("after"),
+        )
+        sub = base.select(
+            "key_id",
+            before_s.alias("before"),
+            after_s.alias("after"),
+            "lsn",
+            "ts_ms",
+        ).filter(F.col("before").isNotNull() | F.col("after").isNotNull())
+        out[s] = ivf2_apply_cdc(
+            sub, coarse, fines, path, vec_field=vec_field, batch_id=batch_id
+        )
+    return out
+
+
+def materialize_with_sharded_index(
+    raw_stream: DataFrame,
+    sink: KeyedStateSink,
+    shards: "list[tuple[str, list[list[float]], list[list[list[float]]]]]",
+    route,
+    checkpoint_dir: str,
+    vec_field: str = "embedding",
+    trigger_once: bool = False,
+    processing_time: str = "500 milliseconds",
+) -> "object":
+    """:func:`materialize_with_index`, sharded: one embeddings CDC
+    stream maintains the table of record AND every shard's serving
+    index per micro-batch, with shard-crossing updates handled by
+    :func:`sharded_ivf2_apply_cdc`."""
+    decoded = decode_envelope(raw_stream, row_schema=sink.schema, key_field=sink.key)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            sink.apply_changes(route_changes(batch_df), batch_id)
+            sharded_ivf2_apply_cdc(
+                batch_df, shards, route, vec_field=vec_field, batch_id=batch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = decoded.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def materialize_with_index(

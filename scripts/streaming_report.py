@@ -32,6 +32,7 @@ S_SUITE_FILES = [
     "tests/test_multi_table_routing.py",  # S13 (one stream → N table sinks)
     "tests/test_heterogeneous_routing.py",  # S14 (per-topic schemas, one stream)
     "tests/test_ann_freshness.py",        # S15 (CDC → IVF2 index freshness)
+    "tests/test_sharded_ann_freshness.py",  # S16 (shard-crossing CDC)
 ]
 
 

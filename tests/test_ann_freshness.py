@@ -94,6 +94,47 @@ def _assign(coarse, fines, vec):
     return c, f
 
 
+def test_s15_chained_inbatch_update_purges_first_cell(spark, tmp_path, setup):
+    """A key updated TWICE in one batch (cellX → cellY → cellZ, chained
+    before images) must not leave a stale copy in cellX: the winning
+    event's before image only addresses cellY, so the purge scope has
+    to be the cells of ALL the batch's images, not the winner's."""
+    state, coarse, fines = setup
+    index = str(tmp_path / "index")
+    build_ivf2_index(_emb_df(spark, state), coarse, fines, index)
+
+    rng = np.random.default_rng(29)
+    base = np.asarray(state["v0"])
+    mid = [float(x) for x in base + 0.05 * rng.normal(size=DIM)]
+    end = [float(x) for x in -base + 0.05 * rng.normal(size=DIM)]
+    cells = {
+        "orig": _assign(coarse, fines, state["v7"]),
+        "mid": _assign(coarse, fines, mid),
+        "end": _assign(coarse, fines, end),
+    }
+    # precondition: the three hops land in three distinct cells, or the
+    # pin proves nothing (deterministic under the fixed seeds)
+    assert len(set(cells.values())) == 3, cells
+
+    b = [
+        envelope("u", "v7", before=_img("v7", state["v7"]), after=_img("v7", mid), lsn=500),
+        envelope("u", "v7", before=_img("v7", mid), after=_img("v7", end), lsn=501),
+    ]
+    decoded = decode_envelope(
+        spark.createDataFrame(b, "key STRING, value STRING"), row_schema=EMB_SCHEMA
+    )
+    touched = ivf2_apply_cdc(decoded, coarse, fines, index)
+    assert set(cells.values()) <= set(touched)
+    placed = [
+        (r.coarse, r.fine)
+        for r in spark.read.parquet(index)
+        .filter(F.col("vec_id") == "v7")
+        .select("coarse", "fine")
+        .collect()
+    ]
+    assert placed == [cells["end"]], placed
+
+
 def test_s15_index_stays_fresh_under_cdc(spark, tmp_path, setup):
     state, coarse, fines = setup
     state = dict(state)

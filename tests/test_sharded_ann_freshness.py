@@ -1,0 +1,374 @@
+"""S16 — CDC → SHARDED ANN index freshness (VERDICT r10 item 5).
+
+S15 keeps ONE IVF2 layout fresh under an embeddings changelog;
+``sharded_ivf2_topk`` (operators/similarity.py) is the past-~4M-vectors
+tier where per-shard indexes take over. This suite pins the remaining
+CDC case: a changelog whose keys MOVE SHARDS on update (the shard is a
+routing attribute carried in the row — tenant/language — so an UPDATE
+can change it). Pins:
+
+- after streamed batches (inserts, in-place cell moves, shard-crossing
+  updates, a chained within-batch shard round-trip, out-of-order LWW,
+  deletes) EVERY shard's index is row-identical to a from-scratch
+  ``build_ivf2_index`` over the expected state routed to that shard;
+- a chained in-batch move leaves no stale copy in the first cell /
+  first shard (the purge scope is all images, not the winner's);
+- untouched cells' files are never rewritten, per shard;
+- full-probe ``sharded_ivf2_topk`` over the maintained shards equals
+  brute force over the expected state;
+- redelivery is a per-shard marker no-op, and a forced re-apply
+  converges (idempotent key-drop merge).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdc_example_spark.operators.keyed_state import KeyedStateSink
+from cdc_example_spark.operators.similarity import (
+    build_ivf2_index,
+    cosine_topk,
+    sharded_ivf2_topk,
+    train_ivf2_local,
+)
+from cdc_example_spark.streaming.ann_freshness import (
+    index_last_applied_batch_id,
+    materialize_with_sharded_index,
+    sharded_ivf2_apply_cdc,
+)
+from cdc_example_spark.streaming.envelope import decode_envelope
+from tests.cdc_fixtures import envelope
+
+DIM = 4
+N_COARSE, N_FINE = 4, 3
+GRPS = ("a", "b")
+
+ROW_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("grp", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _route(img):
+    return F.when(img["grp"] == "a", 0).otherwise(1)
+
+
+def _shard_of(grp: str) -> int:
+    return 0 if grp == "a" else 1
+
+
+def _img(vid, grp, vec):
+    return {"id": vid, "grp": grp, "embedding": vec}
+
+
+def _state_df(spark, state, shard=None):
+    rows = [
+        (k, g, v)
+        for k, (g, v) in sorted(state.items())
+        if shard is None or _shard_of(g) == shard
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id string, grp string, embedding array<double>"
+    )
+
+
+def _write_batch(src, n, records):
+    p = src / f"batch-{n:04d}.json"
+    with open(p, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    os.utime(p, (1_700_000_000 + n, 1_700_000_000 + n))
+
+
+def _assign(coarse, fines, vec):
+    c = int(np.argmax(np.asarray(coarse) @ np.asarray(vec)))
+    f = int(np.argmax(np.asarray(fines[c]) @ np.asarray(vec)))
+    return c, f
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(60, DIM))
+    state = {
+        f"v{i}": (GRPS[i % 2], [float(x) for x in X[i]]) for i in range(60)
+    }
+    trained = []
+    for s in range(2):
+        df = _state_df(spark, state, shard=s).select("vec_id", "embedding")
+        trained.append(
+            train_ivf2_local(df, N_COARSE, N_FINE, sample_size=512, seed=5 + s)
+        )
+    return state, trained
+
+
+def test_s16_sharded_index_stays_fresh_under_shard_crossing_cdc(
+    spark, tmp_path, setup
+):
+    state, trained = setup
+    state = dict(state)
+    paths = [str(tmp_path / f"shard{s}") for s in range(2)]
+    shards = [(paths[s], *trained[s]) for s in range(2)]
+    for s in range(2):
+        build_ivf2_index(
+            _state_df(spark, state, shard=s).select("vec_id", "embedding"),
+            *trained[s],
+            paths[s],
+        )
+    mtimes0 = {
+        s: {
+            f: os.path.getmtime(f)
+            for f in glob.glob(
+                os.path.join(paths[s], "**", "*.parquet"), recursive=True
+            )
+        }
+        for s in range(2)
+    }
+    touched = {0: set(), 1: set()}
+
+    def _touch(grp, vec):
+        s = _shard_of(grp)
+        touched[s].add(_assign(*trained[s], vec))
+
+    # concentrate the churn around ±(each shard's v0/v1 direction) so
+    # only a few cells are touched per shard and the untouched-cell
+    # assertion has cells left to check (the S15 fixture discipline)
+    rng = np.random.default_rng(23)
+    base = {0: np.asarray(state["v0"][1]), 1: np.asarray(state["v1"][1])}
+
+    def _near(s, sign=1.0):
+        return [
+            float(x) for x in sign * base[s] + 0.05 * rng.normal(size=DIM)
+        ]
+
+    src = tmp_path / "cdc-in"
+    src.mkdir()
+
+    # batch 1: one insert per shard + an in-place cell-moving update
+    b1 = []
+    for vid, grp in (("v60", "a"), ("v61", "b")):
+        v = _near(_shard_of(grp))
+        b1.append(envelope("i", vid, after=_img(vid, grp, v), lsn=100 + int(vid[1:])))
+        state[vid] = (grp, v)
+        _touch(grp, v)
+    v0_new = _near(0, -1.0)
+    b1.append(
+        envelope(
+            "u",
+            "v0",
+            before=_img("v0", *state["v0"]),
+            after=_img("v0", "a", v0_new),
+            lsn=150,
+        )
+    )
+    _touch("a", state["v0"][1])
+    _touch("a", v0_new)
+    state["v0"] = ("a", v0_new)
+    _write_batch(src, 1, b1)
+
+    # batch 2: a shard-crossing update (a → b), a delete in shard 1, an
+    # out-of-order LWW pair on one key, and a CHAINED within-batch
+    # shard round-trip (a → b → a, new embedding) whose intermediate
+    # shard must end clean and whose ORIGINAL cell must be purged even
+    # though the winning event's before image doesn't address it
+    v2_b = _near(1)
+    chain_mid, chain_end = _near(1, -1.0), _near(0, -1.0)
+    v6_hi, v6_lo = _near(0), _near(0)
+    b2 = [
+        envelope(
+            "u",
+            "v2",
+            before=_img("v2", *state["v2"]),
+            after=_img("v2", "b", v2_b),
+            lsn=300,
+        ),
+        envelope("d", "v3", before=_img("v3", *state["v3"]), after=None, lsn=301),
+        # LWW pair: higher LSN written first
+        envelope(
+            "u",
+            "v6",
+            before=_img("v6", *state["v6"]),
+            after=_img("v6", "a", v6_hi),
+            lsn=305,
+        ),
+        envelope(
+            "u",
+            "v6",
+            before=_img("v6", *state["v6"]),
+            after=_img("v6", "a", v6_lo),
+            lsn=304,
+        ),
+        # chained round-trip for v4 (starts in shard 0)
+        envelope(
+            "u",
+            "v4",
+            before=_img("v4", *state["v4"]),
+            after=_img("v4", "b", chain_mid),
+            lsn=310,
+        ),
+        envelope(
+            "u",
+            "v4",
+            before=_img("v4", "b", chain_mid),
+            after=_img("v4", "a", chain_end),
+            lsn=311,
+        ),
+    ]
+    _touch(*state["v2"])
+    _touch("b", v2_b)
+    _touch(*state["v3"])
+    _touch(*state["v6"])
+    _touch("a", v6_hi)
+    _touch("a", v6_lo)
+    _touch(*state["v4"])
+    _touch("b", chain_mid)
+    _touch("a", chain_end)
+    state["v2"] = ("b", v2_b)
+    del state["v3"]
+    state["v6"] = ("a", v6_hi)
+    state["v4"] = ("a", chain_end)
+    _write_batch(src, 2, b2)
+
+    # batch 3: update a previously-moved key in its NEW shard, and
+    # delete another moved key via its new-shard before image
+    v2_b2 = _near(1, -1.0)
+    b3 = [
+        envelope(
+            "u",
+            "v2",
+            before=_img("v2", *state["v2"]),
+            after=_img("v2", "b", v2_b2),
+            lsn=400,
+        ),
+        envelope("d", "v60", before=_img("v60", *state["v60"]), after=None, lsn=401),
+    ]
+    _touch(*state["v2"])
+    _touch("b", v2_b2)
+    _touch(*state["v60"])
+    state["v2"] = ("b", v2_b2)
+    del state["v60"]
+    _write_batch(src, 3, b3)
+
+    sink = KeyedStateSink(
+        path=str(tmp_path / "state"), num_buckets=8, schema=ROW_SCHEMA
+    )
+    q = materialize_with_sharded_index(
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        sink,
+        shards,
+        _route,
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+
+    # the table of record matches for every streamed key
+    got_state = {
+        r["id"]: (r["grp"], list(r["embedding"]))
+        for r in sink.snapshot(spark).collect()
+    }
+    streamed = {"v0", "v2", "v4", "v6", "v61"}
+    assert got_state == {k: state[k] for k in streamed}
+
+    # (a) every shard row-identical to a from-scratch build of the
+    # expected state routed to it — shard-crossing moves and the
+    # chained round-trip leave neither stale copies nor strays
+    want_by_shard = {}
+    for s in range(2):
+        full = str(tmp_path / f"full{s}")
+        build_ivf2_index(
+            _state_df(spark, state, shard=s).select("vec_id", "embedding"),
+            *trained[s],
+            full,
+        )
+        want_by_shard[s] = {
+            (r.vec_id, r.coarse, r.fine)
+            for r in spark.read.parquet(full)
+            .select("vec_id", "coarse", "fine")
+            .collect()
+        }
+        got = {
+            (r.vec_id, r.coarse, r.fine)
+            for r in spark.read.parquet(paths[s])
+            .select("vec_id", "coarse", "fine")
+            .collect()
+        }
+        assert got == want_by_shard[s], f"shard {s}"
+        # the chained key ends in shard 0 only — the intermediate
+        # shard 1 copy and the original shard-0 cell are both purged
+        if s == 1:
+            assert not [t for t in got if t[0] == "v4"]
+    assert sum(1 for t in want_by_shard[0] if t[0] == "v4") == 1
+
+    # (b) untouched cells' files never rewritten, per shard
+    for s in range(2):
+        touched_dirs = {f"coarse={c}{os.sep}fine={f}" for c, f in touched[s]}
+        untouched_checked = 0
+        for f, mt in mtimes0[s].items():
+            cell = os.sep.join(os.path.relpath(f, paths[s]).split(os.sep)[:2])
+            if cell not in touched_dirs:
+                assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+                untouched_checked += 1
+        assert untouched_checked > 0, f"shard {s} fixture degenerate"
+
+    # (c) full-probe sharded serving over the maintained layouts equals
+    # brute force over the expected state
+    queries = _state_df(
+        spark, {k: state[k] for k in ("v0", "v2", "v61")}
+    ).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(
+            _state_df(spark, state).select("vec_id", "embedding"), queries, k=3
+        ).collect()
+    }
+    served = {
+        (r.query_id, r.rn): r.vec_id
+        for r in sharded_ivf2_topk(
+            spark,
+            shards,
+            queries,
+            k=3,
+            n_probe_coarse=N_COARSE,
+            n_probe_fine=N_FINE,
+        ).collect()
+    }
+    assert served == exact
+
+    # (d) redelivery: per-shard markers no-op a replayed batch id …
+    lasts = [index_last_applied_batch_id(p) for p in paths]
+    assert all(l is not None for l in lasts)
+    raw3 = spark.createDataFrame(b3, "key STRING, value STRING")
+    decoded3 = decode_envelope(raw3, row_schema=ROW_SCHEMA)
+    assert sharded_ivf2_apply_cdc(
+        decoded3, shards, _route, batch_id=min(lasts)
+    ) == {0: [], 1: []}
+    # … and a forced re-apply converges (idempotent key-drop merge)
+    sharded_ivf2_apply_cdc(decoded3, shards, _route, batch_id=None)
+    for s in range(2):
+        again = {
+            (r.vec_id, r.coarse, r.fine)
+            for r in spark.read.parquet(paths[s])
+            .select("vec_id", "coarse", "fine")
+            .collect()
+        }
+        assert again == want_by_shard[s], f"shard {s} diverged on re-apply"
