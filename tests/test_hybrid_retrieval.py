@@ -56,6 +56,43 @@ def test_rrf_rejects_empty_input():
         rrf_fuse({})
 
 
+def test_rrf_three_lists_fixed_association(spark):
+    """3+ lists sum their terms AFTER the aggregation, left-to-right in
+    sorted list-name order (ADVICE r10): the fused double must equal
+    the same fixed-order Python recompute bit-for-bit BEFORE the
+    6-decimal round is even considered, independent of registration
+    order."""
+    lists = {
+        "lex": [(1, 1), (2, 2), (3, 3)],
+        "vec": [(2, 1), (3, 2), (4, 3)],
+        "graph": [(3, 1), (1, 2), (5, 3)],
+    }
+    frames = {n: _ranked(spark, rows) for n, rows in lists.items()}
+    out = {r.doc_id: r for r in rrf_fuse(frames, k0=60).collect()}
+    # reversed registration order must fuse identically
+    rev = {
+        r.doc_id: r
+        for r in rrf_fuse(dict(reversed(list(frames.items()))), k0=60).collect()
+    }
+    ranks = {}
+    for n, rows in lists.items():
+        for d, rk in rows:
+            ranks.setdefault(d, {})[n] = rk
+    for d, by_list in ranks.items():
+        acc = 0.0
+        for n in sorted(lists):  # the operator's fixed association
+            acc = acc + (1.0 / (60 + by_list[n]) if n in by_list else 0.0)
+        want = round(acc, 6)
+        # the two engine-side fusions must agree EXACTLY (same fixed
+        # association regardless of registration order); the Python
+        # recompute is approximate only because round() is banker's
+        # where the operator's DECIMAL round is HALF_UP
+        assert out[d].rrf == rev[d].rrf, (d, out[d].rrf, rev[d].rrf)
+        assert out[d].rrf == pytest.approx(want, abs=1e-9), (d, out[d].rrf)
+        for n in lists:
+            assert out[d][f"{n}_rnk"] == by_list.get(n, 0)
+
+
 def test_q114_fused_scores_recompute_from_candidate_lists(spark):
     """The registered query's fused output must equal a driver-side
     recompute from its own two candidate lists — pins that fusion adds

@@ -243,6 +243,11 @@ BNLJ_INTENTIONAL = {
     # corpus-stats crossJoin on the lexical side and q22's probe-vector
     # crossJoin on the vector side
     "q114_hybrid_rrf_search",
+    # the indexed hybrid swaps the vector side to q102's serving shape:
+    # pruned index read joined to the broadcast probe frame on the
+    # non-equi probe-pair containment predicate; the lexical side keeps
+    # q52's corpus-stats crossJoin
+    "q115_hybrid_rrf_indexed",
 }
 
 
