@@ -372,3 +372,97 @@ def test_s16_sharded_index_stays_fresh_under_shard_crossing_cdc(
             .collect()
         }
         assert again == want_by_shard[s], f"shard {s} diverged on re-apply"
+
+
+def test_s16_crash_between_shard_commits_redelivers_cleanly(spark, tmp_path, setup):
+    """The per-shard-marker exactly-once composition, executed: apply a
+    batch to shard 0 ONLY (the crash point — shard 0's marker is
+    committed, shard 1's is not), then redeliver the WHOLE batch
+    through the sharded apply. Shard 0 must no-op on its marker,
+    shard 1 must merge normally, and both must end identical to the
+    single uninterrupted apply."""
+    state, trained = setup
+    state = dict(state)
+    paths = [str(tmp_path / f"shard{s}") for s in range(2)]
+    shards = [(paths[s], *trained[s]) for s in range(2)]
+    for s in range(2):
+        build_ivf2_index(
+            _state_df(spark, state, shard=s).select("vec_id", "embedding"),
+            *trained[s],
+            paths[s],
+        )
+
+    rng = np.random.default_rng(31)
+    move_v = [float(x) for x in rng.normal(size=DIM)]
+    ins_v = [float(x) for x in rng.normal(size=DIM)]
+    # one shard-crossing update (a → b) + one insert into shard 0
+    b = [
+        envelope(
+            "u",
+            "v8",
+            before=_img("v8", *state["v8"]),
+            after=_img("v8", "b", move_v),
+            lsn=700,
+        ),
+        envelope("i", "v70", after=_img("v70", "a", ins_v), lsn=701),
+    ]
+    state["v8"] = ("b", move_v)
+    state["v70"] = ("a", ins_v)
+    decoded = decode_envelope(
+        spark.createDataFrame(b, "key STRING, value STRING"), row_schema=ROW_SCHEMA
+    )
+
+    # crash point: only shard 0 sees the batch (its masked view), and
+    # its marker commits
+    from cdc_example_spark.streaming.ann_freshness import ivf2_apply_cdc
+
+    before_0 = F.when(
+        F.col("before").isNotNull() & (_route(F.col("before")) == 0),
+        F.col("before"),
+    )
+    after_0 = F.when(
+        F.col("after").isNotNull() & (_route(F.col("after")) == 0),
+        F.col("after"),
+    )
+    sub0 = decoded.filter(F.col("key_id").isNotNull()).select(
+        "key_id", before_0.alias("before"), after_0.alias("after"), "lsn", "ts_ms"
+    ).filter(F.col("before").isNotNull() | F.col("after").isNotNull())
+    ivf2_apply_cdc(sub0, *trained[0], paths[0], batch_id=0)
+    assert index_last_applied_batch_id(paths[0]) == 0
+    assert index_last_applied_batch_id(paths[1]) is None
+    shard0_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(paths[0], "**", "*.parquet"), recursive=True)
+    }
+
+    # redelivery: the full sharded apply with the same batch id
+    out = sharded_ivf2_apply_cdc(decoded, shards, _route, batch_id=0)
+    assert out[0] == []  # marker no-op on the committed shard
+    assert out[1] != []  # normal merge on the crashed-before shard
+    # the committed shard's files were not rewritten by the no-op
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(paths[0], "**", "*.parquet"), recursive=True)
+    } == shard0_files
+
+    # both shards end identical to an uninterrupted from-scratch build
+    for s in range(2):
+        want = str(tmp_path / f"want{s}")
+        build_ivf2_index(
+            _state_df(spark, state, shard=s).select("vec_id", "embedding"),
+            *trained[s],
+            want,
+        )
+        got_rows = {
+            (r.vec_id, r.coarse, r.fine)
+            for r in spark.read.parquet(paths[s])
+            .select("vec_id", "coarse", "fine")
+            .collect()
+        }
+        want_rows = {
+            (r.vec_id, r.coarse, r.fine)
+            for r in spark.read.parquet(want)
+            .select("vec_id", "coarse", "fine")
+            .collect()
+        }
+        assert got_rows == want_rows, f"shard {s}"
