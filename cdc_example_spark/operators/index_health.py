@@ -94,6 +94,25 @@ def ivf_occupancy_psi(
             F.sum(F.when(ref_cond, 1).otherwise(0)).alias("_nr"),
         )
     )
+    # Shape guard: a cell outside the declared universe means the
+    # caller is monitoring a layout with the wrong (n_coarse, n_fine)
+    # — the left join below would silently drop those rows from both
+    # counts and totals, reporting a healthy index over partial data.
+    # The check runs on the already-cell-bounded count frame (≤ one
+    # row per occupied cell), never the corpus.
+    stray = counts.filter(
+        (F.col(coarse_col) < 0)
+        | (F.col(coarse_col) >= n_coarse)
+        | (F.col(fine_col) < 0)
+        | (F.col(fine_col) >= n_fine)
+    ).limit(1).collect()
+    if stray:
+        r = stray[0]
+        raise ValueError(
+            f"ivf_occupancy_psi: assignment cell ({r[coarse_col]}, "
+            f"{r[fine_col]}) lies outside the declared {n_coarse}x{n_fine} "
+            "universe — the layout's shape does not match n_coarse/n_fine"
+        )
     # the universe side is k1·k2 literal rows — broadcast it and the
     # join never shuffles the (already cell-bounded) count frame
     cells = (

@@ -114,3 +114,13 @@ def test_empty_reference_degrades_finite(spark):
     assert all(r.psi_total is not None for r in out)
     assert all(not math.isnan(r.psi_total) for r in out)
     assert all(not math.isinf(r.psi_total) for r in out)
+
+
+def test_shape_mismatch_raises_instead_of_dropping_rows(spark):
+    # a cell outside the declared universe means the wrong shape params
+    # — must fail loudly, never report a healthy index over partial data
+    rows = [(1, 0, 0), (2, 3, 1)]  # (3,1) outside a 2x2 universe
+    with pytest.raises(ValueError, match="outside the declared 2x2"):
+        ivf_occupancy_psi(
+            _assignments(spark, rows), F.lit(True), n_coarse=2, n_fine=2
+        ).collect()
