@@ -124,3 +124,75 @@ def test_shape_mismatch_raises_instead_of_dropping_rows(spark):
         ivf_occupancy_psi(
             _assignments(spark, rows), F.lit(True), n_coarse=2, n_fine=2
         ).collect()
+
+
+def test_monitor_reads_a_cdc_maintained_layout(spark, tmp_path):
+    """The monitor consumes the S15/S16-maintained index directly: after
+    a CDC batch piles new vectors into one cell, the occupancy PSI over
+    the persisted layout (string-keyed, post-merge) must surface the
+    drift against the pre-CDC population — the retrain signal the
+    freshness pipeline feeds."""
+    import numpy as np
+
+    from cdc_example_spark.operators.similarity import (
+        build_ivf2_index,
+        train_ivf2_local,
+    )
+    from cdc_example_spark.streaming.ann_freshness import ivf2_apply_cdc
+    from cdc_example_spark.streaming.envelope import decode_envelope
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from tests.cdc_fixtures import envelope
+
+    rng = np.random.default_rng(37)
+    dim = 4
+    base = {f"v{i}": [float(x) for x in rng.normal(size=dim)] for i in range(40)}
+    df = spark.createDataFrame(
+        sorted(base.items()), "vec_id string, embedding array<double>"
+    )
+    coarse, fines = train_ivf2_local(df, 2, 2, sample_size=512, seed=7)
+    index = str(tmp_path / "index")
+    build_ivf2_index(df, coarse, fines, index)
+
+    # CDC: 50 inserts all near one direction (one cell pile-up)
+    target = np.asarray(base["v0"])
+    batch = [
+        envelope(
+            "i",
+            f"n{i}",
+            after={
+                "id": f"n{i}",
+                "embedding": [float(x) for x in target + 0.05 * rng.normal(size=dim)],
+            },
+            lsn=900 + i,
+        )
+        for i in range(50)
+    ]
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    decoded = decode_envelope(
+        spark.createDataFrame(batch, "key STRING, value STRING"), row_schema=schema
+    )
+    ivf2_apply_cdc(decoded, coarse, fines, index)
+
+    maintained = spark.read.parquet(index).select("vec_id", "coarse", "fine")
+    out = ivf_occupancy_psi(
+        maintained,
+        ~F.col("vec_id").startswith("n"),  # pre-CDC population = reference
+        n_coarse=2,
+        n_fine=2,
+        overload_factor=2,
+    ).collect()
+    assert sum(r.n_cur for r in out) == 90 and sum(r.n_ref for r in out) == 40
+    assert out[0].psi_total > 0.2
+    assert all(r.retrain_due for r in out)
+    assert any(r.overloaded for r in out)
