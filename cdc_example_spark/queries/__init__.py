@@ -33,108 +33,98 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # Rule 1, slot 1 — q114 was NEW in r10, registered outside the
-    # full r10 window by the documented precedent; its promised
-    # driver row lands here (VERDICT r10 items 1/2).
-    "q114_hybrid_rrf_search",
-    # Rule 1, slot 2 — CHANGED in r11: lsh_levenshtein_pairs now
-    # validates verify_join against the allowed hint set (ADVICE r10
-    # item 1; operators/dedup.py). Behavior-neutral for valid values,
-    # but "green" must never mean "green for an older build".
-    "q113_lsh_fuzzy_dedup_pairs",
-    # The 15 documented r10-overflow queries (r8 green rows, 3 rounds
-    # stale — promised to head the r11 window in the r10 rotation
-    # note; VERDICT r10 item 1).
-    "q35_pandas_cosine_topk",
-    "q36_ivf_topk",
-    "q62_ivf_trained_topk",
-    "q66_semantic_dedup",
-    "q71_event_funnel",
-    "q72_cohort_retention",
-    "q74_ntile_deciles",
-    "q75_curation_funnel",
-    "q76_hashed_linear_score",
-    "q77_hourly_anomalies",
-    "q78_resample_interpolate",
-    "q92_scd2_history",
-    "q93_pii_redaction",
-    "q99_zorder_box_scan",
-    "q102_ivf2_persisted_serving",
-    # 33 of the 48 r9-green rows due by the 2-round rule (rule 2) —
-    # changed-module neighbors first: the dedup family shares
-    # operators/dedup.py with the r11 verify_join change; the
-    # TF-IDF/BM25/perplexity family shares operators/relevance.py
-    # with the r11 rrf_fuse determinism fix (ADVICE r10 item 4);
-    # q105/q106/q54 share queries/relevance.py where q115 lands.
-    "q82_fuzzy_dedup_pairs",
-    "q21_exact_dedup_stats",
-    "q23_dedup_survivors",
-    "q101_segment_span_dedup",
-    "q24_jaccard_neardup_pairs",
-    "q47_simhash_near_pairs",
-    "q58_dedup_components",
-    "q51_tfidf_top_terms",
-    "q52_bm25_search",
-    "q69_bigram_lm_perplexity",
-    "q105_bpe_merge_rounds",
-    "q106_rag_chunking",
-    "q54_bigram_vocab",
-    # the similarity/ANN family (operators/similarity.py is reused —
-    # not modified — by the new q115 indexed-hybrid composition)
-    "q22_cosine_top5",
-    "q100_kmeans_lloyd_refine",
-    "q107_matryoshka_audit",
-    "q57_quantization_audit",
-    "q70_ivf_persisted_serving",
-    # the quality module (q116 index-health appends to
-    # queries/quality.py) + text-analysis neighbors
-    "q109_source_mix_divergence",
-    "q55_decontamination",
-    "q56_repetition_bands",
-    "q28_quality_scores",
-    "q27_lang_id_confusion",
-    "q26_token_counts",
-    "q25_rolling_fingerprints",
-    # then oldest-risk fill from the remaining r9 block
-    "q53_stratified_sample",
-    "q43_train_test_split",
-    "q67_sequence_packing",
-    "q42_stats_profile",
-    "q39_array_ops",
-    "q68_json_schema_profile",
-    "q20_json_buckets",
-    "q19_sessionization",
+    # Rule 1, slots 1–2 — q115/q116 were NEW in r11, registered
+    # outside the exactly-full r11 window by the documented
+    # q113/q114 precedent; their promised driver rows land here
+    # (VERDICT r11 items 1/2). q116's operator also takes this
+    # round's one behavior-relevant fix (ADVICE r11 item 2: the
+    # inert broadcast hint on the left-outer join in
+    # operators/index_health.py), so its slot covers both the NEW
+    # and the CHANGED obligation. r12 ships no other driver-query
+    # code change — new/changed = 2 ≤ 3.
+    "q115_hybrid_rrf_indexed",
+    "q116_ann_index_health",
+    # The 15 documented r11-overflow queries (r9 green rows, 3
+    # rounds stale — promised to head the r12 window in the r11
+    # rotation note; VERDICT r11 item 1). They MUST come first
+    # among the due rows.
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_customers_per_region",
+    "q12_top20_lineitems",
+    "q13_set_ops",
+    "q15_string_functions",
+    "q16_orders_by_month",
+    "q17_case_math_bands",
+    "q18_hourly_event_windows",
+    "q48_asof_join",
+    "q49_snapshot_at",
+    "q50_range_join",
+    "q61_salted_skew_join",
+    "q64_bucketed_colocated_join",
+    # 33 of the 49 r10-green rows due by the 2-round rule (rule 2).
+    # Near-neighbor families of this round's changes first: the ANN
+    # serving/similarity ladder (q116's index_health fix reads the
+    # same persisted layouts; the r12 retrain-loop work composes
+    # lloyd_refine/build_ivf2_index), then BPE/relevance, then the
+    # quality monitors, then the remaining r10 block.
+    "q104_quantized_cosine_topk",
+    "q30_cosine_topk_multi",
+    "q31_embedding_neardup_pairs",
+    "q29_simhash",
+    "q32_minhash_lsh_candidates",
+    "q95_canonical_dedup",
+    "q79_pagerank",
+    "q80_embedding_audit",
+    "q110_bpe_encode_corpus",
+    "q112_bpe_dictionary_encode",
+    "q73_zipf_slope",
+    "q81_heavy_hitters",
+    "q41_percentiles",
+    "q103_grouped_udaf_trimmed_mean",
+    "q108_split_leakage",
+    "q111_mixture_reweight_plan",
+    "q91_psi_value_drift",
+    "q88_quality_constraint_audit",
+    "q87_sparse_allpairs_cosine",
+    "q94_bloom_decontamination",
+    "q86_skyline_parts",
+    "q85_wav_audio_stats",
+    "q33_binary_media_meta",
+    "q34_multimodal_features",
+    "q83_pps_sample",
+    "q96_snapshot_diff",
+    "q97_priority_sample",
+    "q98_token_lift",
+    "q89_touch_attribution",
+    "q90_sketch_rollup_distinct",
+    "q37_ranking_family",
+    "q38_approx_distinct",
+    "q40_grouping_sets",
 ]
-# 50 prioritized — the window is exactly full: 1 promised-new + 1
-# changed in r11 (rule 1, ≤3 per VERDICT r10 item 1) + the 15
-# promised r8-stale carries (rule 2) + 33 of the 48 r9-green rows
+# 50 prioritized — the window is exactly full: 2 rule-1 slots
+# (q115/q116, the promised r11-new rows; ≤3 per the standing cap)
+# + the 15 promised r9-stale carries (rule 2, heading the due
+# block as the r11 note requires) + 33 of the 49 r10-green rows
 # due this round.
-# DOCUMENTED OVERFLOW (r11 → r12): q01_pricing_summary,
-# q02_forecast_revenue, q03_shipping_priority,
-# q04_customers_per_region, q12_top20_lineitems, q13_set_ops,
-# q15_string_functions, q16_orders_by_month, q17_case_math_bands,
-# q18_hourly_event_windows, q48_asof_join, q49_snapshot_at,
-# q50_range_join, q61_salted_skew_join, q64_bucketed_colocated_join
-# keep their r9 green rows one more round (15 queries, all in
-# modules untouched this round — the queries/batch.py relational
-# core and the asof/rangejoin/skew/lake operator files;
+# DOCUMENTED OVERFLOW (r12 → r13): q05_customers_without_orders,
+# q06_semi_join_having, q07_rollup_nation_segment,
+# q08_cube_status_priority, q09_top3_per_nation, q10_order_gaps,
+# q11_cumulative_spend, q14_count_distinct, q44_pivot_event_counts,
+# q45_subqueries, q46_range_frame, q59_full_outer_join,
+# q60_set_ops_all, q63_right_outer_join, q65_window_distribution,
+# q84_markov_transitions keep their r10 green rows one more round
+# (16 queries, all in queries/batch.py — the relational
+# join/window/set-op core, untouched this round;
 # tests/test_queries_oracle.py still oracle-checks every one
-# locally each run). They MUST head the r12 window together with
-# the 49 r10-green rows due at r12 (the 50 r10 rows minus this
-# round's q113 re-verify) — r12 faces 64 due vs 50 slots plus the
-# q115/q116 rule-1 slots, so r12 must again keep new/changed ≤3
-# and carry ~16 r10 rows (prefer untouched modules) to r13. With
-# 114+ queries against a 50-slot window the steady state is a
-# ~15-row documented 3-round tail; the rotation keeps it named,
+# locally each run). They MUST head the r13 window together with
+# the 50 r11-green rows due at r13 — r13 faces 66 due vs 50
+# slots, so r13 must again keep new/changed ≤3 and
+# carry ~16 r11 rows (prefer untouched modules) to r14. With 116
+# queries against a 50-slot window the steady state is a ~16-row
+# documented 3-round tail; the rotation keeps it named,
 # module-stable, and locally oracle-checked every run.
-#
-# q115_hybrid_rrf_indexed (NEW r11) and q116_ann_index_health
-# (NEW r11) are registered OUTSIDE the window (the r10 rotation
-# promise caps r11's new/changed at 3 and the window is exactly
-# full): the q113/q114 precedent — pytest + local-harness oracle
-# parity now (the generic oracle test checks them at sf0.001 every
-# run; hand-verified against their oracles at sf0.01), driver rows
-# at r12, where they count among r12's ≤3 rule-1 slots.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]
