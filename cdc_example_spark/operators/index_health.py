@@ -113,11 +113,16 @@ def ivf_occupancy_psi(
             f"{r[fine_col]}) lies outside the declared {n_coarse}x{n_fine} "
             "universe — the layout's shape does not match n_coarse/n_fine"
         )
-    # the universe side is k1·k2 literal rows — broadcast it and the
-    # join never shuffles the (already cell-bounded) count frame
+    # Broadcast the COUNT side: it is cell-bounded (≤ one row per
+    # occupied cell) and, unlike the universe, it sits on the
+    # non-preserved side of this left-outer join — a broadcast hint on
+    # the preserved (left) side is invalid for LeftOuter (BuildLeft)
+    # and Spark silently ignores it (ADVICE r11: the inert-hint
+    # failure mode). Broadcasting counts keeps the join shuffle-free
+    # AND honored.
     cells = (
-        F.broadcast(universe)
-        .join(counts, [coarse_col, fine_col], "left")
+        universe
+        .join(F.broadcast(counts), [coarse_col, fine_col], "left")
         .select(
             coarse_col,
             fine_col,

@@ -35,6 +35,7 @@ a metadata no-op, same as KeyedStateSink.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -195,6 +196,23 @@ def ivf2_apply_cdc(
             .partitionBy("coarse", "fine")
             .parquet(index_path)
         )
+        # Dynamic partition overwrite rewrites only partitions that
+        # have rows in `merged` — a touched cell whose read-back
+        # emptied out (delete of its sole occupant, or the sharded
+        # move-out pure purge) would keep serving its stale file
+        # forever (ADVICE r11, medium). Clear those directories
+        # explicitly. `merged` is checkpointed, so the distinct is one
+        # tiny job bounded by the touched-cell count, never the corpus.
+        survivors = {
+            (int(r.coarse), int(r.fine))
+            for r in merged.select("coarse", "fine").distinct().collect()
+        }
+        for c, fn in touched:
+            if (c, fn) in survivors:
+                continue
+            d = os.path.join(index_path, f"coarse={c}", f"fine={fn}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         if batch_id is not None:
             _record_index_batch_id(index_path, batch_id)
     return touched
@@ -236,10 +254,62 @@ def sharded_ivf2_apply_cdc(
     batch as a marker no-op on committed shards and a normal merge on
     the rest (the materialize_tables exactly-once composition).
     Returns {shard_ordinal: touched cells}.
+
+    Cost shape (VERDICT r11 item 4 — the materialize_tables
+    topic-listing discipline): ONE tiny distinct job per batch lists
+    the shard ordinals any image actually routes to; shards with no
+    routed images pay a marker write and zero Spark jobs. At S shards
+    with sparse batches the per-batch cost is O(touched shards), not
+    O(S). The same job is the route-coverage guard (ADVICE r11): a
+    non-null image whose route evaluates to NULL or to an ordinal
+    outside [0, S) would otherwise be masked out of EVERY shard — the
+    vector silently vanishing from all indexes — so that case raises
+    instead of dropping.
     """
     base = decoded.filter(F.col("key_id").isNotNull())
+    n_shards = len(shards)
+    routed = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("before").isNotNull().alias("nn"),
+                        route(F.col("before")).alias("ord"),
+                    ),
+                    F.struct(
+                        F.col("after").isNotNull().alias("nn"),
+                        route(F.col("after")).alias("ord"),
+                    ),
+                )
+            ).alias("img")
+        )
+        .filter(F.col("img.nn"))
+        .select(F.col("img.ord").cast("long").alias("ord"))
+        .distinct()
+        .collect()
+    )  # ≤ S+1 rows by construction — never the corpus
+    touched_ords: "set[int]" = set()
+    for r in routed:
+        if r.ord is None or not (0 <= int(r.ord) < n_shards):
+            raise ValueError(
+                "sharded_ivf2_apply_cdc: a non-null image routes to "
+                f"{r.ord!r}, outside the {n_shards}-shard layout — the "
+                "routing attribute is null/invalid and the vector would "
+                "silently vanish from every index"
+            )
+        touched_ords.add(int(r.ord))
     out: "dict[int, list[tuple[int, int]]]" = {}
     for s, (path, coarse, fines) in enumerate(shards):
+        if s not in touched_ords:
+            # marker-only commit: keep the per-shard exactly-once
+            # bookkeeping without running the shard's winner-window /
+            # cell jobs — an untouched shard costs zero Spark work.
+            if batch_id is not None:
+                last = index_last_applied_batch_id(path)
+                if last is None or batch_id > last:
+                    _record_index_batch_id(path, batch_id)
+            out[s] = []
+            continue
         before_s = F.when(
             F.col("before").isNotNull() & (route(F.col("before")) == s),
             F.col("before"),

@@ -376,6 +376,13 @@ def main() -> None:
                                 "warm_samples_done": len(samples)}),
                     flush=True,
                 )
+                # drop the failed sample's plan too: when collect(fresh)
+                # raises (the disk-full case this guard targets), `fresh`
+                # would otherwise stay referenced through the next
+                # query's cold run and pin its shuffle files (ADVICE
+                # r11). `fresh = None` (not del) — the raise may predate
+                # this iteration's assignment.
+                fresh = None  # noqa: F841
                 del prepared
                 registry.invalidate(spark)
                 gc.collect()

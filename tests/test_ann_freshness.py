@@ -135,6 +135,44 @@ def test_s15_chained_inbatch_update_purges_first_cell(spark, tmp_path, setup):
     assert placed == [cells["end"]], placed
 
 
+def test_s15_purging_a_cells_last_vector_clears_its_file(spark, tmp_path, setup):
+    """Dynamic partition overwrite only rewrites partitions that have
+    rows in the merge output — deleting EVERY occupant of a cell used
+    to leave the cell's old file on disk, still serving the purged
+    vectors (ADVICE r11, medium). The emptied cell directory must be
+    cleared explicitly."""
+    state, coarse, fines = setup
+    index = str(tmp_path / "index")
+    build_ivf2_index(_emb_df(spark, state), coarse, fines, index)
+
+    # pick the least-occupied cell and tombstone ALL of its occupants
+    # in one batch — the merge output then has zero rows for that cell
+    occ = {}
+    for r in spark.read.parquet(index).select("vec_id", "coarse", "fine").collect():
+        occ.setdefault((int(r.coarse), int(r.fine)), []).append(r.vec_id)
+    cell, victims = min(occ.items(), key=lambda kv: (len(kv[1]), kv[0]))
+    b = [
+        envelope("d", vid, before=_img(vid, state[vid]), after=None, lsn=900 + i)
+        for i, vid in enumerate(sorted(victims))
+    ]
+    decoded = decode_envelope(
+        spark.createDataFrame(b, "key STRING, value STRING"), row_schema=EMB_SCHEMA
+    )
+    touched = ivf2_apply_cdc(decoded, coarse, fines, index, batch_id=0)
+    assert cell in set(touched)
+
+    # the emptied cell's directory is gone — no stale file keeps
+    # serving the purged vectors
+    cell_dir = os.path.join(index, f"coarse={cell[0]}", f"fine={cell[1]}")
+    assert not glob.glob(os.path.join(cell_dir, "*.parquet"))
+    served = {
+        r.vec_id for r in spark.read.parquet(index).select("vec_id").collect()
+    }
+    assert served == set(state) - set(victims)
+    # redelivery of the purge batch stays a marker no-op
+    assert ivf2_apply_cdc(decoded, coarse, fines, index, batch_id=0) == []
+
+
 def test_s15_index_stays_fresh_under_cdc(spark, tmp_path, setup):
     state, coarse, fines = setup
     state = dict(state)

@@ -374,6 +374,142 @@ def test_s16_sharded_index_stays_fresh_under_shard_crossing_cdc(
         assert again == want_by_shard[s], f"shard {s} diverged on re-apply"
 
 
+def test_s16_untouched_shard_costs_zero_work(spark, tmp_path, setup):
+    """VERDICT r11 item 4: a shard no image routes to must cost ZERO
+    Spark jobs — one tiny distinct job lists the touched ordinals, and
+    untouched shards take a marker-only commit (the materialize_tables
+    topic-listing discipline: absent tables cost zero work)."""
+    import cdc_example_spark.streaming.ann_freshness as AF
+
+    state, trained = setup
+    paths = [str(tmp_path / f"shard{s}") for s in range(2)]
+    shards = [(paths[s], *trained[s]) for s in range(2)]
+    for s in range(2):
+        build_ivf2_index(
+            _state_df(spark, state, shard=s).select("vec_id", "embedding"),
+            *trained[s],
+            paths[s],
+        )
+    shard1_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(paths[1], "**", "*"), recursive=True)
+        if os.path.isfile(f)
+    }
+
+    # a batch whose images all live in shard 0 (grp 'a')
+    rng = np.random.default_rng(37)
+    b = [
+        envelope(
+            "i",
+            "v80",
+            after=_img("v80", "a", [float(x) for x in rng.normal(size=DIM)]),
+            lsn=800,
+        ),
+        envelope(
+            "u",
+            "v0",
+            before=_img("v0", *state["v0"]),
+            after=_img("v0", "a", [float(x) for x in rng.normal(size=DIM)]),
+            lsn=801,
+        ),
+    ]
+    decoded = decode_envelope(
+        spark.createDataFrame(b, "key STRING, value STRING"), row_schema=ROW_SCHEMA
+    )
+
+    # every per-shard Spark job lives inside ivf2_apply_cdc — record
+    # which index paths it runs for
+    applied_paths = []
+    real_apply = AF.ivf2_apply_cdc
+
+    def _recording_apply(sub, coarse, fines, path, **kw):
+        applied_paths.append(path)
+        return real_apply(sub, coarse, fines, path, **kw)
+
+    AF.ivf2_apply_cdc = _recording_apply
+    try:
+        out = AF.sharded_ivf2_apply_cdc(decoded, shards, _route, batch_id=5)
+    finally:
+        AF.ivf2_apply_cdc = real_apply
+
+    assert out[0] != [] and out[1] == []
+    # the untouched shard never entered the per-shard merge path …
+    assert applied_paths == [paths[0]]
+    # … its files (parquet AND any pre-existing metadata) are untouched …
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(paths[1], "**", "*"), recursive=True)
+        if os.path.isfile(f) and not f.endswith("_applied_batch_id")
+    } == shard1_files
+    # … but its exactly-once bookkeeping still advanced (marker-only
+    # commit), so a redelivery no-ops on BOTH shards
+    assert index_last_applied_batch_id(paths[1]) == 5
+    assert sharded_ivf2_apply_cdc(decoded, shards, _route, batch_id=5) == {
+        0: [],
+        1: [],
+    }
+
+
+def test_s16_uncovered_route_raises_instead_of_dropping(spark, tmp_path, setup):
+    """ADVICE r11: a non-null image whose route evaluates to NULL (or
+    to an ordinal outside the layout) used to be masked out of every
+    shard — the vector silently vanished from all indexes. It must
+    raise."""
+    state, trained = setup
+    paths = [str(tmp_path / f"shard{s}") for s in range(2)]
+    shards = [(paths[s], *trained[s]) for s in range(2)]
+    for s in range(2):
+        build_ivf2_index(
+            _state_df(spark, state, shard=s).select("vec_id", "embedding"),
+            *trained[s],
+            paths[s],
+        )
+
+    # a partial route: no otherwise() branch, so grp 'zz' → NULL
+    def _partial_route(img):
+        return F.when(img["grp"] == "a", 0).when(img["grp"] == "b", 1)
+
+    rng = np.random.default_rng(41)
+    bad = [
+        envelope(
+            "i",
+            "v90",
+            after=_img("v90", "zz", [float(x) for x in rng.normal(size=DIM)]),
+            lsn=900,
+        )
+    ]
+    decoded = decode_envelope(
+        spark.createDataFrame(bad, "key STRING, value STRING"),
+        row_schema=ROW_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="routes to"):
+        sharded_ivf2_apply_cdc(decoded, shards, _partial_route, batch_id=0)
+
+    # out-of-range ordinals are the same bug (a 2-shard route against a
+    # larger layout constant, say) — same loud failure
+    def _oob_route(img):
+        return F.when(img["grp"] == "a", 7).otherwise(1)
+
+    ok = [
+        envelope(
+            "i",
+            "v91",
+            after=_img("v91", "a", [float(x) for x in rng.normal(size=DIM)]),
+            lsn=901,
+        )
+    ]
+    decoded2 = decode_envelope(
+        spark.createDataFrame(ok, "key STRING, value STRING"),
+        row_schema=ROW_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="routes to"):
+        sharded_ivf2_apply_cdc(decoded2, shards, _oob_route, batch_id=0)
+    # neither failure committed a marker — the batch can be redelivered
+    # after the route is fixed
+    assert index_last_applied_batch_id(paths[0]) is None
+    assert index_last_applied_batch_id(paths[1]) is None
+
+
 def test_s16_crash_between_shard_commits_redelivers_cleanly(spark, tmp_path, setup):
     """The per-shard-marker exactly-once composition, executed: apply a
     batch to shard 0 ONLY (the crash point — shard 0's marker is
