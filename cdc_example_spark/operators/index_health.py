@@ -76,22 +76,54 @@ def ivf_occupancy_psi(
       (integer arithmetic, > overload_factor× the mean share);
     - ``retrain_due`` — psi_total > psi_threshold.
     """
-    n_cells = n_coarse * n_fine
-    universe = (
-        assignments.sparkSession.range(n_cells)
-        .select(
-            F.floor(F.col("id") / n_fine).cast("int").alias(coarse_col),
-            (F.col("id") % n_fine).cast("int").alias(fine_col),
-        )
-    )
     counts = (
         assignments.groupBy(
             F.col(coarse_col).cast("int").alias(coarse_col),
             F.col(fine_col).cast("int").alias(fine_col),
         )
         .agg(
-            F.count(F.lit(1)).alias("_nc"),
-            F.sum(F.when(ref_cond, 1).otherwise(0)).alias("_nr"),
+            F.count(F.lit(1)).alias("n_cur"),
+            F.sum(F.when(ref_cond, 1).otherwise(0)).alias("n_ref"),
+        )
+    )
+    return occupancy_psi_from_counts(
+        counts,
+        n_coarse,
+        n_fine,
+        coarse_col=coarse_col,
+        fine_col=fine_col,
+        smoothing=smoothing,
+        overload_factor=overload_factor,
+        psi_threshold=psi_threshold,
+    )
+
+
+def occupancy_psi_from_counts(
+    counts: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+    coarse_col: str = "coarse",
+    fine_col: str = "fine",
+    smoothing: float = 0.5,
+    overload_factor: int = OVERLOAD_FACTOR,
+    psi_threshold: float = PSI_RETRAIN_THRESHOLD,
+) -> DataFrame:
+    """The PSI core over an already-aggregated cell-count frame.
+
+    ``counts`` carries one row per OCCUPIED cell with exact ``n_ref``
+    (training-era occupancy) and ``n_cur`` (current occupancy) BIGINTs;
+    cells absent from it are zero in both eras. :func:`ivf_occupancy_psi`
+    derives it from per-vector assignments; the CDC retrain loop
+    (streaming/index_maintenance.py) derives it from a version's
+    persisted reference counts + one partition-column scan — same
+    math, same flags, same determinism contract either way.
+    """
+    n_cells = n_coarse * n_fine
+    universe = (
+        counts.sparkSession.range(n_cells)
+        .select(
+            F.floor(F.col("id") / n_fine).cast("int").alias(coarse_col),
+            (F.col("id") % n_fine).cast("int").alias(fine_col),
         )
     )
     # Shape guard: a cell outside the declared universe means the
@@ -126,8 +158,8 @@ def ivf_occupancy_psi(
         .select(
             coarse_col,
             fine_col,
-            F.coalesce(F.col("_nr"), F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce(F.col("_nc"), F.lit(0)).cast("long").alias("n_cur"),
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
         )
     )
     wall = Window.partitionBy()

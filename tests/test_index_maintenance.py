@@ -1,0 +1,362 @@
+"""S17 — the monitor→retrain loop, closed (VERDICT r11 item 3).
+
+q116's ``retrain_due`` flag, executed: a versioned IVF2 layout behind
+an atomic pointer is kept fresh by CDC (``ivf2_apply_cdc``), watched
+per batch by the same PSI core q116 runs, and — when injected drift
+clears the threshold — refined (``lloyd_refine``'s exchange),
+rebuilt (``build_ivf2_index``), and pointer-swapped while the
+changelog keeps applying. Pins:
+
+- a benign batch does NOT retrain; the drift batch flags and swaps
+  exactly once; post-swap PSI is back under the threshold;
+- post-swap batches merge into the NEW version; the final layout is
+  row-identical to a from-scratch build over the expected state with
+  the retrained centroids; full-probe serving equals brute force;
+- the old version's directory is retained intact (a reader that
+  resolved pre-swap keeps serving consistent files — serving never
+  mixes layouts);
+- redelivery of the triggering batch across the swap is a marker
+  no-op and does NOT fire a second retrain;
+- a crash BEFORE the pointer flip (commit point) converges on
+  redelivery to the identical layout, clearing the orphan build;
+- parity: the in-module coarse refinement matches ``lloyd_refine``'s
+  reassignment, and ``lloyd_steps=0`` retraining reproduces
+  ``train_ivf2_local``'s fines bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdc_example_spark.operators.keyed_state import KeyedStateSink
+from cdc_example_spark.operators.similarity import (
+    assign_cells_vectorized,
+    build_ivf2_index,
+    cosine_topk,
+    lloyd_refine,
+    train_ivf2_local,
+)
+from cdc_example_spark.streaming import index_maintenance as IM
+from cdc_example_spark.streaming.ann_freshness import (
+    index_last_applied_batch_id,
+)
+from cdc_example_spark.streaming.envelope import decode_envelope
+from tests.cdc_fixtures import envelope
+
+DIM = 4
+N_COARSE, N_FINE = 4, 3
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _vecs(n, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, DIM))
+    return {f"v{i}": [float(x) for x in X[i]] for i in range(n)}
+
+
+def _img(vid, vec):
+    return {"id": vid, "embedding": vec}
+
+
+def _emb_df(spark, state: dict):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(state.items())],
+        "vec_id string, embedding array<double>",
+    )
+
+
+def _write_batch(src, n, records):
+    p = src / f"batch-{n:04d}.json"
+    with open(p, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    os.utime(p, (1_700_000_000 + n, 1_700_000_000 + n))
+
+
+def _layout_rows(spark, vdir):
+    return {
+        (r.vec_id, int(r.coarse), int(r.fine))
+        for r in spark.read.parquet(vdir)
+        .select("vec_id", "coarse", "fine")
+        .collect()
+    }
+
+
+def _decoded(spark, records):
+    return decode_envelope(
+        spark.createDataFrame(records, "key STRING, value STRING"),
+        row_schema=EMB_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def base_state():
+    return _vecs(60)
+
+
+def _drift_records(state, start_vid, n, direction, lsn0, seed):
+    """n inserts piled around one direction — the occupancy-drift
+    injection (everything lands in one or two cells)."""
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n):
+        vid = f"v{start_vid + i}"
+        vec = [float(x) for x in direction + 0.05 * rng.normal(size=DIM)]
+        recs.append(envelope("i", vid, after=_img(vid, vec), lsn=lsn0 + i))
+        state[vid] = vec
+    return recs
+
+
+def test_s17_drift_flags_retrains_and_swaps_under_live_cdc(
+    spark, tmp_path, base_state
+):
+    state = dict(base_state)
+    root = str(tmp_path / "ann")
+    IM.init_versioned_ivf2(
+        _emb_df(spark, state), N_COARSE, N_FINE, root, sample_size=512, seed=3
+    )
+    assert IM.current_version(root) == "bootstrap"
+    boot_dir = IM.version_dir(root, "bootstrap")
+    meta0 = IM.read_layout_meta(boot_dir)
+
+    # pre-drift: the monitor reads ~zero drift against its own era
+    h0 = IM.versioned_layout_health(spark, boot_dir, meta0).first()
+    assert float(h0.psi_total) < 0.05 and not bool(h0.retrain_due)
+
+    src = tmp_path / "cdc-in"
+    src.mkdir()
+    rng = np.random.default_rng(19)
+    base = np.asarray(state["v0"])
+
+    # batch 0 — benign churn: one insert + one cell-moving update;
+    # PSI stays under the line, NO retrain
+    v60 = [float(x) for x in base + 0.05 * rng.normal(size=DIM)]
+    v1_new = [float(x) for x in np.asarray(state["v5"]) + 0.05 * rng.normal(size=DIM)]
+    b0 = [
+        envelope("i", "v60", after=_img("v60", v60), lsn=100),
+        envelope(
+            "u", "v1", before=_img("v1", state["v1"]),
+            after=_img("v1", v1_new), lsn=101,
+        ),
+    ]
+    state["v60"], state["v1"] = v60, v1_new
+    _write_batch(src, 0, b0)
+
+    # batch 1 — the drift: 25 inserts piled into -base territory
+    b1 = _drift_records(state, 61, 25, -base, lsn0=200, seed=23)
+    _write_batch(src, 1, b1)
+
+    # batch 2 — post-swap traffic: one insert + one update, applied to
+    # whatever version is then current
+    v86 = [float(x) for x in -base + 0.05 * rng.normal(size=DIM)]
+    v60_new = [float(x) for x in -base + 0.05 * rng.normal(size=DIM)]
+    b2 = [
+        envelope("i", "v86", after=_img("v86", v86), lsn=300),
+        envelope(
+            "u", "v60", before=_img("v60", state["v60"]),
+            after=_img("v60", v60_new), lsn=301,
+        ),
+    ]
+    state["v86"], state["v60"] = v86, v60_new
+    _write_batch(src, 2, b2)
+
+    sink = KeyedStateSink(
+        path=str(tmp_path / "state"), num_buckets=8, schema=EMB_SCHEMA
+    )
+    q = IM.materialize_with_monitored_index(
+        spark.readStream.schema("key STRING, value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        sink,
+        root,
+        str(tmp_path / "ckpt"),
+        trigger_once=True,
+        sample_size=512,
+        seed=3,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+
+    # exactly one retrain, at the drift batch: benign batch 0 left the
+    # bootstrap serving, batch 1 flagged and swapped, batch 2 merged
+    # into the new version
+    assert IM.current_version(root) == "b0000000001"
+    assert sorted(os.listdir(os.path.join(root, "versions"))) == [
+        "b0000000001",
+        "bootstrap",
+    ]
+    new_dir = IM.version_dir(root, "b0000000001")
+    meta1 = IM.read_layout_meta(new_dir)
+    assert index_last_applied_batch_id(new_dir) == 2  # batch 2 landed here
+
+    # post-swap drift is back under the line (the new version's era is
+    # its rebuild snapshot; only batch 2's two rows moved since)
+    h1 = IM.versioned_layout_health(spark, new_dir, meta1).first()
+    assert float(h1.psi_total) < 0.2 and not bool(h1.retrain_due)
+
+    # the retrained layout is row-identical to a from-scratch build of
+    # the expected final state under the retrained centroids
+    want_dir = str(tmp_path / "want")
+    build_ivf2_index(
+        _emb_df(spark, state), meta1["coarse"], meta1["fines"], want_dir
+    )
+    assert _layout_rows(spark, new_dir) == _layout_rows(spark, want_dir)
+
+    # full-probe serving from the pointer equals brute force
+    queries = _emb_df(spark, {k: state[k] for k in ("v0", "v61", "v86")})
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(_emb_df(spark, state), queries, k=3).collect()
+    }
+    served = {
+        (r.query_id, r.rn): r.vec_id
+        for r in IM.ivf2_topk_versioned(
+            spark, root, queries, k=3,
+            n_probe_coarse=len(meta1["coarse"]),
+            n_probe_fine=int(meta1["n_fine"]),
+        ).collect()
+    }
+    assert served == exact
+
+    # the old version is retained INTACT — a reader that resolved
+    # pre-swap keeps serving a complete, consistent layout (data +
+    # meta + marker all still there); serving never mixes versions
+    assert os.path.isfile(os.path.join(boot_dir, "_layout_meta.json"))
+    assert glob.glob(os.path.join(boot_dir, "coarse=*", "fine=*", "*.parquet"))
+    assert index_last_applied_batch_id(boot_dir) == 1  # its final era
+    boot_meta_again = IM.read_layout_meta(boot_dir)
+    assert boot_meta_again["coarse"] == meta0["coarse"]
+
+    # the table of record saw every streamed key (swap never lost CDC)
+    got_state = {
+        r["id"]: list(r["embedding"]) for r in sink.snapshot(spark).collect()
+    }
+    streamed = {"v1", "v60", "v86"} | {f"v{i}" for i in range(61, 86)}
+    assert got_state == {k: state[k] for k in streamed}
+
+    # redelivery of the TRIGGERING batch across the swap: marker no-op
+    # on the new version, no second retrain, layout unchanged
+    before_rows = _layout_rows(spark, new_dir)
+    rep = IM.maintain_versioned_index(
+        _decoded(spark, b1), root, batch_id=1, sample_size=512, seed=3
+    )
+    assert rep["retrained"] is False and rep["touched_cells"] == []
+    assert IM.current_version(root) == "b0000000001"
+    assert _layout_rows(spark, new_dir) == before_rows
+
+
+def test_s17_crash_before_pointer_flip_converges_on_redelivery(
+    spark, tmp_path, base_state, monkeypatch
+):
+    """The pointer flip is the commit point: kill the loop right
+    before it (after the rebuild wrote data+meta) and redeliver. The
+    old version must still be serving, the redelivered batch must
+    no-op on the old version's marker, the monitor must still flag,
+    and the re-run must clear the orphan and land the identical
+    layout."""
+    state = dict(base_state)
+    root = str(tmp_path / "ann")
+    IM.init_versioned_ivf2(
+        _emb_df(spark, state), N_COARSE, N_FINE, root, sample_size=512, seed=3
+    )
+    base = np.asarray(state["v0"])
+    b = _drift_records(state, 61, 25, -base, lsn0=200, seed=29)
+
+    def _boom(root_, name_):
+        raise RuntimeError("crash injected before the pointer flip")
+
+    monkeypatch.setattr(IM, "_set_current", _boom)
+    with pytest.raises(RuntimeError, match="crash injected"):
+        IM.maintain_versioned_index(
+            _decoded(spark, b), root, batch_id=7, sample_size=512, seed=3
+        )
+    monkeypatch.undo()
+
+    # pre-swap state is what's serving: pointer untouched, the batch
+    # committed to the OLD version (its marker advanced), and the
+    # orphan build exists but is unreferenced
+    assert IM.current_version(root) == "bootstrap"
+    boot_dir = IM.version_dir(root, "bootstrap")
+    assert index_last_applied_batch_id(boot_dir) == 7
+    orphan = IM.version_dir(root, "b0000000007")
+    assert os.path.isdir(orphan)
+
+    # redelivery: apply no-ops on the old marker, the monitor still
+    # flags, the orphan is cleared and rebuilt, the flip commits
+    rep = IM.maintain_versioned_index(
+        _decoded(spark, b), root, batch_id=7, sample_size=512, seed=3
+    )
+    assert rep["touched_cells"] == []  # marker no-op on the old version
+    assert rep["retrained"] is True
+    assert IM.current_version(root) == "b0000000007"
+
+    # identical to the uninterrupted cadence: a from-scratch build of
+    # the expected state under the (deterministic) retrained centroids
+    meta1 = IM.read_layout_meta(orphan)
+    want_dir = str(tmp_path / "want")
+    build_ivf2_index(
+        _emb_df(spark, state), meta1["coarse"], meta1["fines"], want_dir
+    )
+    assert _layout_rows(spark, orphan) == _layout_rows(spark, want_dir)
+
+
+def test_s17_coarse_refinement_matches_lloyd_refine(spark, base_state):
+    """The loop's coarse-refinement step IS lloyd_refine's exchange:
+    assignments under the refined centroids it returns must equal the
+    operator's own cell1 output (modulo the order-preserving remap of
+    surviving cells)."""
+    df = _emb_df(spark, base_state)
+    coarse, _ = train_ivf2_local(df, N_COARSE, N_FINE, sample_size=512, seed=3)
+
+    refined = IM.lloyd_refined_coarse(df, coarse, steps=1)
+    lr = {r.vec_id: (int(r.cell0), int(r.cell1))
+          for r in lloyd_refine(df, coarse, vectorized=True).collect()}
+
+    # surviving original cids in order == refined's index order
+    occupied = sorted({c0 for c0, _ in lr.values()})
+    assert len(refined) == len(occupied)
+    remap = {cid: i for i, cid in enumerate(occupied)}
+
+    mine = {
+        r.vec_id: int(r.cell)
+        for r in df.withColumn(
+            "cell", assign_cells_vectorized(refined)("embedding")
+        ).collect()
+    }
+    assert mine == {vid: remap[c1] for vid, (_, c1) in lr.items()}
+
+
+def test_s17_retrain_with_zero_lloyd_steps_reproduces_trainer_fines(
+    spark, base_state
+):
+    """lloyd_steps=0 + the trainer's own coarse/sample/seed must
+    reproduce train_ivf2_local's fines bit-for-bit — the level-2
+    parity pin for retrain_fines."""
+    df = _emb_df(spark, base_state)
+    coarse, fines = train_ivf2_local(
+        df, N_COARSE, N_FINE, sample_size=512, seed=9
+    )
+    c2, f2 = IM.retrain_ivf2(
+        df, coarse, N_FINE, lloyd_steps=0, sample_size=512, seed=9
+    )
+    assert c2 == coarse
+    assert f2 == fines
