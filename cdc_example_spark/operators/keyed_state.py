@@ -49,6 +49,17 @@ MICROBATCH_SHUFFLE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_MICROBATCH_SHUFFLE", "4")
 )
 
+#: Largest bucket-directory count for which the streaming apply takes
+#: the ONE-JOB fused shape (filesystem bucket listing + in-plan
+#: broadcast semi-join + Observation-recovered touched set) instead of
+#: the two-job scoped shape. Past this, enumerating/reading every
+#: bucket dir per batch is the table-proportional cost scoped reads
+#: exist to avoid — a 100 TB deployment pins num_buckets in the
+#: thousands and stays on the scoped path.
+FUSED_APPLY_MAX_BUCKETS = int(
+    os.environ.get("SPARK_GRAFT_FUSED_APPLY_MAX_BUCKETS", "64")
+)
+
 
 #: serializes microbatch_conf scopes: two streaming queries sharing one
 #: session would otherwise interleave set/restore and leak the
@@ -418,46 +429,57 @@ class KeyedStateSink:
         # (~15 ms/bucket-dir/batch of small-file overhead) and the
         # 512 KB decode split in microbatch_conf (904 → 603 ms
         # together at the sized tier).
+        #
+        # r12 (T3 margin): at auto-tier bucket counts the touched-
+        # bucket listing job itself IS ~1/3 of the batch (the per-job
+        # floor is scheduling-bound, ~300 ms under load, for a job
+        # whose real work is a 20k-row key parse). The FUSED shape
+        # drops it: list the state's bucket directories from the
+        # filesystem (zero jobs — the dirs are the truth), restrict
+        # the state side in-plan with a broadcast semi-join against
+        # the batch's distinct buckets, and recover the touched set
+        # AFTER the one write job from an Observation on the change
+        # subtree (the same free-metric discipline the write already
+        # uses for its empty-bucket cleanup). ONE job per batch.
+        # Interleaved A/B at the 20k tier: 996.6 → 921.3 ms median,
+        # every pair improved. Gated to small layouts: reading every
+        # bucket directory's state is exactly what scoped reads exist
+        # to avoid at a 4096-bucket 100 TB deployment, so layouts past
+        # FUSED_APPLY_MAX_BUCKETS keep the two-job scoped shape (the
+        # semi-join restriction does not save the LISTING/footer cost
+        # of thousands of dirs; the explicit bucket list does).
         with microbatch_conf(spark):
             ch = changes.withColumn("bucket", self._bucket(F.col("key_id")))
-            buckets = (ch.agg(F.collect_set("bucket")).first()[0]) or []
-            if buckets:
-                data_cols = self._data_cols()
-                cu = ch.select(
-                    "key_id",
-                    "bucket",
-                    "is_delete",
-                    *[F.col(f"after.{c}").alias(c) for c in data_cols],
-                    "lsn",
-                    "ts_ms",
-                )
-                state = self._read_state(spark, buckets)
-                if state is not None:
-                    su = state.select(
-                        F.col(self.key).alias("key_id"),
+            existing = self._existing_buckets()
+            if self.scoped_read and len(existing) <= FUSED_APPLY_MAX_BUCKETS:
+                self._apply_fused(spark, ch, existing)
+            else:
+                buckets = (ch.agg(F.collect_set("bucket")).first()[0]) or []
+                if buckets:
+                    data_cols = self._data_cols()
+                    cu = ch.select(
+                        "key_id",
                         "bucket",
-                        F.lit(False).alias("is_delete"),
-                        *data_cols,
-                        F.lit(None).cast("long").alias("lsn"),
-                        F.lit(None).cast("long").alias("ts_ms"),
+                        "is_delete",
+                        *[F.col(f"after.{c}").alias(c) for c in data_cols],
+                        "lsn",
+                        "ts_ms",
                     )
-                    allr = su.unionByName(cu)
-                else:
-                    allr = cu
-                w = Window.partitionBy("bucket").orderBy(
-                    "key_id",
-                    F.col("lsn").desc_nulls_last(),
-                    F.col("ts_ms").desc_nulls_last(),
-                )
-                prev_key = F.lag("key_id").over(w)
-                out = (
-                    allr.withColumn(
-                        "_win", prev_key.isNull() | (prev_key != F.col("key_id"))
-                    )
-                    .filter(F.col("_win") & ~F.col("is_delete"))
-                    .select(*data_cols, "bucket")
-                )
-                self._overwrite_touched(out, buckets, already_partitioned=True)
+                    state = self._read_state(spark, buckets)
+                    if state is not None:
+                        su = state.select(
+                            F.col(self.key).alias("key_id"),
+                            "bucket",
+                            F.lit(False).alias("is_delete"),
+                            *data_cols,
+                            F.lit(None).cast("long").alias("lsn"),
+                            F.lit(None).cast("long").alias("ts_ms"),
+                        )
+                        allr = su.unionByName(cu)
+                    else:
+                        allr = cu
+                    out = self._winner_rows(allr)
+                    self._overwrite_touched(out, buckets, already_partitioned=True)
             if batch_id is not None:
                 self._record_batch_id(batch_id)
         # auto-mode growth check runs OUTSIDE the micro-batch conf scope
@@ -466,6 +488,93 @@ class KeyedStateSink:
         # retries the resize on the next batch.
         self._maybe_grow(spark)
         return True
+
+    def _existing_buckets(self) -> "list[int]":
+        """The state's bucket ordinals straight from the directory
+        names — a filesystem listing, zero Spark jobs (the dirs ARE
+        the truth; _read_state enumerates the same names)."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            if d.startswith("bucket="):
+                try:
+                    out.append(int(d[len("bucket="):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _winner_rows(self, allr: DataFrame) -> DataFrame:
+        """The per-key winner pass shared by both apply shapes: one
+        window clustered by bucket; 'first row of each key run wins'
+        gives intra-batch collapse, MERGE semantics, delete-drop and
+        resurrection in a single exchange."""
+        data_cols = self._data_cols()
+        w = Window.partitionBy("bucket").orderBy(
+            "key_id",
+            F.col("lsn").desc_nulls_last(),
+            F.col("ts_ms").desc_nulls_last(),
+        )
+        prev_key = F.lag("key_id").over(w)
+        return (
+            allr.withColumn(
+                "_win", prev_key.isNull() | (prev_key != F.col("key_id"))
+            )
+            .filter(F.col("_win") & ~F.col("is_delete"))
+            .select(*data_cols, "bucket")
+        )
+
+    def _apply_fused(
+        self, spark: SparkSession, ch: DataFrame, existing: "list[int]"
+    ) -> None:
+        """The one-job streaming apply (small layouts — see the shape
+        comment in _apply_changes_locked): no up-front touched-bucket
+        job; the touched set rides an Observation on the change
+        subtree of the single merge-write job and feeds the
+        empty-bucket cleanup afterwards."""
+        touched_obs = Observation()
+        ch_o = ch.observe(
+            touched_obs, F.collect_set("bucket").alias("touched")
+        )
+        data_cols = self._data_cols()
+        cu = ch_o.select(
+            "key_id",
+            "bucket",
+            "is_delete",
+            *[F.col(f"after.{c}").alias(c) for c in data_cols],
+            "lsn",
+            "ts_ms",
+        )
+        state = self._read_state(spark, existing) if existing else None
+        if state is not None:
+            su = state.select(
+                F.col(self.key).alias("key_id"),
+                "bucket",
+                F.lit(False).alias("is_delete"),
+                *data_cols,
+                F.lit(None).cast("long").alias("lsn"),
+                F.lit(None).cast("long").alias("ts_ms"),
+            )
+            # in-plan replacement for the scoped read: only touched
+            # buckets' state enters the winner pass, so untouched
+            # buckets contribute no output rows and are never
+            # rewritten (the dynamic-overwrite contract unchanged)
+            su = su.join(
+                F.broadcast(ch.select("bucket").distinct()),
+                on="bucket",
+                how="left_semi",
+            )
+            allr = su.unionByName(cu)
+        else:
+            allr = cu
+        out = self._winner_rows(allr)
+        self._overwrite_touched(
+            out,
+            buckets=None,
+            already_partitioned=True,
+            touched_obs=touched_obs,
+            touched_fallback=ch.select("bucket").distinct(),
+        )
 
     def _merge(self, spark: SparkSession, touched_keys: DataFrame, new_rows: DataFrame) -> None:
         """Rewrite only the buckets containing ``touched_keys``."""
@@ -515,7 +624,12 @@ class KeyedStateSink:
         self._overwrite_touched(out, buckets)
 
     def _overwrite_touched(
-        self, out: DataFrame, buckets: "list[int]", already_partitioned: bool = False
+        self,
+        out: DataFrame,
+        buckets: "list[int] | None",
+        already_partitioned: bool = False,
+        touched_obs: "Observation | None" = None,
+        touched_fallback: "DataFrame | None" = None,
     ) -> None:
         # Overwrite exactly the touched bucket directories in ONE write
         # job via dynamic partition overwrite (a per-bucket write loop is
@@ -543,7 +657,7 @@ class KeyedStateSink:
             # its window exchange — re-repartitioning there would add a
             # shuffle; the REST path needs the clustering for one file
             # per (task, bucket).
-            observed = observed.repartition(max(len(buckets), 1), F.col("bucket"))
+            observed = observed.repartition(max(len(buckets or []), 1), F.col("bucket"))
         # persist the count the data is about to be hashed with BEFORE
         # the data lands (ADVICE r8 high): a crash between an 8-way
         # first write and a post-write meta would otherwise restart as
@@ -577,6 +691,18 @@ class KeyedStateSink:
                 r["bucket"]
                 for r in out.groupBy("bucket").count().filter("count > 0").collect()
             }
+        if buckets is None:
+            # fused shape: the touched set rode the write job's change
+            # subtree (touched_obs) — resolved HERE, after the action.
+            # Same elision caveat as the write metric: if the plan was
+            # statically/runtime empty the metric never fires, and the
+            # tiny distinct re-plan is the safe fallback.
+            try:
+                buckets = sorted(set(touched_obs.get["touched"]))
+            except Exception:
+                buckets = sorted(
+                    r["bucket"] for r in touched_fallback.distinct().collect()
+                ) if touched_fallback is not None else sorted(nonempty)
         for b in buckets:
             if b not in nonempty:
                 shutil.rmtree(os.path.join(self.path, f"bucket={b}"), ignore_errors=True)

@@ -385,3 +385,104 @@ def test_auto_bucket_growth_rebuckets_and_preserves_state(spark, tmp_path):
     # does not shrink or re-bucket again
     apply_batch(spark, s2, _insert_records(5, tag="x"))
     assert s2.num_buckets == 32
+
+
+def test_fused_apply_matches_scoped_two_job_shape(spark, tmp_path, monkeypatch):
+    """r12 T3-margin shape: the one-job fused apply (filesystem bucket
+    listing + in-plan semi-join + Observation-recovered touched set)
+    must be semantics-identical to the two-job scoped shape on a mixed
+    batch — including the delete that empties a bucket (its directory
+    cleared in both) and untouched buckets never rewritten."""
+    import glob as _glob
+    import os as _os
+
+    import cdc_example_spark.operators.keyed_state as KS
+
+    t = "2025-10-26T23:59:27.585446Z"
+
+    def seed(path):
+        s = KeyedStateSink(path=path, num_buckets=8)
+        apply_batch(spark, s, [
+            envelope("i", f"seed{i:04d}",
+                     after=row_image(f"seed{i:04d}", t, t, f"m{i}", "ann"),
+                     lsn=100 + i, ts_ms=100 + i)
+            for i in range(64)
+        ])
+        return s
+
+    def mixed_batch(s):
+        # a key alone in its bucket: find a bucket with exactly one
+        # seed key and tombstone it (the empty-bucket cleanup case)
+        from pyspark.sql import functions as F
+        rows = s.snapshot(spark).select("id").collect()
+        by_bucket = {}
+        for r in rows:
+            b = int(spark.range(1).select(
+                F.lit(r["id"]).alias("k")).select(
+                KS.KeyedStateSink._bucket(s, F.col("k"))).first()[0])
+            by_bucket.setdefault(b, []).append(r["id"])
+        lone = min(by_bucket.items(), key=lambda kv: (len(kv[1]), kv[0]))
+        victims = lone[1]
+        recs = [
+            envelope("d", v, after=None, lsn=9000 + i, ts_ms=9000 + i)
+            for i, v in enumerate(victims)
+        ]
+        # plus an update, an out-of-order LWW pair, and an insert
+        recs += [
+            envelope("u", "seed0001",
+                     after=row_image("seed0001", t, t, "edited", "bob"),
+                     lsn=9100, ts_ms=9100),
+            envelope("u", "seed0002",
+                     after=row_image("seed0002", t, t, "late-wins", "cat"),
+                     lsn=9202, ts_ms=9202),
+            envelope("u", "seed0002",
+                     after=row_image("seed0002", t, t, "early-loses", "cat"),
+                     lsn=9201, ts_ms=9201),
+            envelope("i", "fresh001",
+                     after=row_image("fresh001", t, t, "new", "dan"),
+                     lsn=9300, ts_ms=9300),
+        ]
+        return recs, lone[0]
+
+    # fused (default at 8 buckets)
+    fused = seed(str(tmp_path / "fused"))
+    recs, bucket_f = mixed_batch(fused)
+    mt_before = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(_os.path.join(fused.path, "bucket=*", "*.parquet"))
+    }
+    apply_batch(spark, fused, recs)
+
+    # scoped two-job (forced)
+    monkeypatch.setattr(KS, "FUSED_APPLY_MAX_BUCKETS", -1)
+    scoped = seed(str(tmp_path / "scoped"))
+    recs2, bucket_s = mixed_batch(scoped)
+    assert [r["key"] for r in recs2] == [r["key"] for r in recs]
+    apply_batch(spark, scoped, recs2)
+    monkeypatch.undo()
+
+    a = rows_by_id(spark, fused)
+    b = rows_by_id(spark, scoped)
+    assert a == b
+    assert a["seed0001"]["message"] == "edited"
+    assert a["seed0002"]["message"] == "late-wins"
+    assert "fresh001" in a
+    # the emptied bucket's directory is cleared in BOTH shapes
+    assert not _os.path.isdir(_os.path.join(fused.path, f"bucket={bucket_f}"))
+    assert not _os.path.isdir(_os.path.join(scoped.path, f"bucket={bucket_s}"))
+    # untouched buckets were not rewritten by the fused shape
+    touched_dirs = set()
+    from pyspark.sql import functions as F
+    for r in recs:
+        import json as _json
+        kid = _json.loads(r["key"])["id"]
+        tb = int(spark.range(1).select(F.lit(kid).alias("k")).select(
+            KS.KeyedStateSink._bucket(fused, F.col("k"))).first()[0])
+        touched_dirs.add(tb)
+    untouched_checked = 0
+    for f, mt in mt_before.items():
+        bdir = int(f.split("bucket=")[1].split(_os.sep)[0])
+        if bdir not in touched_dirs:
+            assert _os.path.exists(f) and _os.path.getmtime(f) == mt, f
+            untouched_checked += 1
+    assert untouched_checked > 0
