@@ -1066,7 +1066,13 @@ def _q116_oracle() -> str:
         FINES_SF001,
     )
 
-    n1, n2 = len(COARSE_SF001), len(FINES_SF001[0])
+    # the universe's fine bound is the LARGEST per-cell fine count —
+    # train_ivf2_local trains fewer centroids in small coarse cells
+    # (min 1), so cell 0's count under-declares the layout at shard
+    # scales (the shape guard caught exactly this at the k=100 shard,
+    # r12); at the sf0.01 contract tier every cell is full (3/3/3) so
+    # this is hash-identical to the former fines[0] derivation
+    n1, n2 = len(COARSE_SF001), max(len(cell) for cell in FINES_SF001)
     n_cells = n1 * n2
     coarse_values = ",\n        ".join(
         "({}, [{}]::DOUBLE[])".format(c, ", ".join(repr(x) for x in cv))
@@ -1146,5 +1152,8 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx,
         F.col("vec_id") < 250,
         n_coarse=len(coarse),
-        n_fine=len(fines[0]),
+        # max, not fines[0]: small coarse cells train fewer fine
+        # centroids, so the first cell under-declares the universe at
+        # shard scales — the r12 shape-guard catch (oracle twin above)
+        n_fine=max(len(cell) for cell in fines),
     )
