@@ -186,8 +186,24 @@ def ivf2_apply_cdc(
             F.col("nc.coarse").cast("int").alias("coarse"),
             F.col("nc.fine").cast("int").alias("fine"),
         )
-        merged = kept.unionByName(incoming).localCheckpoint(
-            eager=True
+        # The surviving-cell set rides the eager localCheckpoint's own
+        # materialization as an Observation (the keyed_state
+        # _overwrite_touched free-metric discipline) — no separate
+        # distinct job; cells are int-encoded because metric values
+        # must be scalars.
+        from pyspark.sql import Observation
+
+        surv_obs = Observation()
+        merged = (
+            kept.unionByName(incoming)
+            .observe(
+                surv_obs,
+                F.collect_set(
+                    F.col("coarse").cast("long") * F.lit(1_000_000)
+                    + F.col("fine").cast("long")
+                ).alias("cells"),
+            )
+            .localCheckpoint(eager=True)
         )  # materialize BEFORE overwriting what it reads
         (
             merged.repartition(F.col("coarse"), F.col("fine"))
@@ -201,12 +217,19 @@ def ivf2_apply_cdc(
         # emptied out (delete of its sole occupant, or the sharded
         # move-out pure purge) would keep serving its stale file
         # forever (ADVICE r11, medium). Clear those directories
-        # explicitly. `merged` is checkpointed, so the distinct is one
-        # tiny job bounded by the touched-cell count, never the corpus.
-        survivors = {
-            (int(r.coarse), int(r.fine))
-            for r in merged.select("coarse", "fine").distinct().collect()
-        }
+        # explicitly. Same elision caveat as keyed_state: a
+        # statically/runtime-empty plan never fires the metric, and
+        # the cell-bounded distinct re-plan is the safe fallback.
+        try:
+            survivors = {
+                (int(v // 1_000_000), int(v % 1_000_000))
+                for v in surv_obs.get["cells"]
+            }
+        except Exception:
+            survivors = {
+                (int(r.coarse), int(r.fine))
+                for r in merged.select("coarse", "fine").distinct().collect()
+            }
         for c, fn in touched:
             if (c, fn) in survivors:
                 continue
