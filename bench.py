@@ -231,13 +231,20 @@ def main() -> None:
         )
     except OSError:
         pass
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    # r12's compact line measured 2,105 bytes — 105 over the driver's
+    # 2,000-char stdout tail, so BENCH_r12.json recorded "parsed": null
+    # (VERDICT r12 item 5). Keep this line comfortably under the window:
+    # compact separators, 2-decimal per-query values, short metric
+    # label, and no slowest5 (it lives on the detail line and in
+    # BENCH_local.json). Measured 1,523 bytes at 116 queries — ~475
+    # bytes of headroom.
     compact = {
-        "metric": "declared-query-set wall clock (steady-state, fresh plans)",
+        "metric": "suite_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": {n.split("_", 1)[0]: t for n, t in timings.items()},
-        "slowest5": dict(slowest),
+        "queries": {
+            n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()
+        },
         "n_queries": len(timings),
         "cold_total_sec": detail["cold_total_sec"],
         "construct_total_sec": detail["construct_total_sec"],
@@ -245,7 +252,7 @@ def main() -> None:
         **cdc_fields,
         "sf": sf,
     }
-    print(json.dumps(compact), flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     spark.stop()
 
 

@@ -33,96 +33,97 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # Rule 1, slots 1–2 — q115/q116 were NEW in r11, registered
-    # outside the exactly-full r11 window by the documented
-    # q113/q114 precedent; their promised driver rows land here
-    # (VERDICT r11 items 1/2). q116's operator also takes this
-    # round's one behavior-relevant fix (ADVICE r11 item 2: the
-    # inert broadcast hint on the left-outer join in
-    # operators/index_health.py), so its slot covers both the NEW
-    # and the CHANGED obligation. r12 ships no other driver-query
-    # code change — new/changed = 2 ≤ 3.
-    "q115_hybrid_rrf_indexed",
+    # Rule 1, slot 1 — the ONLY driver query whose code changes in
+    # r13: q116's current-occupancy side moves from a
+    # column-priced F.count("vec_id") to a footer-answerable
+    # count(*) (VERDICT r12 item 3). r13 registers no new queries
+    # (VERDICT r12 item 7) — new/changed = 1 ≤ 3.
     "q116_ann_index_health",
-    # The 15 documented r11-overflow queries (r9 green rows, 3
-    # rounds stale — promised to head the r12 window in the r11
-    # rotation note; VERDICT r11 item 1). They MUST come first
-    # among the due rows.
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_shipping_priority",
-    "q04_customers_per_region",
-    "q12_top20_lineitems",
-    "q13_set_ops",
-    "q15_string_functions",
-    "q16_orders_by_month",
-    "q17_case_math_bands",
-    "q18_hourly_event_windows",
-    "q48_asof_join",
-    "q49_snapshot_at",
-    "q50_range_join",
-    "q61_salted_skew_join",
-    "q64_bucketed_colocated_join",
-    # 33 of the 49 r10-green rows due by the 2-round rule (rule 2).
-    # Near-neighbor families of this round's changes first: the ANN
-    # serving/similarity ladder (q116's index_health fix reads the
-    # same persisted layouts; the r12 retrain-loop work composes
-    # lloyd_refine/build_ivf2_index), then BPE/relevance, then the
-    # quality monitors, then the remaining r10 block.
-    "q104_quantized_cosine_topk",
-    "q30_cosine_topk_multi",
-    "q31_embedding_neardup_pairs",
-    "q29_simhash",
-    "q32_minhash_lsh_candidates",
-    "q95_canonical_dedup",
-    "q79_pagerank",
-    "q80_embedding_audit",
-    "q110_bpe_encode_corpus",
-    "q112_bpe_dictionary_encode",
-    "q73_zipf_slope",
-    "q81_heavy_hitters",
-    "q41_percentiles",
-    "q103_grouped_udaf_trimmed_mean",
-    "q108_split_leakage",
-    "q111_mixture_reweight_plan",
-    "q91_psi_value_drift",
-    "q88_quality_constraint_audit",
-    "q87_sparse_allpairs_cosine",
-    "q94_bloom_decontamination",
-    "q86_skyline_parts",
-    "q85_wav_audio_stats",
-    "q33_binary_media_meta",
-    "q34_multimodal_features",
-    "q83_pps_sample",
-    "q96_snapshot_diff",
-    "q97_priority_sample",
-    "q98_token_lift",
-    "q89_touch_attribution",
-    "q90_sketch_rollup_distinct",
-    "q37_ranking_family",
-    "q38_approx_distinct",
-    "q40_grouping_sets",
+    # The 16 documented r12-overflow queries (r10 green rows, 3
+    # rounds stale — promised to head the r13 window in the r12
+    # rotation note; VERDICT r12 item 1). They MUST come first
+    # among the due rows. All queries/batch.py relational core,
+    # untouched since r10.
+    "q05_customers_without_orders",
+    "q06_semi_join_having",
+    "q07_rollup_nation_segment",
+    "q08_cube_status_priority",
+    "q09_top3_per_nation",
+    "q10_order_gaps",
+    "q11_cumulative_spend",
+    "q14_count_distinct",
+    "q44_pivot_event_counts",
+    "q45_subqueries",
+    "q46_range_frame",
+    "q59_full_outer_join",
+    "q60_set_ops_all",
+    "q63_right_outer_join",
+    "q65_window_distribution",
+    "q84_markov_transitions",
+    # 33 of the 50 r11-green rows due by the 2-round rule (rule 2).
+    # Near-neighbor families of this round's changes first: the
+    # persisted-ANN/similarity ladder (q116's footer-priced
+    # monitor and the retrain-loop GC read the same layouts), then
+    # the hybrid/relevance pair feeding q115's composition, then
+    # the quality-module rows (quality.py carries the q116 edit),
+    # then the fuzzy-dedup heavyweights, then text/dedup, then
+    # sampling/BPE/decontamination.
+    "q102_ivf2_persisted_serving",
+    "q70_ivf_persisted_serving",
+    "q62_ivf_trained_topk",
+    "q36_ivf_topk",
+    "q66_semantic_dedup",
+    "q100_kmeans_lloyd_refine",
+    "q57_quantization_audit",
+    "q35_pandas_cosine_topk",
+    "q22_cosine_top5",
+    "q47_simhash_near_pairs",
+    "q58_dedup_components",
+    "q107_matryoshka_audit",
+    "q114_hybrid_rrf_search",
+    "q52_bm25_search",
+    "q51_tfidf_top_terms",
+    "q93_pii_redaction",
+    "q109_source_mix_divergence",
+    "q113_lsh_fuzzy_dedup_pairs",
+    "q82_fuzzy_dedup_pairs",
+    "q21_exact_dedup_stats",
+    "q23_dedup_survivors",
+    "q24_jaccard_neardup_pairs",
+    "q25_rolling_fingerprints",
+    "q26_token_counts",
+    "q27_lang_id_confusion",
+    "q28_quality_scores",
+    "q101_segment_span_dedup",
+    "q53_stratified_sample",
+    "q54_bigram_vocab",
+    "q55_decontamination",
+    "q56_repetition_bands",
+    "q69_bigram_lm_perplexity",
+    "q105_bpe_merge_rounds",
 ]
-# 50 prioritized — the window is exactly full: 2 rule-1 slots
-# (q115/q116, the promised r11-new rows; ≤3 per the standing cap)
-# + the 15 promised r9-stale carries (rule 2, heading the due
-# block as the r11 note requires) + 33 of the 49 r10-green rows
-# due this round.
-# DOCUMENTED OVERFLOW (r12 → r13): q05_customers_without_orders,
-# q06_semi_join_having, q07_rollup_nation_segment,
-# q08_cube_status_priority, q09_top3_per_nation, q10_order_gaps,
-# q11_cumulative_spend, q14_count_distinct, q44_pivot_event_counts,
-# q45_subqueries, q46_range_frame, q59_full_outer_join,
-# q60_set_ops_all, q63_right_outer_join, q65_window_distribution,
-# q84_markov_transitions keep their r10 green rows one more round
-# (16 queries, all in queries/batch.py — the relational
-# join/window/set-op core, untouched this round;
-# tests/test_queries_oracle.py still oracle-checks every one
-# locally each run). They MUST head the r13 window together with
-# the 50 r11-green rows due at r13 — r13 faces 66 due vs 50
-# slots, so r13 must again keep new/changed ≤3 and
-# carry ~16 r11 rows (prefer untouched modules) to r14. With 116
-# queries against a 50-slot window the steady state is a ~16-row
+# 50 prioritized — the window is exactly full: 1 rule-1 slot
+# (q116, the one changed query this round; ≤3 per the standing
+# cap) + the 16 promised r10-stale carries (rule 2, heading the
+# due block as the r12 note requires) + 33 of the 50 r11-green
+# rows due this round.
+# DOCUMENTED OVERFLOW (r13 → r14): q19_sessionization,
+# q20_json_buckets, q42_stats_profile, q43_train_test_split,
+# q71_event_funnel, q72_cohort_retention, q74_ntile_deciles,
+# q77_hourly_anomalies, q78_resample_interpolate,
+# q92_scd2_history (queries/batch.py — relational analytics,
+# untouched since r9), q39_array_ops, q67_sequence_packing,
+# q68_json_schema_profile, q75_curation_funnel,
+# q76_hashed_linear_score (queries/llm.py, untouched),
+# q99_zorder_box_scan (queries/pipeline.py, untouched),
+# q106_rag_chunking (queries/relevance.py, untouched) keep their
+# r11 green rows one more round (17 queries, all in modules r13
+# does not edit; tests/test_queries_oracle.py still oracle-checks
+# every one locally each run). They MUST head the r14 window
+# together with the 50 r12-green rows due at r14 — r14 faces 67
+# due vs 50 slots, so r14 must again keep new/changed ≤3 and
+# carry ~17 r12 rows (prefer untouched modules) to r15. With 116
+# queries against a 50-slot window the steady state is a ~17-row
 # documented 3-round tail; the rotation keeps it named,
 # module-stable, and locally oracle-checked every run.
 set_driver_order(DRIVER_PRIORITY)
