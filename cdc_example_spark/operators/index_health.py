@@ -13,13 +13,16 @@ must appear as a row, so the universe is enumerated, not grouped-from-
 data), and flag when a retrain (``lloyd_refine`` / the ``ivf2_upsert``
 rebuild cadence) is due.
 
-Scale shape: one scan of the index layout's partition columns (coarse/
-fine come from directory names — the scan reads NO vector data, column
-pruning keeps it to the id column for the reference filter), one
-partial-agg'd groupBy bounded by k1·k2 cells, and everything after
-operates on that cell-count frame. At 65536 cells the monitor's frame
-is 64k rows regardless of corpus size; its cost is the metadata-sized
-scan, full stop.
+Scale shape: for a persisted layout the current-occupancy side is
+answered from parquet FOOTERS (:func:`footer_cell_counts` — a grouped
+count(*) over partition columns pushed into row-group metadata, no
+data column read), and only the reference side scans the columns its
+era predicate needs, filter pushed; both sides are cell-bounded after
+their aggregates, and everything after operates on that cell-count
+frame. At 65536 cells the monitor's frame is 64k rows regardless of
+corpus size; its cost is footer reads plus the one pruned reference
+column, full stop. (:func:`ivf_occupancy_psi` keeps the generic
+one-scan shape for in-memory assignment frames.)
 
 Determinism (the q91/q109 contract): counts are exact integers, the
 Laplace-smoothed shares are ratios of those integers (identical
@@ -31,6 +34,8 @@ threshold can flip across engines.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -41,6 +46,138 @@ OVERLOAD_FACTOR = 4  # a cell holding >4× the mean share is overloaded
 
 def _dec(col: F.Column, digits: int) -> F.Column:
     return F.round(col.cast("decimal(28,10)"), digits).cast("double")
+
+
+@contextmanager
+def parquet_footer_aggregates(spark):
+    """Scope in which parquet answers pushable aggregates from footers:
+    the V2 parquet source (the default V1 ignores the conf) with
+    ``spark.sql.parquet.aggregatePushdown`` on. Both confs are restored
+    on exit — the flip is session-scoped, so keep the window to one
+    driver-side read-and-collect (every caller here runs sequentially
+    on the driver: foreachBatch monitors, query construction)."""
+    v1_key = "spark.sql.sources.useV1SourceList"
+    agg_key = "spark.sql.parquet.aggregatePushdown"
+    prev_v1 = spark.conf.get(v1_key)
+    prev_agg = spark.conf.get(agg_key)
+    try:
+        spark.conf.set(
+            v1_key,
+            ",".join(
+                s for s in prev_v1.split(",")
+                if s.strip().lower() != "parquet"
+            ),
+        )
+        spark.conf.set(agg_key, "true")
+        yield
+    finally:
+        spark.conf.set(v1_key, prev_v1)
+        spark.conf.set(agg_key, prev_agg)
+
+
+def footer_cell_counts(
+    spark,
+    path: str,
+    coarse_col: str = "coarse",
+    fine_col: str = "fine",
+) -> "list[list[int]]":
+    """Per-cell row counts of a persisted layout, answered from parquet
+    FOOTERS — no data column is read (VERDICT r12 item 3: the monitor
+    was column-priced because ``count("vec_id")`` forces reading the id
+    column from every file; ``count(*)`` grouped by partition columns
+    needs only the row counts every footer already carries).
+
+    Spark pushes a grouped ``COUNT(*)`` into row-group metadata only on
+    the V2 parquet source with ``spark.sql.parquet.aggregatePushdown``
+    on; the default V1 source silently ignores the conf. Both confs are
+    flipped for exactly this driver-side collect and restored in a
+    ``finally`` (the flip is session-scoped, and every caller —
+    foreachBatch monitors, query construction — runs it sequentially on
+    the driver). The plan is pinned in tests/test_index_health.py:
+    ``PushedAggregation: [COUNT(*)]`` + ``PushedGroupBy`` with no data
+    column in ReadSchema.
+
+    The collect is cell-bounded (≤ one row per occupied cell) and the
+    result is sorted ``[coarse, fine, n]`` triples — the shape
+    ``_write_layout_meta`` persists as ``ref_counts``.
+    """
+    with parquet_footer_aggregates(spark):
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(
+                F.col(coarse_col).cast("int").alias(coarse_col),
+                F.col(fine_col).cast("int").alias(fine_col),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    return sorted([int(r[0]), int(r[1]), int(r[2])] for r in rows)
+
+
+def persisted_occupancy_psi(
+    spark,
+    index_path: str,
+    ref_cond: F.Column,
+    n_coarse: int,
+    n_fine: int,
+    coarse_col: str = "coarse",
+    fine_col: str = "fine",
+    smoothing: float = 0.5,
+    overload_factor: int = OVERLOAD_FACTOR,
+    psi_threshold: float = PSI_RETRAIN_THRESHOLD,
+) -> DataFrame:
+    """:func:`ivf_occupancy_psi` specialised to a PERSISTED layout,
+    splitting the count frame so the current-occupancy side never reads
+    a data column:
+
+    - ``n_cur`` comes from :func:`footer_cell_counts` — footers only;
+    - ``n_ref`` scans just the columns ``ref_cond`` references, with
+      the predicate pushed (a filtered grouped count, cell-bounded
+      output).
+
+    Every occupied cell owns at least one file, so the footer frame is
+    the complete occupied-cell set and the reference side (a subset of
+    occupied cells) joins onto it LEFT; the ref side is cell-bounded
+    after its aggregate, so it broadcasts (BuildRight — valid for a
+    left-outer join, unlike the inert left-side hint ADVICE r11
+    flagged). Same math, flags, ordering, and determinism contract as
+    :func:`ivf_occupancy_psi` — the output is value-identical, which
+    keeps q116's driver hash unchanged.
+    """
+    cur = spark.createDataFrame(
+        [(c, f, n) for c, f, n in footer_cell_counts(
+            spark, index_path, coarse_col=coarse_col, fine_col=fine_col
+        )],
+        f"{coarse_col} int, {fine_col} int, n_cur long",
+    )
+    ref = (
+        spark.read.parquet(index_path)
+        .filter(ref_cond)
+        .groupBy(
+            F.col(coarse_col).cast("int").alias(coarse_col),
+            F.col(fine_col).cast("int").alias(fine_col),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    counts = (
+        cur.join(F.broadcast(ref), [coarse_col, fine_col], "left")
+        .select(
+            coarse_col,
+            fine_col,
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            "n_cur",
+        )
+    )
+    return occupancy_psi_from_counts(
+        counts,
+        n_coarse,
+        n_fine,
+        coarse_col=coarse_col,
+        fine_col=fine_col,
+        smoothing=smoothing,
+        overload_factor=overload_factor,
+        psi_threshold=psi_threshold,
+    )
 
 
 def ivf_occupancy_psi(

@@ -196,3 +196,104 @@ def test_monitor_reads_a_cdc_maintained_layout(spark, tmp_path):
     assert out[0].psi_total > 0.2
     assert all(r.retrain_due for r in out)
     assert any(r.overloaded for r in out)
+
+
+# ------------------------------------------------- footer-priced monitor
+
+
+def _persisted_layout(spark, tmp_path, rows):
+    path = str(tmp_path / "footer_layout")
+    _assignments(spark, rows).write.partitionBy("coarse", "fine").parquet(
+        path
+    )
+    return path
+
+
+def test_footer_cell_counts_plan_and_values(spark, tmp_path):
+    """The current-occupancy side must be answered from parquet footers:
+    the plan pins PushedAggregation/PushedGroupBy with NO data column in
+    ReadSchema (VERDICT r12 item 3), the values equal a plain grouped
+    count, and the session confs are restored afterwards."""
+    from cdc_example_spark.operators.index_health import (
+        footer_cell_counts,
+        parquet_footer_aggregates,
+    )
+
+    rows = [(i, i % 3, i % 2) for i in range(200)]
+    path = _persisted_layout(spark, tmp_path, rows)
+
+    v1_before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    agg_before = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+
+    got = footer_cell_counts(spark, path)
+    want = sorted(
+        [int(r[0]), int(r[1]), int(r[2])]
+        for r in spark.read.parquet(path)
+        .groupBy("coarse", "fine")
+        .count()
+        .collect()
+    )
+    assert got == want
+
+    # plan pin through the same conf scope the helper uses
+    with parquet_footer_aggregates(spark):
+        agg = (
+            spark.read.parquet(path)
+            .groupBy(
+                F.col("coarse").cast("int").alias("coarse"),
+                F.col("fine").cast("int").alias("fine"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)]" in plan
+    assert "PushedGroupBy: [coarse, fine]" in plan
+    # ReadSchema carries only the pushed groupBy + count — never vec_id
+    assert "vec_id" not in plan
+
+    # conf restoration (the scope must not leak V2 parquet session-wide)
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == v1_before
+    assert (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown") == agg_before
+    )
+
+
+def test_persisted_occupancy_psi_matches_generic_path(spark, tmp_path):
+    """persisted_occupancy_psi (footer n_cur + filtered-ref scan) must
+    be row-for-row identical to ivf_occupancy_psi's one-scan shape on
+    the same persisted layout — the q116 driver-hash-unchanged
+    contract."""
+    from cdc_example_spark.operators.index_health import (
+        persisted_occupancy_psi,
+    )
+
+    # drifted layout: ref era (vec_id < 100) spread over 3 cells, 60
+    # newer rows piling into (1, 1)
+    rows = []
+    vid = 0
+    for cell, n in (((0, 0), 10), ((0, 1), 10), ((1, 0), 10)):
+        for _ in range(n):
+            rows.append((vid, *cell))
+            vid += 1
+    for _ in range(60):
+        rows.append((100 + vid, 1, 1))
+        vid += 1
+    path = _persisted_layout(spark, tmp_path, rows)
+
+    generic = ivf_occupancy_psi(
+        spark.read.parquet(path).select("vec_id", "coarse", "fine"),
+        F.col("vec_id") < 100,
+        n_coarse=2,
+        n_fine=2,
+        overload_factor=2,
+    ).collect()
+    footer = persisted_occupancy_psi(
+        spark,
+        path,
+        F.col("vec_id") < 100,
+        n_coarse=2,
+        n_fine=2,
+        overload_factor=2,
+    ).collect()
+    assert [tuple(r) for r in footer] == [tuple(r) for r in generic]
+    assert footer[0].psi_total > 0.2 and all(r.retrain_due for r in footer)
