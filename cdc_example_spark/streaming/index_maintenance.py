@@ -21,6 +21,9 @@ state; reference anchor: the resize-swap semantics in
         coarse=X/fine=Y/*.parquet   (build_ivf2_index files)
         _layout_meta.json           (centroids + training-era occupancy)
         _applied_batch_id           (ann_freshness exactly-once marker)
+        _flipped                    (flip-order counter; present iff the
+                                     version ever served — absent means
+                                     crash orphan / rebuild in flight)
 
 Every version directory is SELF-CONTAINED: its centroids, its
 reference occupancy (the "training era" the monitor compares against),
@@ -43,8 +46,15 @@ Per micro-batch (``materialize_with_monitored_index``):
    with the full-corpus Lloyd exchange (``lloyd_refine``'s contract —
    parity-pinned in tests), retrain the fines under them (the
    ``train_ivf2_local`` level-2 discipline — parity-pinned), rebuild
-   into a NEW version directory named by the triggering batch, write
-   its meta + marker, and flip the pointer.
+   into a NEW version directory named by the triggering batch (a name
+   that can never collide with a version that ever served —
+   ``_choose_version_name``), write its meta + marker, and flip the
+   pointer;
+5. retention sweep (:func:`gc_versions`, VERDICT r12 item 2): flipped
+   versions beyond the last ``retain`` (default 2: current + its
+   immediate predecessor, the pre-swap-reader grace) are deleted, so
+   a drifting stream's disk footprint is bounded at ``retain`` full
+   layouts instead of one per retrain.
 
 Crash/redelivery across the swap (the materialize_tables composition
 argument): the flip is the single commit point. Crash BEFORE it →
@@ -97,6 +107,7 @@ from cdc_example_spark.streaming.envelope import decode_envelope, route_changes
 _POINTER = "_current"
 _VERSIONS = "versions"
 _META = "_layout_meta.json"
+_FLIPPED = "_flipped"  # flip-order counter; present iff the dir ever served
 
 
 # ---------------------------------------------------------------- layout
@@ -122,6 +133,109 @@ def _set_current(root: str, name: str) -> None:
     with open(tmp, "w") as f:
         f.write(name)
     os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def _flip_counter(vdir: str) -> "int | None":
+    """The directory's position in flip order, or None if it NEVER
+    became current (a crash-before-flip orphan, or a rebuild still in
+    flight). This is the distinction every destructive path needs: a
+    version that ever served may still have pre-swap readers; an
+    unflipped directory cannot."""
+    try:
+        with open(os.path.join(vdir, _FLIPPED)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _mark_flipped(root: str, vdir: str) -> None:
+    """Stamp a just-flipped version with the next flip counter (max
+    existing + 1 — monotone even across the heal path, because the
+    healed current dir is by definition the latest flip). Written
+    atomically AFTER the pointer flip; a crash in between is healed by
+    the next ``maintain_versioned_index`` call on the same version."""
+    vroot = os.path.join(root, _VERSIONS)
+    highest = 0
+    try:
+        for d in os.listdir(vroot):
+            c = _flip_counter(os.path.join(vroot, d))
+            if c is not None and c > highest:
+                highest = c
+    except OSError:
+        pass
+    tmp = os.path.join(vdir, _FLIPPED + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(highest + 1))
+    os.replace(tmp, os.path.join(vdir, _FLIPPED))
+
+
+def _choose_version_name(root: str, base: str) -> str:
+    """A rebuild target that can never destroy serving data (ADVICE
+    r12, medium): the deterministic base name collides with the CURRENT
+    version when a redelivered batch re-flags after its own flip (or on
+    any second ``manual`` retrain) — rmtree'ing that directory would
+    tear down the live layout under the pointer. Walk ``base``,
+    ``baser2``, ``baser3``, … and return the first candidate that is
+    neither current nor a flipped (ever-served) directory: either it
+    does not exist, or it is an UNFLIPPED crash-before-flip orphan,
+    which the rebuild may clear and reuse. The walk is deterministic in
+    the directory state, so crash/redelivery still converges on the
+    same name."""
+    cur = current_version(root)
+    cand, k = base, 1
+    while True:
+        d = version_dir(root, cand)
+        if cand != cur and (
+            not os.path.isdir(d) or _flip_counter(d) is None
+        ):
+            return cand
+        k += 1
+        cand = f"{base}r{k}"
+
+
+def gc_versions(root: str, retain: int = 2) -> "list[str]":
+    """Keep-last-N retention of superseded versions (VERDICT r12 item
+    2 — the retrain loop's missing operational half: without a sweep,
+    ``versions/`` grows one full index copy per retrain, unbounded).
+
+    Deletes FLIPPED directories (ever-served, by flip counter) beyond
+    the ``retain`` most recent, never the current version. The default
+    ``retain=2`` keeps current + its immediate predecessor — the
+    pre-swap-reader grace the swap discipline promises (a reader that
+    resolved the pointer just before a flip is still reading the
+    predecessor's files). Unflipped directories are never touched:
+    they are either a rebuild in flight or a crash orphan that the
+    redelivery rebuild reclaims by name.
+
+    Idempotent across crashes: a partially-deleted directory whose
+    flip marker survives is re-listed and re-deleted by the next
+    sweep; ``rmtree(ignore_errors=True)`` makes the re-run safe.
+    """
+    if retain < 1:
+        raise ValueError(f"gc_versions: retain must be >= 1, got {retain}")
+    cur = current_version(root)
+    vroot = os.path.join(root, _VERSIONS)
+    try:
+        entries = os.listdir(vroot)
+    except OSError:
+        return []
+    flipped = []
+    for d in entries:
+        p = os.path.join(vroot, d)
+        if os.path.isdir(p):
+            c = _flip_counter(p)
+            if c is not None:
+                flipped.append((c, d))
+    flipped.sort(reverse=True)
+    keep = {d for _, d in flipped[:retain]}
+    if cur:
+        keep.add(cur)
+    removed = []
+    for _, d in flipped:
+        if d not in keep:
+            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+            removed.append(d)
+    return sorted(removed)
 
 
 def read_layout_meta(vdir: str) -> dict:
@@ -180,6 +294,7 @@ def init_versioned_ivf2(
         vdir, coarse, fines, n_fine, _cell_counts(vectors.sparkSession, vdir)
     )
     _set_current(root, name)
+    _mark_flipped(root, vdir)
     return vdir, coarse, fines
 
 
@@ -388,10 +503,12 @@ def maintain_versioned_index(
     sample_size: int = 8192,
     n_iters: int = 10,
     seed: int = 0x5EED,
+    retain: int = 2,
 ) -> dict:
     """One micro-batch of the monitored loop: merge → monitor →
-    (flag →) refine → rebuild → atomic swap. Returns a small report
-    dict (version served, psi_total, whether a retrain committed)."""
+    (flag →) refine → rebuild → atomic swap → retention sweep.
+    Returns a small report dict (version served, psi_total, whether a
+    retrain committed, versions the sweep removed)."""
     spark = decoded.sparkSession
     name = current_version(root)
     if name is None:
@@ -400,6 +517,10 @@ def maintain_versioned_index(
             "— bootstrap with init_versioned_ivf2 first"
         )
     vdir = version_dir(root, name)
+    if _flip_counter(vdir) is None:
+        # heal the crash window between pointer flip and marker write:
+        # the CURRENT version is flipped by definition
+        _mark_flipped(root, vdir)
     meta = read_layout_meta(vdir)
     touched = ivf2_apply_cdc(
         decoded, meta["coarse"], meta["fines"], vdir,
@@ -412,12 +533,16 @@ def maintain_versioned_index(
     psi_total = float(h.psi_total) if h is not None else 0.0
     retrained = False
     if h is not None and bool(h.retrain_due):
-        new_name = f"b{batch_id:010d}" if batch_id is not None else "manual"
+        base = f"b{batch_id:010d}" if batch_id is not None else "manual"
+        new_name = _choose_version_name(root, base)
         new_dir = version_dir(root, new_name)
         if os.path.isdir(new_dir):
             # a crash between rebuild and pointer flip left an orphan —
             # the name is deterministic, so clear it and rebuild (the
-            # redelivery convergence argument in the module docstring)
+            # redelivery convergence argument in the module docstring).
+            # _choose_version_name only ever hands back an UNFLIPPED,
+            # non-current directory, so this rmtree can never touch the
+            # serving layout or a retained predecessor (ADVICE r12).
             shutil.rmtree(new_dir)
         # the corpus of record for the rebuild is the index itself —
         # exactly the rows serving reads, post-merge
@@ -437,12 +562,18 @@ def maintain_versioned_index(
         if batch_id is not None:
             _record_index_batch_id(new_dir, batch_id)
         _set_current(root, new_name)  # data+meta in, THEN the flip
+        _mark_flipped(root, new_dir)
         name, retrained = new_name, True
+    # retention sweep every batch (not only on retrain): flipped
+    # versions beyond the last `retain` are reclaimed, current and its
+    # immediate predecessor stay for pre-swap readers
+    removed = gc_versions(root, retain=retain)
     return {
         "version": name,
         "psi_total": psi_total,
         "retrained": retrained,
         "touched_cells": touched,
+        "gc_removed": removed,
     }
 
 
@@ -459,6 +590,7 @@ def materialize_with_monitored_index(
     sample_size: int = 8192,
     n_iters: int = 10,
     seed: int = 0x5EED,
+    retain: int = 2,
 ) -> "object":
     """``materialize_with_index`` with the monitor→retrain loop closed:
     the table of record and the CURRENT index version stay fresh per
@@ -477,6 +609,7 @@ def materialize_with_monitored_index(
                 batch_df, root, batch_id=batch_id, vec_field=vec_field,
                 psi_threshold=psi_threshold, lloyd_steps=lloyd_steps,
                 sample_size=sample_size, n_iters=n_iters, seed=seed,
+                retain=retain,
             )
         finally:
             batch_df.unpersist()

@@ -360,3 +360,168 @@ def test_s17_retrain_with_zero_lloyd_steps_reproduces_trainer_fines(
     )
     assert c2 == coarse
     assert f2 == fines
+
+
+# ------------------------------------------------ retention / GC (r13)
+
+
+def _force_drift_batch(state, start_vid, direction, lsn0, seed, n=25):
+    return _drift_records(state, start_vid, n, direction, lsn0=lsn0, seed=seed)
+
+
+def test_s17_retention_keeps_last_n_and_serving_survives(
+    spark, tmp_path, base_state
+):
+    """VERDICT r12 item 2: after 3+ retrains only the retained set
+    (current + immediate predecessor at retain=2) remains on disk,
+    the pointer resolves, and serving from it equals brute force."""
+    state = dict(base_state)
+    root = str(tmp_path / "ann")
+    IM.init_versioned_ivf2(
+        _emb_df(spark, state), N_COARSE, N_FINE, root, sample_size=512, seed=3
+    )
+    base = np.asarray(state["v0"])
+    rng = np.random.default_rng(101)
+
+    # three drift batches, each forced to retrain (psi_threshold=-1
+    # makes every batch flag — the retention arithmetic is what's
+    # under test, not the flag)
+    names = ["bootstrap"]
+    vid = 61
+    for b in range(3):
+        direction = rng.normal(size=DIM)
+        recs = _force_drift_batch(
+            state, vid, direction, lsn0=1000 + 100 * b, seed=200 + b
+        )
+        vid += 25
+        rep = IM.maintain_versioned_index(
+            _decoded(spark, recs), root, batch_id=b,
+            psi_threshold=-1.0, sample_size=512, seed=3,
+        )
+        assert rep["retrained"] is True
+        names.append(rep["version"])
+
+    # retain=2: exactly current + its immediate predecessor remain
+    left = sorted(os.listdir(os.path.join(root, "versions")))
+    assert left == sorted(names[-2:])
+    assert IM.current_version(root) == names[-1]
+    # the sweep reported the bootstrap-era deletions across the run
+    # (bootstrap after retrain 2, the first retrain dir after 3)
+
+    # pre-swap-reader grace: the predecessor is a COMPLETE layout
+    pred = IM.version_dir(root, names[-2])
+    assert os.path.isfile(os.path.join(pred, "_layout_meta.json"))
+    assert glob.glob(os.path.join(pred, "coarse=*", "fine=*", "*.parquet"))
+
+    # serving from the pointer equals brute force on the final state
+    meta = IM.read_layout_meta(IM.version_dir(root, names[-1]))
+    queries = _emb_df(spark, {k: state[k] for k in ("v0", "v61")})
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk(_emb_df(spark, state), queries, k=3).collect()
+    }
+    served = {
+        (r.query_id, r.rn): r.vec_id
+        for r in IM.ivf2_topk_versioned(
+            spark, root, queries, k=3,
+            n_probe_coarse=len(meta["coarse"]),
+            n_probe_fine=int(meta["n_fine"]),
+        ).collect()
+    }
+    assert served == exact
+
+
+def test_s17_gc_is_idempotent_across_a_crash_mid_sweep(
+    spark, tmp_path, base_state
+):
+    """A sweep interrupted mid-rmtree leaves a partial directory whose
+    flip marker survives; the next sweep must re-list and finish the
+    deletion, and the serving path must be unaffected throughout."""
+    state = dict(base_state)
+    root = str(tmp_path / "ann")
+    IM.init_versioned_ivf2(
+        _emb_df(spark, state), N_COARSE, N_FINE, root, sample_size=512, seed=3
+    )
+    base = np.asarray(state["v0"])
+
+    # two forced retrains with retention DISABLED (retain=3 keeps all)
+    vid = 61
+    for b in range(2):
+        recs = _force_drift_batch(
+            state, vid, -base if b == 0 else base, lsn0=2000 + 100 * b,
+            seed=300 + b,
+        )
+        vid += 25
+        rep = IM.maintain_versioned_index(
+            _decoded(spark, recs), root, batch_id=b,
+            psi_threshold=-1.0, sample_size=512, seed=3, retain=3,
+        )
+        assert rep["retrained"] is True and rep["gc_removed"] == []
+    assert len(os.listdir(os.path.join(root, "versions"))) == 3
+
+    # simulate a crash mid-sweep of the oldest version: its data files
+    # are gone but the flip marker survived
+    boot = IM.version_dir(root, "bootstrap")
+    for p in glob.glob(os.path.join(boot, "coarse=*")):
+        import shutil as _sh
+
+        _sh.rmtree(p)
+    os.remove(os.path.join(boot, "_layout_meta.json"))
+    assert IM._flip_counter(boot) is not None  # the marker survived
+
+    # the next sweep finishes the job, idempotently
+    removed = IM.gc_versions(root, retain=2)
+    assert removed == ["bootstrap"]
+    assert not os.path.isdir(boot)
+    assert IM.gc_versions(root, retain=2) == []  # nothing left to do
+
+    # current still resolves and serves
+    name = IM.current_version(root)
+    meta = IM.read_layout_meta(IM.version_dir(root, name))
+    got = IM.ivf2_topk_versioned(
+        spark, root, _emb_df(spark, {"v0": state["v0"]}), k=1,
+        n_probe_coarse=len(meta["coarse"]),
+        n_probe_fine=int(meta["n_fine"]),
+    ).collect()
+    assert len(got) == 1
+
+
+def test_s17_second_manual_retrain_never_destroys_the_serving_layout(
+    spark, tmp_path, base_state
+):
+    """ADVICE r12 (medium): with batch_id=None both retrains derive
+    'manual' — before the name guard, the second one rmtree'd the LIVE
+    serving directory before re-reading its corpus from the same path
+    (serving data loss). The chooser must suffix instead, the old
+    layout must survive the rebuild window, and the corpus must carry
+    through both retrains."""
+    state = dict(base_state)
+    root = str(tmp_path / "ann")
+    IM.init_versioned_ivf2(
+        _emb_df(spark, state), N_COARSE, N_FINE, root, sample_size=512, seed=3
+    )
+    base = np.asarray(state["v0"])
+
+    recs1 = _force_drift_batch(state, 61, -base, lsn0=3000, seed=400)
+    rep1 = IM.maintain_versioned_index(
+        _decoded(spark, recs1), root, batch_id=None,
+        psi_threshold=-1.0, sample_size=512, seed=3, retain=3,
+    )
+    assert rep1["retrained"] is True and rep1["version"] == "manual"
+
+    recs2 = _force_drift_batch(state, 86, base, lsn0=3100, seed=401)
+    rep2 = IM.maintain_versioned_index(
+        _decoded(spark, recs2), root, batch_id=None,
+        psi_threshold=-1.0, sample_size=512, seed=3, retain=3,
+    )
+    assert rep2["retrained"] is True
+    assert rep2["version"] == "manualr2"  # never the serving name
+    assert IM.current_version(root) == "manualr2"
+
+    # no rows were lost across the collision window: the new layout
+    # holds the full expected corpus
+    rows = _layout_rows(spark, IM.version_dir(root, "manualr2"))
+    assert {vid for vid, _, _ in rows} == set(state.keys())
+
+    # and 'manual' (the predecessor) is retained intact at retain=3
+    assert os.path.isdir(IM.version_dir(root, "manual"))
