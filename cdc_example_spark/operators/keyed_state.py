@@ -452,7 +452,16 @@ class KeyedStateSink:
             ch = changes.withColumn("bucket", self._bucket(F.col("key_id")))
             existing = self._existing_buckets()
             if self.scoped_read and len(existing) <= FUSED_APPLY_MAX_BUCKETS:
-                self._apply_fused(spark, ch, existing)
+                # ADVICE r12: an EMPTY batch must not pay the fused
+                # shape's full state-side plan + dynamic-overwrite
+                # write job (multi-table routing hands every sink the
+                # batches that carry only OTHER tables' rows). One
+                # 1-row probe job — the cost class of the scoped
+                # listing job this shape removed — gates it; the
+                # scoped branch needs no probe because its collect_set
+                # job already returns no buckets on an empty batch.
+                if ch.select("bucket").limit(1).take(1):
+                    self._apply_fused(spark, ch, existing)
             else:
                 buckets = (ch.agg(F.collect_set("bucket")).first()[0]) or []
                 if buckets:

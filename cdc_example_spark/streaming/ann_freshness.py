@@ -85,6 +85,21 @@ def ivf2_apply_cdc(
     from cdc_example_spark.operators.similarity import assign_cells2_vectorized
 
     spark = decoded.sparkSession
+    # The survivor-cell Observation encodes cells as coarse*1e6 + fine
+    # — only injective while every fine ordinal stays under 1_000_000;
+    # past that, a decoded survivor lands on the WRONG cell and the
+    # cleanup rmtree's a LIVE directory instead of failing loudly
+    # (ADVICE r12). Refuse the shape up front: driver-side,
+    # O(n_coarse), before any job or centroid broadcast touches the
+    # oversized list.
+    _max_fine = max((len(cell) for cell in fines), default=0)
+    if _max_fine > 1_000_000 or len(coarse) < 1:
+        raise ValueError(
+            "ivf2_apply_cdc: layout shape breaks the survivor-cell "
+            f"encoding — {_max_fine} fine centroids in one cell "
+            f"(limit 1_000_000) / {len(coarse)} coarse centroids "
+            "(need >= 1)"
+        )
     if batch_id is not None:
         last = index_last_applied_batch_id(index_path)
         if last is not None and batch_id <= last:
@@ -190,7 +205,8 @@ def ivf2_apply_cdc(
         # materialization as an Observation (the keyed_state
         # _overwrite_touched free-metric discipline) — no separate
         # distinct job; cells are int-encoded because metric values
-        # must be scalars.
+        # must be scalars (injectivity of the encoding is guarded at
+        # the top of this function — ADVICE r12).
         from pyspark.sql import Observation
 
         surv_obs = Observation()

@@ -316,3 +316,28 @@ def test_s15_index_stays_fresh_under_cdc(spark, tmp_path, setup):
         for r in spark.read.parquet(index).select("vec_id", "coarse", "fine").collect()
     }
     assert again == want
+
+
+def test_survivor_cell_encoding_guard_fails_loudly(spark, tmp_path):
+    """ADVICE r12: the survivor-cell Observation encodes cells as
+    coarse*1e6 + fine — a layout whose fine ordinals could reach 1e6
+    would decode onto the WRONG cell and rmtree a live directory. The
+    apply must refuse such a shape up front (driver-side, no job)."""
+    import pytest as _pytest
+
+    from cdc_example_spark.streaming.ann_freshness import ivf2_apply_cdc
+
+    coarse = [[1.0, 0.0]]
+    # one coarse cell declaring 1_000_001 fine centroids (shared refs —
+    # the guard only reads len())
+    fines = [[[1.0, 0.0]] * 1_000_001]
+    decoded = decode_envelope(
+        spark.createDataFrame(
+            [envelope("i", "v0", after={"id": "v0", "embedding": [1.0, 0.0]},
+                      lsn=1)],
+            "key STRING, value STRING",
+        ),
+        row_schema=EMB_SCHEMA,
+    )
+    with _pytest.raises(ValueError, match="survivor-cell encoding"):
+        ivf2_apply_cdc(decoded, coarse, fines, str(tmp_path / "idx"))

@@ -486,3 +486,46 @@ def test_fused_apply_matches_scoped_two_job_shape(spark, tmp_path, monkeypatch):
             assert _os.path.exists(f) and _os.path.getmtime(f) == mt, f
             untouched_checked += 1
     assert untouched_checked > 0
+
+
+def test_fused_apply_short_circuits_empty_batches(spark, tmp_path):
+    """ADVICE r12: an empty change batch on the fused tier must not
+    execute the state-side plan or the dynamic-overwrite write job —
+    multi-table routing hands every sink the batches that carry only
+    other tables' rows. Pin: no state file is rewritten (set + mtimes
+    identical), the exactly-once marker still advances, and a
+    non-empty batch afterwards applies normally."""
+    import glob as _glob
+    import os as _os
+
+    t = "2025-10-26T23:59:27.585446Z"
+    s = KeyedStateSink(path=str(tmp_path / "state"), num_buckets=8)
+    apply_batch(spark, s, [
+        envelope("i", f"k{i}", after=row_image(f"k{i}", t, t, f"m{i}", "a"),
+                 lsn=10 + i, ts_ms=10 + i)
+        for i in range(16)
+    ])
+    files_before = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(_os.path.join(s.path, "bucket=*", "*.parquet"))
+    }
+    assert files_before
+
+    raw = spark.createDataFrame([], "key STRING, value STRING")
+    assert s.apply_changes(
+        route_changes(decode_envelope(raw)), batch_id=41
+    ) is True
+    assert s.last_applied_batch_id() == 41  # marker advanced
+
+    files_after = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(_os.path.join(s.path, "bucket=*", "*.parquet"))
+    }
+    assert files_after == files_before  # nothing rewritten
+
+    # and the sink still applies real work afterwards
+    apply_batch(spark, s, [
+        envelope("u", "k0", after=row_image("k0", t, t, "edited", "b"),
+                 lsn=900, ts_ms=900),
+    ])
+    assert rows_by_id(spark, s)["k0"]["message"] == "edited"
