@@ -648,3 +648,67 @@ def ivf2_topk_versioned(
         n_probe_coarse=n_probe_coarse, n_probe_fine=n_probe_fine,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def hybrid_rrf_versioned(
+    spark,
+    root: str,
+    lex: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_cand: int = 20,
+    n_probe_coarse: int = 2,
+    n_probe_fine: int = 2,
+    k0: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """q115's hybrid fusion with the vector side served from the
+    CURRENT index version (VERDICT r12 item 4: the indexed hybrid
+    composed with the retrain loop's versioned serving).
+
+    ``lex`` is the already-ranked lexical candidate list
+    ``(doc_id, rnk)`` — the BM25 discipline is q115's, unchanged
+    (queries/relevance.py, q115_hybrid_rrf_indexed); ``queries`` is
+    the single probe row, as in q115. The vector side ranks the ≤
+    ``k_cand`` versioned-index candidates on the 2-dp-rounded cosine
+    with the id tie-break, and reciprocal-rank fusion (k0=60) cuts the
+    top ``k`` — byte-for-byte the q115 contract, only the layout the
+    candidates come from differs.
+
+    Swap consistency: the pointer is resolved exactly ONCE per request
+    — inside :func:`ivf2_topk_versioned`, at plan-construction time —
+    so a retrain flip landing mid-request can never mix layouts. A
+    request that resolved pre-swap keeps reading the retained
+    predecessor's consistent files (the ``gc_versions`` retain=2
+    grace); the next request serves the new version. Pinned across a
+    live swap in tests/test_index_maintenance.py.
+    """
+    from pyspark.sql.window import Window
+
+    from cdc_example_spark.operators.index_health import _dec
+    from cdc_example_spark.operators.relevance import rrf_fuse
+
+    vec = (
+        ivf2_topk_versioned(
+            spark, root, queries, k=k_cand,
+            n_probe_coarse=n_probe_coarse, n_probe_fine=n_probe_fine,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _dec(F.col("cos_sim"), 2).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    return (
+        rrf_fuse({"lex": lex, "vec": vec}, id_col="doc_id", k0=k0)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(k)
+    )

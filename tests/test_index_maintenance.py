@@ -525,3 +525,102 @@ def test_s17_second_manual_retrain_never_destroys_the_serving_layout(
 
     # and 'manual' (the predecessor) is retained intact at retain=3
     assert os.path.isdir(IM.version_dir(root, "manual"))
+
+
+# ------------------------------------- hybrid over versioned serving (r13)
+
+
+def test_s17_hybrid_rrf_serves_consistently_across_a_live_swap(
+    spark, tmp_path, base_state
+):
+    """VERDICT r12 item 4: the q115 hybrid composed with the VERSIONED
+    serving path. Pins: (a) pre-swap and post-swap requests both equal
+    the q115-discipline fusion recomputed against a brute vector side
+    on the then-current corpus; (b) a request's plan reads exactly ONE
+    version's directories (no mixed-layout read); (c) the pointer is
+    resolved once per request — flipping it after plan construction
+    does not change (or break) the in-flight request."""
+    from pyspark.sql.window import Window
+
+    from cdc_example_spark.operators.index_health import _dec
+    from cdc_example_spark.operators.relevance import rrf_fuse
+
+    state = dict(base_state)
+    root = str(tmp_path / "ann")
+    IM.init_versioned_ivf2(
+        _emb_df(spark, state), N_COARSE, N_FINE, root, sample_size=512, seed=3
+    )
+    # deterministic lexical side — the composition takes the q115 BM25
+    # discipline's OUTPUT shape (doc_id, rnk); its derivation is q115's
+    # own driver-checked contract
+    lex = spark.createDataFrame(
+        [(f"v{i}", i + 1) for i in range(10)], "doc_id string, rnk long"
+    )
+    probe = _emb_df(spark, {"v0": base_state["v0"]})
+
+    def expected(st):
+        vec = (
+            cosine_topk(_emb_df(spark, st), probe, k=20)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                _dec(F.col("cos_sim"), 2).alias("cos_sim"),
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+                ),
+            )
+            .select("doc_id", "rnk")
+        )
+        return [
+            (r.doc_id, r.rrf)
+            for r in rrf_fuse({"lex": lex, "vec": vec})
+            .orderBy(F.col("rrf").desc(), "doc_id")
+            .limit(10)
+            .collect()
+        ]
+
+    def hybrid():
+        # full probes: the versioned candidates equal the brute cut,
+        # so the fusion must match `expected` exactly
+        return IM.hybrid_rrf_versioned(
+            spark, root, lex, probe, k=10, k_cand=20,
+            n_probe_coarse=N_COARSE, n_probe_fine=N_FINE,
+        )
+
+    # (a) pre-swap request
+    pre = hybrid()
+    assert all("/versions/bootstrap/" in f for f in pre.inputFiles())
+    assert [(r.doc_id, r.rrf) for r in pre.collect()] == expected(state)
+
+    # live swap: a forced retrain merges a drift batch and flips
+    base = np.asarray(state["v0"])
+    recs = _drift_records(state, 61, 25, -base, lsn0=5000, seed=500)
+    rep = IM.maintain_versioned_index(
+        _decoded(spark, recs), root, batch_id=9,
+        psi_threshold=-1.0, sample_size=512, seed=3, retain=3,
+    )
+    assert rep["retrained"] is True
+    new_name = rep["version"]
+
+    # (a)+(b) post-swap request: served wholly from the new version,
+    # correct on the drifted corpus
+    post = hybrid()
+    assert all(f"/versions/{new_name}/" in f for f in post.inputFiles())
+    assert [(r.doc_id, r.rrf) for r in post.collect()] == expected(state)
+
+    # (c) resolved-once: build a request, THEN flip the pointer to a
+    # name that does not even exist — the in-flight request must keep
+    # serving the version it resolved, proving no component re-reads
+    # the pointer (re-resolution would raise on the dangling name)
+    inflight = hybrid()
+    IM._set_current(root, "pending-version-that-does-not-exist")
+    try:
+        assert [(r.doc_id, r.rrf) for r in inflight.collect()] == expected(
+            state
+        )
+    finally:
+        IM._set_current(root, new_name)
+    # and a FRESH request after the restore serves normally again
+    assert [(r.doc_id, r.rrf) for r in hybrid().collect()] == expected(state)
