@@ -371,7 +371,12 @@ class KeyedStateSink:
             f.write(str(batch_id))
         os.replace(tmp, self._marker_path())
 
-    def apply_changes(self, changes: DataFrame, batch_id: int | None = None) -> bool:
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        batch_id: int | None = None,
+        probe_empty: bool = False,
+    ) -> bool:
         """MERGE one micro-batch of routed changes (see envelope.route_changes).
 
         Expected columns: key_id, is_delete, after (struct), lsn, ts_ms.
@@ -383,16 +388,29 @@ class KeyedStateSink:
         instead of a re-merge. Without an id the re-merge itself is
         idempotent, so correctness never depends on the marker.
 
+        ``probe_empty`` (ADVICE r12) gates the FUSED path behind a
+        1-row probe so an empty batch skips the state-side plan and the
+        no-op overwrite write job. It is OPT-IN because the probe costs
+        a real job on every busy batch (interleaved A/B at the 20k
+        tier: ~+135 ms — SCALE.md §4b-r13) while genuinely-empty
+        batches are rare on the default wiring: stateless foreachBatch
+        does not fire without new offsets, and the multi-table fan-out
+        already zero-works absent tables via its one distinct routing
+        job. Enable it for sources that can deliver rowless batches
+        (e.g. Kafka transaction markers / log compaction) via
+        ``materialize(..., probe_empty=True)``.
+
         Returns True when the batch was actually merged, False on the
         marker no-op — so callers with side-effecting per-batch hooks
         (materialize*'s ``on_batch``) can skip redeliveries instead of
         observing duplicate (topic, batch_id) invocations (ADVICE r9).
         """
         with self._lock:
-            return self._apply_changes_locked(changes, batch_id)
+            return self._apply_changes_locked(changes, batch_id, probe_empty)
 
     def _apply_changes_locked(
-        self, changes: DataFrame, batch_id: int | None
+        self, changes: DataFrame, batch_id: int | None,
+        probe_empty: bool = False,
     ) -> bool:
         spark = changes.sparkSession
         if batch_id is not None:
@@ -454,13 +472,16 @@ class KeyedStateSink:
             if self.scoped_read and len(existing) <= FUSED_APPLY_MAX_BUCKETS:
                 # ADVICE r12: an EMPTY batch must not pay the fused
                 # shape's full state-side plan + dynamic-overwrite
-                # write job (multi-table routing hands every sink the
-                # batches that carry only OTHER tables' rows). One
-                # 1-row probe job — the cost class of the scoped
-                # listing job this shape removed — gates it; the
-                # scoped branch needs no probe because its collect_set
-                # job already returns no buckets on an empty batch.
-                if ch.select("bucket").limit(1).take(1):
+                # write job. The 1-row probe that gates it is OPT-IN
+                # (see apply_changes: ~+135 ms per BUSY batch measured
+                # interleaved at the 20k tier, while the default
+                # wiring's empty cases are already zero-work — the
+                # fan-out's distinct routing job skips absent tables,
+                # and stateless foreachBatch never fires without new
+                # offsets); the scoped branch needs no probe because
+                # its collect_set job already returns no buckets on an
+                # empty batch.
+                if not probe_empty or self._batch_has_rows(ch):
                     self._apply_fused(spark, ch, existing)
             else:
                 buckets = (ch.agg(F.collect_set("bucket")).first()[0]) or []
@@ -497,6 +518,12 @@ class KeyedStateSink:
         # retries the resize on the next batch.
         self._maybe_grow(spark)
         return True
+
+    def _batch_has_rows(self, ch: DataFrame) -> bool:
+        """The fused path's empty-batch gate (ADVICE r12): a 1-row
+        probe with the limit pushed — it scans at most one split of
+        the batch side and never touches state."""
+        return bool(ch.select("bucket").limit(1).take(1))
 
     def _existing_buckets(self) -> "list[int]":
         """The state's bucket ordinals straight from the directory

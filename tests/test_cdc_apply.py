@@ -513,7 +513,7 @@ def test_fused_apply_short_circuits_empty_batches(spark, tmp_path):
 
     raw = spark.createDataFrame([], "key STRING, value STRING")
     assert s.apply_changes(
-        route_changes(decode_envelope(raw)), batch_id=41
+        route_changes(decode_envelope(raw)), batch_id=41, probe_empty=True
     ) is True
     assert s.last_applied_batch_id() == 41  # marker advanced
 
