@@ -60,6 +60,17 @@ FUSED_APPLY_MAX_BUCKETS = int(
     os.environ.get("SPARK_GRAFT_FUSED_APPLY_MAX_BUCKETS", "64")
 )
 
+#: Decode split for micro-batch inputs: a batch arrives as ONE source
+#: file, which the default 128 MB split turns into ONE decode task —
+#: single-threaded from_json on a 32-core box. 512 KB parallelizes
+#: the decode (pre-fused A/B: p50 904 → 603 ms with bucket sizing);
+#: re-swept AT the fused shape in r13 — 256 KB/512 KB/1 MB/2 MB
+#: interleaved medians confirmed 512 KB still the floor (SCALE.md
+#: §4b-r13).
+MICROBATCH_DECODE_SPLIT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MICROBATCH_SPLIT_BYTES", "524288")
+)
+
 
 #: serializes microbatch_conf scopes: two streaming queries sharing one
 #: session would otherwise interleave set/restore and leak the
@@ -94,13 +105,14 @@ def microbatch_conf(spark: SparkSession):
         saved = {k: conf.get(k, None) for k in keys}
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(MICROBATCH_SHUFFLE_PARTITIONS))
-        # A micro-batch arrives as ONE source file, which the default
-        # 128 MB split turns into ONE decode task — single-threaded
-        # from_json on a 32-core box. 512 KB splits parallelize the
-        # decode (A/B at 20k-event batches, 8-bucket sink: p50 904 →
-        # 603 ms); batch inputs are small by construction, so the
-        # small-split overhead the default guards against can't bite.
-        conf.set("spark.sql.files.maxPartitionBytes", "524288")
+        # see MICROBATCH_DECODE_SPLIT_BYTES: 512 KB parallelizes the
+        # one-file decode; batch inputs are small by construction, so
+        # the small-split overhead the default guards against can't
+        # bite. Re-swept at the fused shape (r13) — still the floor.
+        conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(MICROBATCH_DECODE_SPLIT_BYTES),
+        )
         try:
             yield
         finally:
