@@ -13,16 +13,18 @@ must appear as a row, so the universe is enumerated, not grouped-from-
 data), and flag when a retrain (``lloyd_refine`` / the ``ivf2_upsert``
 rebuild cadence) is due.
 
-Scale shape: for a persisted layout the current-occupancy side is
-answered from parquet FOOTERS (:func:`footer_cell_counts` — a grouped
-count(*) over partition columns pushed into row-group metadata, no
-data column read), and only the reference side scans the columns its
-era predicate needs, filter pushed; both sides are cell-bounded after
-their aggregates, and everything after operates on that cell-count
-frame. At 65536 cells the monitor's frame is 64k rows regardless of
-corpus size; its cost is footer reads plus the one pruned reference
-column, full stop. (:func:`ivf_occupancy_psi` keeps the generic
-one-scan shape for in-memory assignment frames.)
+Scale shape: one scan of the index layout bounded by a k1·k2-cell
+partial-agg'd groupBy, and everything after operates on that
+cell-count frame — at 65536 cells the monitor's frame is 64k rows
+regardless of corpus size. When a reference predicate must be
+evaluated (q116's era cut), the ONE scan reading that column is the
+floor: splitting n_cur to a footer-priced pass was measured 2.9×
+slower at the k=100 shard, because ivf2_shape_for keeps cells small
+so the layout is many small files and the cost is file opens, not
+column bytes (SCALE.md §4b-r13). When NO data column is needed at all
+— the streaming monitor's reference counts come from persisted meta —
+:func:`footer_cell_counts` answers the whole frame from parquet
+footers and wins (one-pass A/B at k=100: p50 0.55 s vs 0.76 s).
 
 Determinism (the q91/q109 contract): counts are exact integers, the
 Laplace-smoothed shares are ratios of those integers (identical
@@ -114,70 +116,6 @@ def footer_cell_counts(
     return sorted([int(r[0]), int(r[1]), int(r[2])] for r in rows)
 
 
-def persisted_occupancy_psi(
-    spark,
-    index_path: str,
-    ref_cond: F.Column,
-    n_coarse: int,
-    n_fine: int,
-    coarse_col: str = "coarse",
-    fine_col: str = "fine",
-    smoothing: float = 0.5,
-    overload_factor: int = OVERLOAD_FACTOR,
-    psi_threshold: float = PSI_RETRAIN_THRESHOLD,
-) -> DataFrame:
-    """:func:`ivf_occupancy_psi` specialised to a PERSISTED layout,
-    splitting the count frame so the current-occupancy side never reads
-    a data column:
-
-    - ``n_cur`` comes from :func:`footer_cell_counts` — footers only;
-    - ``n_ref`` scans just the columns ``ref_cond`` references, with
-      the predicate pushed (a filtered grouped count, cell-bounded
-      output).
-
-    Every occupied cell owns at least one file, so the footer frame is
-    the complete occupied-cell set and the reference side (a subset of
-    occupied cells) joins onto it LEFT; the ref side is cell-bounded
-    after its aggregate, so it broadcasts (BuildRight — valid for a
-    left-outer join, unlike the inert left-side hint ADVICE r11
-    flagged). Same math, flags, ordering, and determinism contract as
-    :func:`ivf_occupancy_psi` — the output is value-identical, which
-    keeps q116's driver hash unchanged.
-    """
-    cur = spark.createDataFrame(
-        [(c, f, n) for c, f, n in footer_cell_counts(
-            spark, index_path, coarse_col=coarse_col, fine_col=fine_col
-        )],
-        f"{coarse_col} int, {fine_col} int, n_cur long",
-    )
-    ref = (
-        spark.read.parquet(index_path)
-        .filter(ref_cond)
-        .groupBy(
-            F.col(coarse_col).cast("int").alias(coarse_col),
-            F.col(fine_col).cast("int").alias(fine_col),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
-    )
-    counts = (
-        cur.join(F.broadcast(ref), [coarse_col, fine_col], "left")
-        .select(
-            coarse_col,
-            fine_col,
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-            "n_cur",
-        )
-    )
-    return occupancy_psi_from_counts(
-        counts,
-        n_coarse,
-        n_fine,
-        coarse_col=coarse_col,
-        fine_col=fine_col,
-        smoothing=smoothing,
-        overload_factor=overload_factor,
-        psi_threshold=psi_threshold,
-    )
 
 
 def ivf_occupancy_psi(

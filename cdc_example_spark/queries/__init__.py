@@ -33,11 +33,15 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # Rule 1, slot 1 — the ONLY driver query whose code changes in
-    # r13: q116's current-occupancy side moves from a
-    # column-priced F.count("vec_id") to a footer-answerable
-    # count(*) (VERDICT r12 item 3). r13 registers no new queries
-    # (VERDICT r12 item 7) — new/changed = 1 ≤ 3.
+    # Rule 1, slot 1 — the ONLY driver query touched in r13: q116's
+    # current-occupancy side was split to a footer-answerable
+    # count(*) (VERDICT r12 item 3), measured 2.9× SLOWER at the
+    # k=100 shard (file-open-bound layout), and REVERTED to the
+    # single-scan shape — the footer pricing lives where it wins,
+    # in the streaming monitor (SCALE.md §4b-r13). q116's slot is
+    # kept at the head because its module churned this round. r13
+    # registers no new queries (VERDICT r12 item 7) —
+    # new/changed = 1 ≤ 3.
     "q116_ann_index_health",
     # The 16 documented r12-overflow queries (r10 green rows, 3
     # rounds stale — promised to head the r13 window in the r12

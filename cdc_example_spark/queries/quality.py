@@ -1142,21 +1142,27 @@ ORDER BY coarse, fine
 @query("q116_ann_index_health", oracle=_q116_oracle(), oracle_sf="sf0.01")
 def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy PSI of the persisted IVF2 index vs its
-    training-era population; retrain flag at PSI > 0.2. The
-    current-occupancy side is answered from parquet footers (grouped
-    count(*) over the partition columns — no data column read); only
-    the reference side scans vec_id, with the era predicate pushed
-    (VERDICT r12 item 3). Value-identical to the former single-scan
-    shape — the driver hash is unchanged."""
-    from cdc_example_spark.operators.index_health import (
-        persisted_occupancy_psi,
-    )
+    training-era population; retrain flag at PSI > 0.2.
+
+    Shape note (VERDICT r12 item 3, MEASURED r13): splitting the count
+    frame — footer-priced count(*) for n_cur + a filtered second scan
+    for n_ref — was value-identical but 2.9× SLOWER at the k=100 shard
+    (interleaved p50 3.73 s vs 1.30 s): ivf2_shape_for keeps cells
+    ~TARGET_CELL_SIZE at any corpus, so the layout is MANY SMALL FILES
+    and the monitor is file-open-bound, not column-bound — two passes
+    lose to one regardless of column pruning. q116 therefore keeps the
+    single-scan shape (its era predicate forces reading vec_id from
+    every file anyway); the STREAMING monitor, whose reference side
+    comes from persisted meta and needs no data scan at all, is where
+    the footer pricing wins and lives (footer_cell_counts: one-pass
+    A/B at k=100 p50 0.55 s vs 0.76 s — SCALE.md §4b-r13)."""
+    from cdc_example_spark.operators.index_health import ivf_occupancy_psi
     from cdc_example_spark.queries.llm import trained_ivf2
 
     coarse, fines, path = trained_ivf2(spark, sf_dir)
-    return persisted_occupancy_psi(
-        spark,
-        path,
+    idx = spark.read.parquet(path).select("vec_id", "coarse", "fine")
+    return ivf_occupancy_psi(
+        idx,
         F.col("vec_id") < 250,
         n_coarse=len(coarse),
         # max, not fines[0]: small coarse cells train fewer fine

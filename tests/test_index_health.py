@@ -256,44 +256,3 @@ def test_footer_cell_counts_plan_and_values(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.parquet.aggregatePushdown") == agg_before
     )
-
-
-def test_persisted_occupancy_psi_matches_generic_path(spark, tmp_path):
-    """persisted_occupancy_psi (footer n_cur + filtered-ref scan) must
-    be row-for-row identical to ivf_occupancy_psi's one-scan shape on
-    the same persisted layout — the q116 driver-hash-unchanged
-    contract."""
-    from cdc_example_spark.operators.index_health import (
-        persisted_occupancy_psi,
-    )
-
-    # drifted layout: ref era (vec_id < 100) spread over 3 cells, 60
-    # newer rows piling into (1, 1)
-    rows = []
-    vid = 0
-    for cell, n in (((0, 0), 10), ((0, 1), 10), ((1, 0), 10)):
-        for _ in range(n):
-            rows.append((vid, *cell))
-            vid += 1
-    for _ in range(60):
-        rows.append((100 + vid, 1, 1))
-        vid += 1
-    path = _persisted_layout(spark, tmp_path, rows)
-
-    generic = ivf_occupancy_psi(
-        spark.read.parquet(path).select("vec_id", "coarse", "fine"),
-        F.col("vec_id") < 100,
-        n_coarse=2,
-        n_fine=2,
-        overload_factor=2,
-    ).collect()
-    footer = persisted_occupancy_psi(
-        spark,
-        path,
-        F.col("vec_id") < 100,
-        n_coarse=2,
-        n_fine=2,
-        overload_factor=2,
-    ).collect()
-    assert [tuple(r) for r in footer] == [tuple(r) for r in generic]
-    assert footer[0].psi_total > 0.2 and all(r.retrain_due for r in footer)
