@@ -1,8 +1,8 @@
 """Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
 
 Prints a full-detail JSON line, then a COMPACT summary JSON line LAST:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01": sec, ...}, "slowest5": {...}, "sf": 0.1}
+    {"metric": "suite_total_sec", "value": <total sec>, "unit": "sec",
+     "queries": {"q01": sec, ...}, "n_queries": N, ..., "sf": 0.1}
 The final line is the driver's contract line; it is kept under ~2 kB
 (qNN-prefix query keys) so a bounded stdout tail always contains a
 complete, parseable record — the r5 artifact lost its head because a
@@ -235,9 +235,9 @@ def main() -> None:
     # 2,000-char stdout tail, so BENCH_r12.json recorded "parsed": null
     # (VERDICT r12 item 5). Keep this line comfortably under the window:
     # compact separators, 2-decimal per-query values, short metric
-    # label, and no slowest5 (it lives on the detail line and in
-    # BENCH_local.json). Measured 1,523 bytes at 116 queries — ~475
-    # bytes of headroom.
+    # label, and no slowest5 (derivable from the queries dict here and
+    # on the detail line / in BENCH_local.json). Measured 1,523 bytes
+    # at 116 queries — ~475 bytes of headroom.
     compact = {
         "metric": "suite_total_sec",
         "value": total,

@@ -56,25 +56,37 @@ def parquet_footer_aggregates(spark):
     the V2 parquet source (the default V1 ignores the conf) with
     ``spark.sql.parquet.aggregatePushdown`` on. Both confs are restored
     on exit — the flip is session-scoped, so keep the window to one
-    driver-side read-and-collect (every caller here runs sequentially
-    on the driver: foreachBatch monitors, query construction)."""
+    driver-side read-and-collect.
+
+    Serialized on the package's session-conf lock (the same RLock
+    ``microbatch_conf`` holds): two streams sharing one session — e.g.
+    two ``materialize_with_monitored_index`` topics, or a monitor
+    running beside a merge's conf scope — would otherwise interleave
+    set/restore and leak the V2+pushdown profile into the session
+    permanently (snapshot-the-other-scope's-flipped-value, the exact
+    failure keyed_state documents for its own scope)."""
+    from cdc_example_spark.operators.keyed_state import (
+        _MICROBATCH_CONF_LOCK as _conf_lock,
+    )
+
     v1_key = "spark.sql.sources.useV1SourceList"
     agg_key = "spark.sql.parquet.aggregatePushdown"
-    prev_v1 = spark.conf.get(v1_key)
-    prev_agg = spark.conf.get(agg_key)
-    try:
-        spark.conf.set(
-            v1_key,
-            ",".join(
-                s for s in prev_v1.split(",")
-                if s.strip().lower() != "parquet"
-            ),
-        )
-        spark.conf.set(agg_key, "true")
-        yield
-    finally:
-        spark.conf.set(v1_key, prev_v1)
-        spark.conf.set(agg_key, prev_agg)
+    with _conf_lock:
+        prev_v1 = spark.conf.get(v1_key)
+        prev_agg = spark.conf.get(agg_key)
+        try:
+            spark.conf.set(
+                v1_key,
+                ",".join(
+                    s for s in prev_v1.split(",")
+                    if s.strip().lower() != "parquet"
+                ),
+            )
+            spark.conf.set(agg_key, "true")
+            yield
+        finally:
+            spark.conf.set(v1_key, prev_v1)
+            spark.conf.set(agg_key, prev_agg)
 
 
 def footer_cell_counts(

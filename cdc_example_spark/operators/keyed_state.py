@@ -72,10 +72,13 @@ MICROBATCH_DECODE_SPLIT_BYTES = int(
 )
 
 
-#: serializes microbatch_conf scopes: two streaming queries sharing one
-#: session would otherwise interleave set/restore and leak the
-#: micro-batch profile into each other (reentrant: the REST serving
+#: serializes SESSION-CONF scopes package-wide: two streaming queries
+#: sharing one session would otherwise interleave set/restore and leak
+#: the scoped profile into each other (reentrant: the REST serving
 #: path may nest through _merge while a scope is held on its thread).
+#: Also held by index_health.parquet_footer_aggregates — any scope that
+#: flips session confs must take THIS lock so snapshots never capture
+#: another scope's flipped values.
 _MICROBATCH_CONF_LOCK = threading.RLock()
 
 

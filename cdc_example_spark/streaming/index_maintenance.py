@@ -52,9 +52,12 @@ Per micro-batch (``materialize_with_monitored_index``):
    pointer;
 5. retention sweep (:func:`gc_versions`, VERDICT r12 item 2): flipped
    versions beyond the last ``retain`` (default 2: current + its
-   immediate predecessor, the pre-swap-reader grace) are deleted, so
-   a drifting stream's disk footprint is bounded at ``retain`` full
-   layouts instead of one per retrain.
+   immediate predecessor, the pre-swap-reader grace) are deleted —
+   staged through an atomic rename to ``<name>.deleting`` first, so a
+   crash anywhere inside the sweep converges (whole dirs re-evaluate,
+   staged dirs are unconditionally reclaimed next sweep) — bounding a
+   drifting stream's disk footprint at ``retain`` full layouts
+   instead of one per retrain.
 
 Crash/redelivery across the swap (the materialize_tables composition
 argument): the flip is the single commit point. Crash BEFORE it →
@@ -108,6 +111,7 @@ _POINTER = "_current"
 _VERSIONS = "versions"
 _META = "_layout_meta.json"
 _FLIPPED = "_flipped"  # flip-order counter; present iff the dir ever served
+_DELETING_SUFFIX = ".deleting"  # gc staging: renamed-then-rmtree'd victims
 
 
 # ---------------------------------------------------------------- layout
@@ -207,9 +211,15 @@ def gc_versions(root: str, retain: int = 2) -> "list[str]":
     they are either a rebuild in flight or a crash orphan that the
     redelivery rebuild reclaims by name.
 
-    Idempotent across crashes: a partially-deleted directory whose
-    flip marker survives is re-listed and re-deleted by the next
-    sweep; ``rmtree(ignore_errors=True)`` makes the re-run safe.
+    Idempotent across crashes by STAGING: each victim is first
+    ``os.rename``d (atomic) to ``<name>.deleting``, then rmtree'd, and
+    every sweep starts by clearing any ``*.deleting`` leftovers. A
+    crash at ANY point therefore converges: before the rename the
+    directory is whole and re-evaluated next sweep; after it, the
+    staged name is unconditionally garbage regardless of how much of
+    the rmtree ran — which closes the ordering hole where rmtree
+    deleted the ``_flipped`` marker before the data files and left an
+    unflipped (hence never-again-sweepable) partial layout behind.
     """
     if retain < 1:
         raise ValueError(f"gc_versions: retain must be >= 1, got {retain}")
@@ -219,10 +229,13 @@ def gc_versions(root: str, retain: int = 2) -> "list[str]":
         entries = os.listdir(vroot)
     except OSError:
         return []
+    for d in entries:
+        if d.endswith(_DELETING_SUFFIX):
+            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
     flipped = []
     for d in entries:
         p = os.path.join(vroot, d)
-        if os.path.isdir(p):
+        if not d.endswith(_DELETING_SUFFIX) and os.path.isdir(p):
             c = _flip_counter(p)
             if c is not None:
                 flipped.append((c, d))
@@ -233,7 +246,15 @@ def gc_versions(root: str, retain: int = 2) -> "list[str]":
     removed = []
     for _, d in flipped:
         if d not in keep:
-            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+            p = os.path.join(vroot, d)
+            staged = p + _DELETING_SUFFIX
+            try:
+                os.rename(p, staged)
+            except OSError:
+                # raced with a concurrent reclaim, or a prior staged
+                # remnant still holds the name — the next sweep retries
+                continue
+            shutil.rmtree(staged, ignore_errors=True)
             removed.append(d)
     return sorted(removed)
 

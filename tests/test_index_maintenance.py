@@ -486,6 +486,37 @@ def test_s17_gc_is_idempotent_across_a_crash_mid_sweep(
     assert len(got) == 1
 
 
+def test_s17_gc_reclaims_a_crash_after_stage_even_without_the_marker(
+    tmp_path,
+):
+    """The rmtree-ordering hole the staging rename closes: a sweep that
+    crashed AFTER renaming a victim to ``<name>.deleting`` but after
+    rmtree had already eaten the ``_flipped`` marker must still be
+    reclaimed — under the old in-place delete, a marker-less partial
+    directory was unflipped and therefore never sweepable again
+    (permanent disk leak). Pure-filesystem test: gc_versions takes no
+    Spark session."""
+    root = str(tmp_path / "ann")
+    vroot = os.path.join(root, "versions")
+    # a served current version + a staged victim whose marker is gone
+    cur = os.path.join(vroot, "b0000000009")
+    os.makedirs(os.path.join(cur, "coarse=0", "fine=0"))
+    IM._set_current(root, "b0000000009")
+    IM._mark_flipped(root, cur)
+    staged = os.path.join(vroot, "bootstrap" + IM._DELETING_SUFFIX)
+    os.makedirs(os.path.join(staged, "coarse=1", "fine=0"))
+    # (no _flipped inside — the crash ate it first)
+
+    removed = IM.gc_versions(root, retain=2)
+    assert not os.path.isdir(staged)  # reclaimed unconditionally
+    assert removed == []  # reclaim is not a new deletion
+    assert IM.current_version(root) == "b0000000009"
+    assert os.path.isdir(cur)  # the serving layout is untouched
+
+    # idempotent: nothing left for a second sweep
+    assert IM.gc_versions(root, retain=2) == []
+
+
 def test_s17_second_manual_retrain_never_destroys_the_serving_layout(
     spark, tmp_path, base_state
 ):
