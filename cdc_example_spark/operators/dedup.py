@@ -42,6 +42,28 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 1, 97 * i + 13) for i in range(num_hashes)]
 
 
+def _compute_width(df: DataFrame) -> int:
+    """Shuffle width for COMPUTE-AMPLIFIED stages (in-bucket pair
+    explosion, per-candidate Levenshtein DP).
+
+    The session's shuffle width tracks input bytes (session.py
+    scale_profile: ~one reducer per 8 MB), which is right for scans and
+    aggregations but starves stages whose work is proportional to
+    CANDIDATE PAIRS — quadratic in bucket occupancy, orders of
+    magnitude past the input rows (measured at sf0.1: q113 verifies
+    1.12 M candidates from 5 k docs; the 4-wide verify ran 14.4 s vs
+    5.9 s at the core count, guide §2.2/§2.5). Use every slot the
+    session has: max(spark.sql.shuffle.partitions, defaultParallelism)
+    — identical to the plain shuffle width on a cluster whose width
+    already covers its cores, the full core count under the byte-
+    derived small profile. Session-derived, never a constant."""
+    spark = df.sparkSession
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-key row per normalized content hash."""
     w = Window.partitionBy(T.content_hash(F.col(text_col))).orderBy(key_col)
@@ -237,6 +259,14 @@ def lsh_candidate_pairs(
         *[F.col(c) for c in group_cols],
         F.explode(F.array(*entries)).alias("bk"),
     ).select("k", *group_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # The bucket agg's output stage EXPLODES each bucket into its
+    # pairs (quadratic in occupancy) — compute-amplified work, so the
+    # one exchange the groupBy needs is planned at _compute_width
+    # instead of the byte-derived session width: repartition on the
+    # exact grouping keys satisfies the aggregate's distribution, so
+    # this REPLACES the agg's own exchange (still one shuffle, pinned
+    # by the q32 single-scan plan audit), it does not add one.
+    banded = banded.repartition(_compute_width(banded), "band", "key", *group_cols)
     buckets = (
         banded.groupBy("band", "key", *group_cols)
         .agg(F.array_sort(F.collect_list("k")).alias("ks"))
@@ -482,6 +512,11 @@ def blocked_levenshtein_pairs(
         F.col("sig").alias("s2"),
     )
     dist = F.levenshtein(F.col("s1"), F.col("s2"), max_dist)
+    # The block join's output stage runs the banded DP once per
+    # candidate pair (quadratic in block occupancy) — plan its exchange
+    # at _compute_width for the same reason as the LSH tier's verify
+    # (replaces the join's own exchange; the probe side follows).
+    left = left.repartition(_compute_width(left), "lang", "b")
     return (
         left.join(right, ["lang", "b"])
         .filter(
@@ -592,16 +627,30 @@ def lsh_levenshtein_pairs(
     # same-process A/B, 5 samples: SHJ 8.63 s vs SMJ 10.22 s median)
     # but builds its per-partition hash map unspillably — a deployment
     # that has sized its shuffle width for the corpus can opt in.
-    j = cands.join(
-        sigs.select(F.col("_k").alias(k1), "lang", F.col("_sig").alias("s1")).hint(
-            verify_join
-        ),
-        on=k1,
-    ).join(
-        sigs.select(F.col("_k").alias(k2), F.col("_sig").alias("s2")).hint(
-            verify_join
-        ),
-        on=k2,
+    # Each candidate pays a threshold-banded Levenshtein DP
+    # (O(max_dist·sig_len) ≈ 2.4 k char cells at the defaults) inside
+    # the verify-join stages — compute-amplified work, so both join
+    # exchanges are planned at _compute_width: repartitioning the probe
+    # side on the join key REPLACES the exchange the shuffle join would
+    # plan anyway (the sigs side follows to match), still exactly two
+    # shuffle joins (pinned by the q113 plan audit). Measured at sf0.1:
+    # 14.4 s → 5.9 s on the 1.12 M-candidate verify (guide §2.2).
+    width = _compute_width(cands)
+    j = (
+        cands.repartition(width, F.col(k1))
+        .join(
+            sigs.select(F.col("_k").alias(k1), "lang", F.col("_sig").alias("s1")).hint(
+                verify_join
+            ),
+            on=k1,
+        )
+        .repartition(width, F.col(k2))
+        .join(
+            sigs.select(F.col("_k").alias(k2), F.col("_sig").alias("s2")).hint(
+                verify_join
+            ),
+            on=k2,
+        )
     )
     dist = F.levenshtein(F.col("s1"), F.col("s2"), max_dist)
     return (
