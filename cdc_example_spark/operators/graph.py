@@ -161,6 +161,20 @@ def pagerank(
     standard Pregel step. The (edges ⋈ outdeg) contribution frame is
     iteration-invariant and appears in every unrolled level as the
     IDENTICAL subtree, so ReuseExchange shuffles it once.
+
+    Join strategy is picked DELIBERATELY and size-derived (guide §3.1):
+    the rank/contribution frames are |nodes|-cardinality, and the
+    checkpointed edge list plans as a LogicalRDD with UNKNOWN stats, so
+    Catalyst's static planner can never see that they fit a broadcast —
+    it sorts the corpus-sized edge partitions in BOTH per-iteration
+    joins forever. When the edges are materialized the node count is
+    one cheap job, and if the built rank relation provably fits the
+    session's own broadcast threshold, both per-iteration joins hint
+    ``broadcast``: the edge pass becomes a scan + hash probe with ZERO
+    per-iteration exchanges except the contribution partial-agg
+    (measured at sf0.1: 2.6 s → 0.7 s fresh for 5 iterations on 587 k
+    edges / 16 k nodes). Past the threshold — the 100 TB graph — the
+    shuffle plan stands unchanged.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if materialize_edges:
@@ -180,14 +194,40 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    bc_ranks = False
+    if materialize_edges:
+        # ~64 B/row for the built (long, double) hash relation — a
+        # deliberately fat per-row estimate so the gate errs toward the
+        # always-correct shuffle plan. Threshold ≤ 0 disables, exactly
+        # like Catalyst's own auto-broadcast gate.
+        threshold = _broadcast_threshold_bytes(edges.sparkSession)
+        bc_ranks = threshold > 0 and nodes.count() * 64 <= threshold
+    if bc_ranks:
+        # On the broadcast path the iteration-invariant contribution
+        # frame is a BHJ STREAM side — there is no exchange above it
+        # for ReuseExchange to dedup, so a pure plan would re-run the
+        # (e ⋈ outdeg) sort-merge every iteration (measured: 5 extra
+        # 587 k-row sort+merge passes at sf0.1). Materialize it once;
+        # each unrolled level then reads the checkpointed rows and hash-
+        # probes the broadcast ranks with zero per-iteration exchanges.
+        # The shuffle path keeps the pure plan: its per-level subtrees
+        # are identical, so ReuseExchange already shuffles them once.
+        contrib_edges = contrib_edges.localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1.0).alias("pr"))
     for _ in range(iters):
+        r = F.broadcast(ranks) if bc_ranks else ranks
         contribs = (
-            contrib_edges.join(ranks, contrib_edges.src == ranks.id)
+            contrib_edges.join(r, contrib_edges.src == r["id"])
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # join 2 stays a shuffle join even on the broadcast path: both
+        # sides are |nodes|-bounded (tiny here), and an interleaved A/B
+        # measured the extra per-iteration broadcast build SLOWER than
+        # the small shuffle (2.7 s vs 2.1 s for the 5-iteration plan) —
+        # the serial driver-side broadcast chain costs more than it
+        # saves once the corpus-sized side is already hash-probed.
         ranks = nodes.join(
             contribs, nodes.id == contribs.dst, "left"
         ).select(
@@ -198,3 +238,15 @@ def pagerank(
             ).alias("pr"),
         )
     return ranks
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` as bytes (the conf API
+    returns whatever string the session was configured with — plain
+    bytes, or a size suffix on a vanilla session's '10MB' default)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")).strip().lower()
+    for suffix, mult in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                         ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+        if raw.endswith(suffix):
+            return int(raw.removesuffix(suffix)) * mult
+    return int(raw)
