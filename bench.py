@@ -99,6 +99,61 @@ def main() -> None:
             _Dataset.ofRows(jdf.sparkSession(), jdf.queryExecution().logical()), spark
         )
 
+    # ---- engine warmup (unmeasured; SPARK_GRAFT_BENCH_WARMUP=0 to
+    # skip). The headline tier is defined as STEADY-STATE fresh-plan
+    # execution, but the first ~10 queries of the alphabetical loop
+    # were being measured inside the JVM's C2 compilation storm: the
+    # same plans measured q01 5.9 s in-bench vs 0.5 s isolated, q102
+    # 7.2 vs 0.6 (2026-08-17, r13). Warm the ENGINE, not any query:
+    # ad-hoc plans over the bench tables exercising the core paths
+    # (parquet scan, hash agg, join, window, explode, array fold, sort,
+    # Arrow transfer). None is a registered query's plan, so no
+    # per-query generated class is pre-compiled — the cold tier keeps
+    # its per-plan-codegen semantics — and the shared hot-table cache
+    # materializes here instead of inside the first touching query's
+    # cold number. Old (no-warmup) numbers: BENCH_r12.json and the r13
+    # baseline recorded in OPTIMIZATION_r13.md.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from cdc_example_spark.sources.catalog import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders")
+        cu = load_table(spark, sf_dir, "customer")
+        dc = load_table(spark, sf_dir, "documents")
+        ev = load_table(spark, sf_dir, "events")
+        em = load_table(spark, sf_dir, "embeddings")
+        warm_w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        warmups = [
+            li.groupBy("l_linestatus").agg(
+                F.avg("l_tax"), F.max("l_shipdate"), F.min("l_partkey")
+            ),
+            od.join(cu, od.o_custkey == cu.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("c_nationkey"),
+            ev.select("event_type", "ts", "event_id")
+            .withColumn("rn", F.row_number().over(warm_w))
+            .filter(F.col("rn") <= 2),
+            dc.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "w")
+            .limit(5),
+            em.select(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+                ).alias("n2")
+            ).agg(F.sum("n2")),
+        ]
+        spark.sparkContext.setJobDescription("bench: engine warmup (unmeasured)")
+        for w in warmups:
+            for _ in range(2):
+                collect(w)
+        spark.sparkContext.setJobDescription(None)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     construct: dict[str, float] = {}

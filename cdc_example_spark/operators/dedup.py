@@ -225,10 +225,16 @@ def lsh_candidate_pairs(
     J≈0.63 — P[candidate] = 1−(1−J³)⁴ ≈ 0.94 at J=0.8.
 
     Shape for scale: the signature pipeline runs ONCE (explode →
-    partial-agg min), only 8-byte band keys shuffle, and pairs are
-    generated inside each (band, key) bucket from a collected, sorted
-    id array — a self-join would re-execute the whole signature
-    pipeline for both sides (measured 2.7 s vs 0.3 s warm at sf0.1).
+    partial-agg min), the banded rows shuffle the id + the k-hash
+    signature (8·(k+1) bytes), and pairs are generated inside each
+    (band, key) bucket from a collected, sorted (id, signature) array
+    — a self-join would re-execute the whole signature pipeline for
+    both sides (measured 2.7 s vs 0.3 s warm at sf0.1). Each pair is
+    emitted from its FIRST matching band only (the simhash_near_pairs
+    discipline): earlier-band agreement is a per-pair predicate over
+    the carried signatures, so no global distinct() shuffle — measured
+    at sf0.1 defaults the explode emits 1.12 M rows instead of 11.4 M
+    duplicated ones (10.2×).
     Bucket sizes are bounded by true near-dup cluster sizes, so the
     per-bucket quadratic is the irreducible output size; for corpora
     with pathological boilerplate clusters pass ``max_bucket`` to drop
@@ -247,6 +253,7 @@ def lsh_candidate_pairs(
         F.expr(f"min(({a} * fp + {b}) % {MINHASH_P}) AS s{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
+    s_cols = [f"s{i}" for i in range(num_hashes)]
     sig = fps.groupBy(key_col, *group_cols).agg(*aggs)
     entries = []
     for bnd in range(bands):
@@ -254,11 +261,25 @@ def lsh_candidate_pairs(
         for r in range(rows_per_band):
             key = f"(({key} * 31 + s{bnd * rows_per_band + r}) % {MINHASH_P})"
         entries.append(F.expr(f"struct({bnd} AS band, {key} AS key)"))
+    # The banded rows carry the FULL signature (s0..s{k-1}, 8 B each)
+    # through the bucket exchange, not just the 8-byte band key: each
+    # pair is then emitted from its FIRST matching band only (the
+    # simhash_near_pairs discipline) — "did an earlier band also
+    # match?" is a plain per-pair predicate over the carried
+    # signatures, replacing a global distinct() that shuffled every
+    # duplicate. Measured at sf0.1 defaults: 11.40 M exploded pair
+    # rows collapse to the 1.12 M distinct candidates (10.2×), and the
+    # distinct exchange disappears from the plan (guide §2.3/§2.4 —
+    # shuffle metadata, remove shuffles outright).
     banded = sig.select(
         F.col(key_col).alias("k"),
         *[F.col(c) for c in group_cols],
+        *s_cols,
         F.explode(F.array(*entries)).alias("bk"),
-    ).select("k", *group_cols, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "k", *group_cols, *s_cols,
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
     # The bucket agg's output stage EXPLODES each bucket into its
     # pairs (quadratic in occupancy) — compute-amplified work, so the
     # one exchange the groupBy needs is planned at _compute_width
@@ -269,25 +290,69 @@ def lsh_candidate_pairs(
     banded = banded.repartition(_compute_width(banded), "band", "key", *group_cols)
     buckets = (
         banded.groupBy("band", "key", *group_cols)
-        .agg(F.array_sort(F.collect_list("k")).alias("ks"))
+        # struct sorts by leading field; k is unique within a bucket
+        # (one key per band per doc), so this is the same id-sorted
+        # order the id-array collect had.
+        .agg(F.array_sort(F.collect_list(F.struct("k", *s_cols))).alias("ks"))
         .filter(F.size("ks") > 1)
     )
     if max_bucket is not None:
+        # Under a bucket cap the contract is "pair kept if ANY
+        # surviving bucket holds it" — first-match emission can't see
+        # whether the earlier bucket survived the cap, so the capped
+        # path keeps the explode-then-distinct shape.
         buckets = buckets.filter(F.size("ks") <= max_bucket)
+        ks0 = F.col("ks")
+        legacy_pairs = F.flatten(
+            F.transform(
+                ks0,
+                lambda x, i: F.transform(
+                    F.slice(ks0, i + F.lit(2), F.size(ks0)),
+                    lambda y: F.struct(x["k"].alias("k1"), y["k"].alias("k2")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(legacy_pairs).alias("p"))
+            .select(
+                F.col("p.k1").alias(f"{key_col}_1"),
+                F.col("p.k2").alias(f"{key_col}_2"),
+            )
+            .distinct()
+        )
+
+    def _band_key(row: Column, bnd: int) -> Column:
+        key = F.lit(17).cast("long")
+        for r in range(rows_per_band):
+            key = (key * 31 + row[f"s{bnd * rows_per_band + r}"]) % F.lit(MINHASH_P)
+        return key
+
+    def _first_match(x: Column, y: Column) -> Column:
+        # every band EARLIER than this bucket's must disagree, else the
+        # pair was already emitted there (mirrors simhash_near_pairs).
+        cond = F.lit(True)
+        for b2 in range(bands - 1):
+            cond = cond & (
+                (F.col("band") <= F.lit(b2)) | (_band_key(x, b2) != _band_key(y, b2))
+            )
+        return cond
+
     ks = F.col("ks")
     pairs = F.flatten(
         F.transform(
             ks,
             lambda x, i: F.transform(
-                F.slice(ks, i + F.lit(2), F.size(ks)),
-                lambda y: F.struct(x.alias("k1"), y.alias("k2")),
+                F.filter(
+                    F.slice(ks, i + F.lit(2), F.size(ks)),
+                    lambda y: _first_match(x, y),
+                ),
+                lambda y: F.struct(x["k"].alias("k1"), y["k"].alias("k2")),
             ),
         )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.k1").alias(f"{key_col}_1"), F.col("p.k2").alias(f"{key_col}_2"))
-        .distinct()
     )
 
 
@@ -635,29 +700,35 @@ def lsh_levenshtein_pairs(
     # plan anyway (the sigs side follows to match), still exactly two
     # shuffle joins (pinned by the q113 plan audit). Measured at sf0.1:
     # 14.4 s → 5.9 s on the 1.12 M-candidate verify (guide §2.2).
+    # The two lookups project the IDENTICAL (id, lang, sig) subplan —
+    # same columns, same aliases — so their shuffles canonicalize equal
+    # and ReuseExchange computes the corpus sig pass (tokenize →
+    # array_sort → join → substring) and its exchange ONCE; the second
+    # join reads the same shuffle files (the simhash_near_pairs trick).
+    # The per-side renames happen AFTER each join instead of inside the
+    # sig projection, which is what used to make the subtrees differ.
     width = _compute_width(cands)
-    j = (
+    side_a = sigs.hint(verify_join).alias("sA")
+    side_b = sigs.hint(verify_join).alias("sB")
+    probe = (
         cands.repartition(width, F.col(k1))
-        .join(
-            sigs.select(F.col("_k").alias(k1), "lang", F.col("_sig").alias("s1")).hint(
-                verify_join
-            ),
-            on=k1,
-        )
+        .join(side_a, F.col(k1) == F.col("sA._k"))
+        # lang is read from BOTH sides (coalesce — candidates are
+        # lang-scoped buckets, so the sides agree by construction):
+        # taking it from one side only lets column pruning strip it
+        # from the other projection, which un-cannibalizes the two
+        # subtrees and kills the exchange reuse.
+        .select(k1, k2, F.col("sA.lang").alias("_langA"), F.col("sA._sig").alias("s1"))
         .repartition(width, F.col(k2))
-        .join(
-            sigs.select(F.col("_k").alias(k2), F.col("_sig").alias("s2")).hint(
-                verify_join
-            ),
-            on=k2,
-        )
+        .alias("pj")
     )
-    dist = F.levenshtein(F.col("s1"), F.col("s2"), max_dist)
+    j = probe.join(side_b, F.col(k2) == F.col("sB._k"))
+    dist = F.levenshtein(F.col("pj.s1"), F.col("sB._sig"), max_dist)
     return (
         j.select(
-            F.col(k1).alias("id1"),
-            F.col(k2).alias("id2"),
-            "lang",
+            F.col(f"pj.{k1}").alias("id1"),
+            F.col(f"pj.{k2}").alias("id2"),
+            F.coalesce(F.col("pj._langA"), F.col("sB.lang")).alias("lang"),
             dist.cast("long").alias("dist"),
         )
         .filter(F.col("dist").between(0, max_dist))

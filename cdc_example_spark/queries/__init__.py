@@ -33,16 +33,25 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # Rule 1, slot 1 — the ONLY driver query touched in r13: q116's
-    # current-occupancy side was split to a footer-answerable
-    # count(*) (VERDICT r12 item 3), measured 2.9× SLOWER at the
-    # k=100 shard (file-open-bound layout), and REVERTED to the
-    # single-scan shape — the footer pricing lives where it wins,
-    # in the streaming monitor (SCALE.md §4b-r13). q116's slot is
-    # kept at the head because its module churned this round. r13
-    # registers no new queries (VERDICT r12 item 7) —
-    # new/changed = 1 ≤ 3.
+    # Rule 1 — queries whose code changed this round. r13 registers no
+    # new queries (VERDICT r12 item 7); the changed set is:
+    #   - q116: its current-occupancy side was split to a footer-
+    #     answerable count(*) (VERDICT r12 item 3), measured 2.9×
+    #     SLOWER at the k=100 shard (file-open-bound layout), and
+    #     REVERTED to the single-scan shape — the footer pricing lives
+    #     where it wins, in the streaming monitor (SCALE.md §4b-r13).
+    #     Slot kept because its module churned.
+    #   - q32 and q79: the r13 OPTIMIZATION pass changed their
+    #     operators' internals (lsh_candidate_pairs now plans its
+    #     bucket-explosion exchange at the session core count;
+    #     pagerank gained the size-gated broadcast path —
+    #     OPTIMIZATION_r13.md §1–2). q113/q82/q24 share those
+    #     operators and already hold due slots below. Results are
+    #     oracle-identical (re-verified at sf0.01 this round), but
+    #     "green must never mean green for an older build".
     "q116_ann_index_health",
+    "q32_minhash_lsh_candidates",
+    "q79_pagerank",
     # The 16 documented r12-overflow queries (r10 green rows, 3
     # rounds stale — promised to head the r13 window in the r12
     # rotation note; VERDICT r12 item 1). They MUST come first
@@ -103,15 +112,18 @@ DRIVER_PRIORITY = [
     "q54_bigram_vocab",
     "q55_decontamination",
     "q56_repetition_bands",
-    "q69_bigram_lm_perplexity",
-    "q105_bpe_merge_rounds",
 ]
-# 50 prioritized — the window is exactly full: 1 rule-1 slot
-# (q116, the one changed query this round; ≤3 per the standing
-# cap) + the 16 promised r10-stale carries (rule 2, heading the
-# due block as the r12 note requires) + 33 of the 50 r11-green
-# rows due this round.
-# DOCUMENTED OVERFLOW (r13 → r14): q19_sessionization,
+# 50 prioritized — the window is exactly full: 3 rule-1 slots
+# (q116 + the two optimization-changed queries q32/q79; = 3, at
+# the standing ≤3 cap) + the 16 promised r10-stale carries
+# (rule 2, heading the due block as the r12 note requires) + 31
+# of the 50 r11-green rows due this round. The two r11-green rows
+# the rule-1 slots displaced — q69_bigram_lm_perplexity and
+# q105_bpe_merge_rounds (both in modules r13 does not edit) —
+# join the documented overflow below and MUST head the r14 window.
+# DOCUMENTED OVERFLOW (r13 → r14): q69_bigram_lm_perplexity,
+# q105_bpe_merge_rounds (displaced by the r13 rule-1 slots, see
+# above), q19_sessionization,
 # q20_json_buckets, q42_stats_profile, q43_train_test_split,
 # q71_event_funnel, q72_cohort_retention, q74_ntile_deciles,
 # q77_hourly_anomalies, q78_resample_interpolate,

@@ -59,6 +59,28 @@ def test_lsh_candidates_cover_exact_neardups(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {len(missed)}/{len(exact)}"
 
 
+def test_lsh_first_match_emission_equals_legacy_distinct(spark, sf_dir):
+    """r13 optimization pin: the default (uncapped) candidate path
+    emits each pair from its FIRST matching band via the carried
+    signatures — no distinct() shuffle — and must produce EXACTLY the
+    distinct pair-set of the legacy explode-then-distinct shape (still
+    reachable through max_bucket, which keeps the old path because the
+    cap's any-surviving-bucket semantics can't see earlier buckets).
+    Duplicate emissions would also be a correctness bug on their own:
+    the pair set must be a set."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_rows = D.lsh_candidate_pairs(docs, group_cols=("lang",)).collect()
+    new_pairs = [(r["doc_id_1"], r["doc_id_2"]) for r in new_rows]
+    assert len(new_pairs) == len(set(new_pairs)), "first-match emitted a dup"
+    legacy = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in D.lsh_candidate_pairs(
+            docs, group_cols=("lang",), max_bucket=10**9
+        ).collect()
+    }
+    assert set(new_pairs) == legacy and len(legacy) > 0
+
+
 def test_simhash_exact_dups_have_zero_hamming(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", D.simhash32(F.lower(F.trim(F.col("text")))).alias("sh"), "text")
