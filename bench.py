@@ -148,6 +148,20 @@ def main() -> None:
                 ).alias("n2")
             ).agg(F.sum("n2")),
         ]
+        # Python-boundary warmup: the worker pool boot (one worker per
+        # core) + Arrow runner imports otherwise land inside the first
+        # pandas-UDF query's samples. Identity mapInPandas over a
+        # core-count-wide stage; ad-hoc like the rest.
+        def _warm_py(batches):
+            for pdf in batches:
+                yield pdf
+
+        warmups.append(
+            em.repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id")
+            .mapInPandas(_warm_py, "vec_id bigint")
+            .agg(F.count(F.lit(1)))
+        )
         spark.sparkContext.setJobDescription("bench: engine warmup (unmeasured)")
         for w in warmups:
             for _ in range(2):
