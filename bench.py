@@ -62,6 +62,10 @@ import sys
 import time
 
 
+class _SkipWarmup(Exception):
+    """SPARK_GRAFT_BENCH_WARMUP=0 — skip the unmeasured engine warmup."""
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -113,7 +117,11 @@ def main() -> None:
     # materializes here instead of inside the first touching query's
     # cold number. Old (no-warmup) numbers: BENCH_r12.json and the r13
     # baseline recorded in OPTIMIZATION_r13.md.
-    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+    # A warmup failure must never kill the bench — it is unmeasured
+    # auxiliary work, so degrade to the pre-warmup behavior instead.
+    try:
+        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "0":
+            raise _SkipWarmup
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
@@ -166,6 +174,11 @@ def main() -> None:
         for w in warmups:
             for _ in range(2):
                 collect(w)
+        spark.sparkContext.setJobDescription(None)
+    except _SkipWarmup:
+        pass
+    except Exception as e:  # pragma: no cover — never kill the report
+        print(f"bench warmup skipped on error: {e!r:.200}", file=sys.stderr)
         spark.sparkContext.setJobDescription(None)
 
     timings: dict[str, float] = {}
