@@ -179,7 +179,11 @@ def main() -> None:
         pass
     except Exception as e:  # pragma: no cover — never kill the report
         print(f"bench warmup skipped on error: {e!r:.200}", file=sys.stderr)
-        spark.sparkContext.setJobDescription(None)
+        try:  # the reset itself can throw if the py4j gateway is what
+            # failed — the handler must honor its own contract (ADVICE r13)
+            spark.sparkContext.setJobDescription(None)
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -334,7 +338,19 @@ def main() -> None:
         **cdc_fields,
         "sf": sf,
     }
-    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # VERDICT r13 item 7: a future query rename must
+        # not silently push the contract line back over the driver's
+        # 2,000-char stdout tail (the r12 parse-loss failure mode).
+        # tests/test_bench_contract_line.py pins the projection; this is
+        # the runtime tripwire for whatever the test didn't foresee.
+        print(
+            f"WARNING: compact contract line is {len(line)} bytes — within "
+            "50 B of the driver's 2 kB stdout-tail window (r12 lost its "
+            "artifact this way). Shorten query keys or drop a field.",
+            file=sys.stderr,
+        )
+    print(line, flush=True)
     spark.stop()
 
 

@@ -216,6 +216,7 @@ def lsh_candidate_pairs(
     group_cols: tuple[str, ...] = (),
     max_bucket: int | None = None,
     tokens_col: str | None = None,
+    pair_width: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (key_1 < key_2, distinct).
 
@@ -280,14 +281,19 @@ def lsh_candidate_pairs(
         "k", *group_cols, *s_cols,
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    # The bucket agg's output stage EXPLODES each bucket into its
-    # pairs (quadratic in occupancy) — compute-amplified work, so the
-    # one exchange the groupBy needs is planned at _compute_width
-    # instead of the byte-derived session width: repartition on the
-    # exact grouping keys satisfies the aggregate's distribution, so
-    # this REPLACES the agg's own exchange (still one shuffle, pinned
-    # by the q32 single-scan plan audit), it does not add one.
-    banded = banded.repartition(_compute_width(banded), "band", "key", *group_cols)
+    # ``pair_width`` sizes the one exchange the bucket groupBy needs.
+    # When a caller's downstream pays heavy PER-PAIR work inside these
+    # stages' lineage (q113's banded-Levenshtein verify), it passes
+    # _compute_width so the explosion is planned core-wide; repartition
+    # on the exact grouping keys REPLACES the agg's own exchange (still
+    # one shuffle, pinned by the q32 single-scan plan audit). Default
+    # None keeps the agg's own byte-derived session width: for a
+    # candidates-only consumer (q32) the explode emits pair IDS with no
+    # per-pair DP, and an r14 interleaved A/B measured the core-wide
+    # exchange 18% SLOWER at sf0.1 (0.443 vs 0.364 s — dispatch
+    # overhead, the exact q32 regression the r13 driver flagged).
+    if pair_width is not None:
+        banded = banded.repartition(pair_width, "band", "key", *group_cols)
     buckets = (
         banded.groupBy("band", "key", *group_cols)
         # struct sorts by leading field; k is unique within a bucket
@@ -670,6 +676,9 @@ def lsh_levenshtein_pairs(
         group_cols=(lang_col,),
         max_bucket=max_bucket,
         tokens_col="_sigws",
+        # the explosion feeds a per-pair banded-DP verify: plan it
+        # core-wide (see pair_width note in lsh_candidate_pairs)
+        pair_width=_compute_width(with_sig_words),
     )
     sigs = docs.select(
         F.col(key_col).alias("_k"),

@@ -243,10 +243,26 @@ def pagerank(
 def _broadcast_threshold_bytes(spark) -> int:
     """``spark.sql.autoBroadcastJoinThreshold`` as bytes (the conf API
     returns whatever string the session was configured with — plain
-    bytes, or a size suffix on a vanilla session's '10MB' default)."""
-    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")).strip().lower()
-    for suffix, mult in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
-                         ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
-        if raw.endswith(suffix):
-            return int(raw.removesuffix(suffix)) * mult
-    return int(raw)
+    bytes, or a size suffix on a vanilla session's '10MB' default).
+
+    The gate's contract is "err toward the always-correct shuffle
+    plan", so parsing must NEVER raise (ADVICE r13): Spark accepts
+    t/tb/p/pb suffixes and fractional values ('1.5g') that the r13
+    parser rejected with ValueError — crashing pagerank outright on
+    such sessions. Unparseable values now return 0 (broadcast
+    disabled), the same fallback as an explicit threshold ≤ 0."""
+    try:
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        ).strip().lower()
+        for suffix, mult in (
+            ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+            ("tb", 1024**4), ("pb", 1024**5),
+            ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+            ("t", 1024**4), ("p", 1024**5), ("b", 1),
+        ):
+            if raw.endswith(suffix):
+                return int(float(raw.removesuffix(suffix)) * mult)
+        return int(raw)
+    except Exception:
+        return 0

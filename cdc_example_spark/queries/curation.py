@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import dec2, small_result_order
+from cdc_example_spark.queries.util import dec2, shuffled_order, small_result_order
 from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
 
 # ---------------------------------------------------------------------------
@@ -222,9 +222,12 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators.dedup import blocked_levenshtein_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    # shuffled_order, not bare orderBy: the range sampling would
+    # re-execute the whole banded-DP verify stage (measured 1.49 ->
+    # 0.83 s at sf0.1, byte-identical -- queries/util.py r14 note).
     return blocked_levenshtein_pairs(
         docs, sig_len=96, max_len_diff=24, max_dist=12
-    ).orderBy("id1", "id2")
+    ).transform(shuffled_order, "id1", "id2")
 
 
 # ---------------------------------------------------------------------------
@@ -319,9 +322,12 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("lang").isNotNull()
     )
+    # shuffled_order, not bare orderBy: the range sampling would
+    # re-execute the second verify join's Levenshtein stage (measured
+    # 2.83 -> 2.21 s at sf0.1, byte-identical -- queries/util.py r14).
     return lsh_levenshtein_pairs(
         docs, sig_len=96, max_dist=12, num_hashes=12, bands=12, shingle=2
-    ).orderBy("id1", "id2")
+    ).transform(shuffled_order, "id1", "id2")
 
 
 # ---------------------------------------------------------------------------
@@ -492,10 +498,19 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV decode: synth PCM → wave-encode → parse → per-clip stats."""
     from cdc_example_spark.operators import multimodal as M
 
+    # coalesce(1) BEFORE the two mapInPandas crossings, not just in the
+    # output tail: the hot-table cache holds documents in 8 partitions,
+    # and the later small_result_order coalesce made ONE task walk all
+    # 8 upstream partitions SERIALLY — each spinning its own Python
+    # runner pair, 16 sequential JVM↔Python handshakes for 40 rows
+    # (guide §4.5: amortize per-task setup). Coalescing the bounded
+    # 40-row request first runs exactly 2 crossings. Measured at sf0.1
+    # (interleaved, 5-sample medians): 1.23 → 0.18 s, byte-identical.
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 40)
         .select("doc_id")
+        .coalesce(1)
     )
 
     def _synth(batches):

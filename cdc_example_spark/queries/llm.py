@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 from cdc_example_spark.functions import text as T
 from cdc_example_spark.functions import vector as V
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import dec2, small_result_order
+from cdc_example_spark.queries.util import dec2, shuffled_order, small_result_order
 from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
 
 # ---------------------------------------------------------------------------
@@ -597,9 +597,11 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL langs can't pair in the oracle (a.lang = b.lang), but the
     # operator's groupBy-bucketing would pair them — filter for parity.
     toks = load_doc_tokens(spark, sf_dir).filter(F.col("lang").isNotNull())
+    # shuffled_order: the bare sort's range sampling re-executed the
+    # in-bucket pair-explosion stage (queries/util.py r14 note).
     return D.lsh_candidate_pairs(
         toks, num_hashes=12, bands=4, group_cols=("lang",), tokens_col="ws"
-    ).orderBy("doc_id_1", "doc_id_2")
+    ).transform(shuffled_order, "doc_id_1", "doc_id_2")
 
 
 # ---------------------------------------------------------------------------

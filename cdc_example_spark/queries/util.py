@@ -44,6 +44,32 @@ def small_result_order(df, *cols):
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def shuffled_order(df, *cols):
+    """Global ``orderBy`` for an UNBOUNDED result whose last pre-sort
+    stage is expensive — with the sort's range-boundary sampling made
+    cheap (r14, guide §2.4/§7.2).
+
+    A bare ``orderBy`` plans a range exchange whose boundary-sampling
+    job executes the ENTIRE child plan once, and the range-map stage
+    then re-executes the child's final narrow stage to write the
+    shuffle — upstream shuffle-map stages are reused, but everything
+    since the last exchange (a sort-merge join + banded Levenshtein DP,
+    an in-bucket pair explosion) runs TWICE per submission. Measured at
+    sf0.1 (interleaved, 5-sample medians): q82 1.49 → 0.83 s, q113
+    2.83 → 2.21 s, byte-identical output.
+
+    Hash-repartitioning on the leading sort key first pins the
+    expensive stage's output as shuffle files: the sampling job and the
+    range-map stage both re-READ those files instead of recomputing the
+    stage. The extra exchange carries only the RESULT rows (pair
+    tables, component stats — output-sized, never corpus-sized), uses
+    the session shuffle width, and AQE coalesces it at cluster scale;
+    the global sort itself is unchanged, so the total order — and the
+    driver's row hash — is identical.
+    """
+    return df.repartition(*[F.col(c) if isinstance(c, str) else c for c in cols[:1]]).orderBy(*cols)
+
+
 def day_str(col: Column) -> Column:
     """Timestamp → 'yyyy-MM-dd' string (matches DuckDB strftime '%Y-%m-%d')."""
     return F.date_format(col, "yyyy-MM-dd")

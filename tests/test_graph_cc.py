@@ -164,3 +164,42 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert set(got) == set(nodes)
     for n in nodes:
         assert abs(got[n] - pr[n]) < 1e-9, (n, got[n], pr[n])
+
+
+def test_broadcast_threshold_parser_covers_spark_legal_sizes():
+    """ADVICE r13 (medium): the pagerank broadcast gate must parse every
+    Spark-legal threshold string (t/tb/p/pb suffixes, fractional values)
+    and must NEVER raise — an unparseable value means 0 (broadcast
+    disabled), so the always-correct shuffle plan is the fallback, never
+    a crash."""
+    from cdc_example_spark.operators.graph import _broadcast_threshold_bytes
+
+    class _FakeConf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _FakeSpark:
+        def __init__(self, v):
+            self.conf = _FakeConf(v)
+
+    cases = {
+        "10485760": 10 * 1024**2,   # plain bytes (vanilla default)
+        "10MB": 10 * 1024**2,
+        "64m": 64 * 1024**2,
+        "10k": 10 * 1024,
+        "100b": 100,
+        "1g": 1024**3,
+        "1tb": 1024**4,             # r13 parser raised on these four
+        "2t": 2 * 1024**4,
+        "1pb": 1024**5,
+        "1.5g": int(1.5 * 1024**3),
+        "-1": -1,                   # explicit disable stays ≤ 0
+    }
+    for raw, want in cases.items():
+        assert _broadcast_threshold_bytes(_FakeSpark(raw)) == want, raw
+    # unparseable → 0 (disabled), never an exception
+    assert _broadcast_threshold_bytes(_FakeSpark("not-a-size")) == 0
+    assert _broadcast_threshold_bytes(_FakeSpark(None)) == 0

@@ -59,7 +59,16 @@ def test_lsh_candidates_cover_exact_neardups(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {len(missed)}/{len(exact)}"
 
 
-def test_lsh_first_match_emission_equals_legacy_distinct(spark, sf_dir):
+@pytest.mark.parametrize(
+    "num_hashes,bands",
+    [
+        (12, 4),   # q32/q24 default shape (rows_per_band=3)
+        (12, 12),  # q113 verify-tier shape (rows_per_band=1) — ADVICE r13:
+                   # the rows_per_band=1 band keys are single-hash folds,
+                   # a branch the b=4 pin never exercised
+    ],
+)
+def test_lsh_first_match_emission_equals_legacy_distinct(spark, sf_dir, num_hashes, bands):
     """r13 optimization pin: the default (uncapped) candidate path
     emits each pair from its FIRST matching band via the carried
     signatures — no distinct() shuffle — and must produce EXACTLY the
@@ -69,13 +78,16 @@ def test_lsh_first_match_emission_equals_legacy_distinct(spark, sf_dir):
     Duplicate emissions would also be a correctness bug on their own:
     the pair set must be a set."""
     docs = load_table(spark, sf_dir, "documents")
-    new_rows = D.lsh_candidate_pairs(docs, group_cols=("lang",)).collect()
+    new_rows = D.lsh_candidate_pairs(
+        docs, num_hashes=num_hashes, bands=bands, group_cols=("lang",)
+    ).collect()
     new_pairs = [(r["doc_id_1"], r["doc_id_2"]) for r in new_rows]
     assert len(new_pairs) == len(set(new_pairs)), "first-match emitted a dup"
     legacy = {
         (r["doc_id_1"], r["doc_id_2"])
         for r in D.lsh_candidate_pairs(
-            docs, group_cols=("lang",), max_bucket=10**9
+            docs, num_hashes=num_hashes, bands=bands,
+            group_cols=("lang",), max_bucket=10**9,
         ).collect()
     }
     assert set(new_pairs) == legacy and len(legacy) > 0
