@@ -24,7 +24,7 @@ from cdc_example_spark.operators.percentiles import (
     grouped_exact_percentiles_bucketed,
 )
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import day_str, dec2, hour_str, small_result_order
+from cdc_example_spark.queries.util import day_str, dec2, hour_str, shuffled_order, small_result_order
 from cdc_example_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -889,7 +889,9 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.avg("dur_s")).alias("avg_dur_s"),
             dec2(F.max("dur_s")).alias("max_dur_s"),
         )
-        .orderBy("user_id")
+        # shuffled_order: range sampling re-ran the lag/running-sum
+        # window chain (r14 -425 ms; queries/util.py note)
+        .transform(shuffled_order, "user_id")
     )
 
 

@@ -250,7 +250,9 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("doc_id_2"),
             dec2(jac).alias("jaccard"),
         )
-        .orderBy("doc_id_1", "doc_id_2")
+        # shuffled_order: the bare sort's range sampling re-ran the
+        # jaccard intersection-agg stage (r14 A/B -454 ms; util.py note)
+        .transform(shuffled_order, "doc_id_1", "doc_id_2")
     )
 
 
@@ -276,7 +278,11 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators import text_analysis as TA
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+    # shuffled_order: range sampling re-ran the per-doc rolling-hash
+    # char fold (the scan IS the expensive stage here; r14 -33 ms)
+    return docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fp")).transform(
+        shuffled_order, "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +474,11 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_example_spark.operators import dedup as D
 
     toks = load_doc_tokens(spark, sf_dir)
-    return D.simhash_table(toks, key_col="doc_id", tokens_col="ws").orderBy("doc_id")
+    # shuffled_order: range sampling re-ran the 32-vote agg + bit-fold
+    # projection stage (r14 -321 ms; queries/util.py note)
+    return D.simhash_table(toks, key_col="doc_id", tokens_col="ws").transform(
+        shuffled_order, "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -532,9 +542,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = S.embedding_neardup_pairs(emb, threshold=0.35)
+    # shuffled_order: range sampling re-ran the pair stage (r14 -185 ms)
     return out.select(
         "vec_id_1", "vec_id_2", dec2(F.col("cos_sim")).alias("cos_sim")
-    ).orderBy("vec_id_1", "vec_id_2")
+    ).transform(shuffled_order, "vec_id_1", "vec_id_2")
 
 
 # ---------------------------------------------------------------------------
@@ -691,7 +702,9 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_count(5).alias("bucket5"),
         _bucket_count(10).alias("bucket10"),
         _bucket_count(15).alias("bucket15"),
-    ).orderBy("media_id")
+        # shuffled_order: range sampling re-ran the mapInPandas feature
+        # crossing — the whole Arrow round trip twice (r14 -165 ms)
+    ).transform(shuffled_order, "media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -994,7 +1007,10 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.max("v").alias("max_doc_id"),
         )
-        .orderBy("component_id")
+        # shuffled_order: range sampling re-ran the last CC-round tail
+        # (r14 -344 ms). q95 measured the same change NEGATIVE (-40 ms,
+        # its pre-sort window+agg stage is cheap) and keeps bare orderBy.
+        .transform(shuffled_order, "component_id")
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_example_spark.queries.registry import query
-from cdc_example_spark.queries.util import dec2, small_result_order
+from cdc_example_spark.queries.util import dec2, shuffled_order, small_result_order
 from cdc_example_spark.sources.catalog import load_doc_tokens, load_table
 
 # ---------------------------------------------------------------------------
@@ -133,7 +133,9 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.col("dot") / (F.col("nrm1") * F.col("nrm2"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.5)
-        .orderBy("doc1", "doc2")
+        # shuffled_order: range sampling re-ran the sparse-dot pair agg
+        # + the two size lookups (r14 -488 ms; queries/util.py note)
+        .transform(shuffled_order, "doc1", "doc2")
     )
 
 
