@@ -203,3 +203,38 @@ def test_broadcast_threshold_parser_covers_spark_legal_sizes():
     # unparseable → 0 (disabled), never an exception
     assert _broadcast_threshold_bytes(_FakeSpark("not-a-size")) == 0
     assert _broadcast_threshold_bytes(_FakeSpark(None)) == 0
+
+
+def test_cc_probe_round_equals_full_unroll():
+    """r14 pin (VERDICT r13 item 4): probe_round must yield EXACTLY the
+    full unroll's labels in both probe outcomes — (a) a near-clique
+    graph converged by the probe round (shallow plan emitted), (b) a
+    path graph NOT converged at the probe round (probe falls through to
+    the full declared unroll)."""
+    from pyspark.sql import SparkSession
+
+    from cdc_example_spark.operators.graph import connected_components
+
+    spark = SparkSession.builder.master("local[2]").getOrCreate()
+
+    def run(edges, rounds, probe):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        full = {
+            (r.v, r.component)
+            for r in connected_components(df, rounds=rounds).collect()
+        }
+        probed = {
+            (r.v, r.component)
+            for r in connected_components(
+                df, rounds=rounds, probe_round=probe
+            ).collect()
+        }
+        assert probed == full, (edges, rounds, probe)
+
+    # (a) two triangles + an isolated edge: diameter 1, converged at
+    # probe_round=3 -> shallow plan
+    run([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (20, 21)], 6, 3)
+    # (b) 7-vertex path: rounds 3 probe sees changes -> full 6-round
+    # unroll (which the path needs; shallow output would be WRONG here,
+    # so equality proves the fall-through)
+    run([(i, i + 1) for i in range(6)], 6, 3)
