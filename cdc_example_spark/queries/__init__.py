@@ -33,115 +33,89 @@ from cdc_example_spark.queries import relevance as _relevance  # noqa: F401
 #      (tests/test_queries_oracle.py still checks every query locally
 #      each run).
 DRIVER_PRIORITY = [
-    # Rule 1 — queries whose code changed this round. r13 registers no
-    # new queries (VERDICT r12 item 7); the changed set is:
-    #   - q116: its current-occupancy side was split to a footer-
-    #     answerable count(*) (VERDICT r12 item 3), measured 2.9×
-    #     SLOWER at the k=100 shard (file-open-bound layout), and
-    #     REVERTED to the single-scan shape — the footer pricing lives
-    #     where it wins, in the streaming monitor (SCALE.md §4b-r13).
-    #     Slot kept because its module churned.
-    #   - q32 and q79: the r13 OPTIMIZATION pass changed their
-    #     operators' internals (lsh_candidate_pairs now plans its
-    #     bucket-explosion exchange at the session core count;
-    #     pagerank gained the size-gated broadcast path —
-    #     OPTIMIZATION_r13.md §1–2). q113/q82/q24 share those
-    #     operators and already hold due slots below. Results are
-    #     oracle-identical (re-verified at sf0.01 this round), but
-    #     "green must never mean green for an older build".
-    "q116_ann_index_health",
-    "q32_minhash_lsh_candidates",
-    "q79_pagerank",
-    # The 16 documented r12-overflow queries (r10 green rows, 3
-    # rounds stale — promised to head the r13 window in the r12
-    # rotation note; VERDICT r12 item 1). They MUST come first
-    # among the due rows. All queries/batch.py relational core,
-    # untouched since r10.
-    "q05_customers_without_orders",
-    "q06_semi_join_having",
-    "q07_rollup_nation_segment",
-    "q08_cube_status_priority",
-    "q09_top3_per_nation",
-    "q10_order_gaps",
-    "q11_cumulative_spend",
-    "q14_count_distinct",
-    "q44_pivot_event_counts",
-    "q45_subqueries",
-    "q46_range_frame",
-    "q59_full_outer_join",
-    "q60_set_ops_all",
-    "q63_right_outer_join",
-    "q65_window_distribution",
-    "q84_markov_transitions",
-    # 33 of the 50 r11-green rows due by the 2-round rule (rule 2).
-    # Near-neighbor families of this round's changes first: the
-    # persisted-ANN/similarity ladder (q116's footer-priced
-    # monitor and the retrain-loop GC read the same layouts), then
-    # the hybrid/relevance pair feeding q115's composition, then
-    # the quality-module rows (quality.py carries the q116 edit),
-    # then the fuzzy-dedup heavyweights, then text/dedup, then
-    # sampling/BPE/decontamination.
-    "q102_ivf2_persisted_serving",
-    "q70_ivf_persisted_serving",
-    "q62_ivf_trained_topk",
-    "q36_ivf_topk",
-    "q66_semantic_dedup",
-    "q100_kmeans_lloyd_refine",
-    "q57_quantization_audit",
-    "q35_pandas_cosine_topk",
-    "q22_cosine_top5",
-    "q47_simhash_near_pairs",
-    "q58_dedup_components",
-    "q107_matryoshka_audit",
-    "q114_hybrid_rrf_search",
-    "q52_bm25_search",
-    "q51_tfidf_top_terms",
-    "q93_pii_redaction",
-    "q109_source_mix_divergence",
+    # ---- r14 window ----
+    # Rule 0 — the two rows the r13 rotation PROMISED would head this
+    # window (displaced r11-green rows; VERDICT r13 item 6):
+    "q69_bigram_lm_perplexity",
+    "q105_bpe_merge_rounds",
+    # Rule 1 — queries whose code changed in the r14 optimization pass
+    # (results oracle-identical, re-verified at sf0.01 this round, but
+    # "green must never mean green for an older build"):
+    #   - shuffled_order sort tail (queries/util.py): q113, q82, q32,
+    #     q24, q31, q34, q29, q25, q58, q87, q19
+    #   - q85 single-partition Python crossing; q95 + q58 CC
+    #     probe_round; q79 graph.py threshold parser + probe plumbing;
+    #     q32/q113 pair_width split (operators/dedup.py)
     "q113_lsh_fuzzy_dedup_pairs",
     "q82_fuzzy_dedup_pairs",
-    "q21_exact_dedup_stats",
-    "q23_dedup_survivors",
+    "q32_minhash_lsh_candidates",
     "q24_jaccard_neardup_pairs",
+    "q85_wav_audio_stats",
+    "q58_dedup_components",
+    "q95_canonical_dedup",
+    "q31_embedding_neardup_pairs",
+    "q34_multimodal_features",
+    "q29_simhash",
     "q25_rolling_fingerprints",
-    "q26_token_counts",
-    "q27_lang_id_confusion",
-    "q28_quality_scores",
-    "q101_segment_span_dedup",
-    "q53_stratified_sample",
-    "q54_bigram_vocab",
-    "q55_decontamination",
-    "q56_repetition_bands",
+    "q87_sparse_allpairs_cosine",
+    "q19_sessionization",
+    "q79_pagerank",
+    # Rule 2 — the remaining 16 documented r13→r14 overflow rows
+    # (r11-green, 3 rounds stale; q69/q105/q19 already placed above):
+    "q20_json_buckets",
+    "q42_stats_profile",
+    "q43_train_test_split",
+    "q71_event_funnel",
+    "q72_cohort_retention",
+    "q74_ntile_deciles",
+    "q77_hourly_anomalies",
+    "q78_resample_interpolate",
+    "q92_scd2_history",
+    "q39_array_ops",
+    "q67_sequence_packing",
+    "q68_json_schema_profile",
+    "q75_curation_funnel",
+    "q76_hashed_linear_score",
+    "q99_zorder_box_scan",
+    "q106_rag_chunking",
+    # Rule 2 fill — 18 of the 42 r12-green rows due by the 2-round
+    # rule, families nearest this round's edits first (UDAF/serving/
+    # BPE/approx tiers), then relational core:
+    "q103_grouped_udaf_trimmed_mean",
+    "q115_hybrid_rrf_indexed",
+    "q116_ann_index_health",
+    "q104_quantized_cosine_topk",
+    "q110_bpe_encode_corpus",
+    "q112_bpe_dictionary_encode",
+    "q108_split_leakage",
+    "q111_mixture_reweight_plan",
+    "q41_percentiles",
+    "q38_approx_distinct",
+    "q30_cosine_topk_multi",
+    "q33_binary_media_meta",
+    "q37_ranking_family",
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_shipping_priority",
+    "q04_customers_per_region",
+    "q12_top20_lineitems",
 ]
-# 50 prioritized — the window is exactly full: 3 rule-1 slots
-# (q116 + the two optimization-changed queries q32/q79; = 3, at
-# the standing ≤3 cap) + the 16 promised r10-stale carries
-# (rule 2, heading the due block as the r12 note requires) + 31
-# of the 50 r11-green rows due this round. The two r11-green rows
-# the rule-1 slots displaced — q69_bigram_lm_perplexity and
-# q105_bpe_merge_rounds (both in modules r13 does not edit) —
-# join the documented overflow below and MUST head the r14 window.
-# DOCUMENTED OVERFLOW (r13 → r14): q69_bigram_lm_perplexity,
-# q105_bpe_merge_rounds (displaced by the r13 rule-1 slots, see
-# above), q19_sessionization,
-# q20_json_buckets, q42_stats_profile, q43_train_test_split,
-# q71_event_funnel, q72_cohort_retention, q74_ntile_deciles,
-# q77_hourly_anomalies, q78_resample_interpolate,
-# q92_scd2_history (queries/batch.py — relational analytics,
-# untouched since r9), q39_array_ops, q67_sequence_packing,
-# q68_json_schema_profile, q75_curation_funnel,
-# q76_hashed_linear_score (queries/llm.py, untouched),
-# q99_zorder_box_scan (queries/pipeline.py, untouched),
-# q106_rag_chunking (queries/relevance.py, untouched) keep their
-# r11 green rows one more round (17 queries, all in modules r13
-# does not edit; tests/test_queries_oracle.py still oracle-checks
-# every one locally each run). They MUST head the r14 window
-# together with the 50 r12-green rows due at r14 — r14 faces 67
-# due vs 50 slots, so r14 must again keep new/changed ≤3 and
-# carry ~17 r12 rows (prefer untouched modules) to r15. With 116
-# queries against a 50-slot window the steady state is a ~17-row
-# documented 3-round tail; the rotation keeps it named,
-# module-stable, and locally oracle-checked every run.
+# 50 prioritized — exactly full: 2 promised + 14 r14-changed + 16
+# overflow + 18 r12-green fills. DOCUMENTED OVERFLOW (r14 → r15), 24
+# r12-green rows displaced by this round's 14-row changed set — they
+# will be 3 rounds stale at r15 and MUST head the r15 window:
+# q13_set_ops, q15_string_functions, q16_orders_by_month,
+# q17_case_math_bands, q18_hourly_event_windows, q40_grouping_sets,
+# q48_asof_join, q49_snapshot_at, q50_range_join, q61_salted_skew_join,
+# q64_bucketed_colocated_join, q73_zipf_slope, q80_embedding_audit,
+# q81_heavy_hitters, q83_pps_sample, q86_skyline_parts,
+# q88_quality_constraint_audit, q89_touch_attribution,
+# q90_sketch_rollup_distinct, q91_psi_value_drift,
+# q94_bloom_decontamination, q96_snapshot_diff, q97_priority_sample,
+# q98_token_lift (all in modules r14 does not restructure;
+# tests/test_queries_oracle.py still oracle-checks every query locally
+# each run). The 50 r13-green rows are 1 round old and due at r15 too:
+# r15 faces 74 due vs 50 slots — keep new/changed ≤3 there.
 set_driver_order(DRIVER_PRIORITY)
 
 __all__ = ["Query", "all_queries", "query", "set_driver_order"]
