@@ -59,6 +59,7 @@ DRIVER_PRIORITY = [
     "q25_rolling_fingerprints",
     "q87_sparse_allpairs_cosine",
     "q19_sessionization",
+    "q55_decontamination",
     "q79_pagerank",
     # Rule 2 — the remaining 16 documented r13→r14 overflow rows
     # (r11-green, 3 rounds stale; q69/q105/q19 already placed above):
@@ -98,10 +99,9 @@ DRIVER_PRIORITY = [
     "q02_forecast_revenue",
     "q03_shipping_priority",
     "q04_customers_per_region",
-    "q12_top20_lineitems",
 ]
-# 50 prioritized — exactly full: 2 promised + 14 r14-changed + 16
-# overflow + 18 r12-green fills. DOCUMENTED OVERFLOW (r14 → r15), 24
+# 50 prioritized — exactly full: 2 promised + 15 r14-changed + 16
+# overflow + 17 r12-green fills. DOCUMENTED OVERFLOW (r14 → r15), 25
 # r12-green rows displaced by this round's 14-row changed set — they
 # will be 3 rounds stale at r15 and MUST head the r15 window:
 # q13_set_ops, q15_string_functions, q16_orders_by_month,
@@ -112,7 +112,8 @@ DRIVER_PRIORITY = [
 # q88_quality_constraint_audit, q89_touch_attribution,
 # q90_sketch_rollup_distinct, q91_psi_value_drift,
 # q94_bloom_decontamination, q96_snapshot_diff, q97_priority_sample,
-# q98_token_lift (all in modules r14 does not restructure;
+# q98_token_lift, q12_top20_lineitems (all in modules whose relational
+# shapes r14 does not restructure;
 # tests/test_queries_oracle.py still oracle-checks every query locally
 # each run). The 50 r13-green rows are 1 round old and due at r15 too:
 # r15 faces 74 due vs 50 slots — keep new/changed ≤3 there.
